@@ -1,13 +1,209 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tier
+import graft.operators.{GapFill, Regularize, Rollup}
+import graft.sources.Transcripts
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The time-series queries run over the `transcripts` relation derived
+  * deterministically from `events.parquet` ([[Transcripts.fromEvents]]), so
+  * every operator is hash-verifiable against the DuckDB oracle computing the
+  * identical relation ([[Transcripts.oracleCte]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full regularize→gap-fill→1h-rollup chain.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("ts_rollup_1h")(spark, "/root/testdata/sf0.001")
+
+  // -- shared pipeline stages (built lazily per invocation) --
+
+  private def transcripts(s: SparkSession, dir: String): DataFrame =
+    Transcripts.fromEvents(s, dir)
+
+  private def metrics(s: SparkSession, dir: String): DataFrame =
+    Regularize.withMetrics(transcripts(s, dir))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("text_len"))
+
+  private def gapfilled(s: SparkSession, dir: String): DataFrame =
+    GapFill.fillWindow(Regularize.regularize(transcripts(s, dir), Tier.M1))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.6 classical agg sanity (lineitem pricing summary)
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity") + lit(1e-9), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // §1 data model: the transcripts derivation itself — per-turn text
+    // equality under stable (conv_id, turn_idx) order (BASELINE invariant)
+    "ts_transcripts" -> ((s, dir) =>
+      transcripts(s, dir).orderBy("conv_id", "turn_idx")),
+    // §2.3 regularize: bucket + quality-first + densify (day-1 window)
+    "ts_regular_1m" -> ((s, dir) =>
+      Regularize.regularize(transcripts(s, dir), Tier.M1)
+        .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
+        .orderBy("conv_id", "bucket_ts")),
+    // §2.4 gap-fill (impute_linear semantics; filled on full grid, day-1 out)
+    "ts_gapfill_1m" -> ((s, dir) =>
+      gapfilled(s, dir)
+        .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
+        .orderBy("conv_id", "bucket_ts")),
+    // §2.6 t_* rollup of the gap-filled 1m grid into 1h buckets
+    "ts_rollup_1h" -> ((s, dir) =>
+      Rollup.rollup(gapfilled(s, dir), Tier.H1).orderBy("conv_id", "bucket_ts")),
+    // §2.6/north rule: 1d tier CASCADED from 1h algebraic state (oracle
+    // computes directly from 1m — equality proves the cascade exact)
+    "ts_rollup_1d" -> ((s, dir) => {
+      val st1h = Rollup.tierState(gapfilled(s, dir), Tier.H1)
+      Rollup.presentState(Rollup.cascade(st1h, Tier.D1))
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.6 whole-series reduction (sits_reduce on samples; date = min ts)
+    "ts_reduce_series" -> ((s, dir) =>
+      Rollup.reduceSeries(
+        metrics(s, dir).select(col("conv_id"), col("ts"), col("text_len").as("value")),
+        tsCol = "ts").orderBy("conv_id")),
+    // §2.6 t_fslope per day over raw turn metric
+    "ts_fslope_1d" -> ((s, dir) =>
+      Rollup.fslope(
+        metrics(s, dir).select(col("conv_id"), col("ts"), col("turn_idx"),
+          col("text_len").as("value")),
+        Tier.D1, tsCol = "ts", orderCols = Seq("ts", "turn_idx"))
+        .orderBy("conv_id", "bucket_ts")),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Oracles.all
+}
+
+/** DuckDB oracle SQL, kept structurally parallel to the Spark pipeline so
+  * float expressions evaluate in the same IEEE operand order.
+  */
+private object Oracles {
+  private val cte = Transcripts.oracleCte
+
+  private val metricsCte =
+    """, metrics AS (
+      |  SELECT conv_id, turn_idx, ts,
+      |         cast(length(text) AS double) AS text_len,
+      |         CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 ELSE 2 END AS quality_rank
+      |  FROM transcripts
+      |)""".stripMargin
+
+  private val regularCte = metricsCte +
+    """, firstv AS (
+      |  SELECT conv_id, bucket_ts, value FROM (
+      |    SELECT conv_id, date_trunc('minute', ts) AS bucket_ts, text_len AS value,
+      |           row_number() OVER (PARTITION BY conv_id, date_trunc('minute', ts)
+      |                              ORDER BY quality_rank, ts, turn_idx) AS rn
+      |    FROM metrics) WHERE rn = 1
+      |), grid AS (
+      |  SELECT conv_id, unnest(generate_series(mn, mx, interval 1 minute)) AS bucket_ts
+      |  FROM (SELECT conv_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM firstv GROUP BY conv_id)
+      |), regular AS (
+      |  SELECT g.conv_id, g.bucket_ts, f.value
+      |  FROM grid g LEFT JOIN firstv f ON g.conv_id = f.conv_id AND g.bucket_ts = f.bucket_ts
+      |)""".stripMargin
+
+  private val gapfilledCte = regularCte +
+    """, gf0 AS (
+      |  SELECT conv_id, bucket_ts, value,
+      |         cast(row_number() OVER (PARTITION BY conv_id ORDER BY bucket_ts) AS double) AS i
+      |  FROM regular
+      |), gf1 AS (
+      |  SELECT conv_id, bucket_ts, value, i,
+      |    last_value(value IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN value IS NOT NULL THEN i END IGNORE NULLS) OVER wp AS pi,
+      |    first_value(value IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN value IS NOT NULL THEN i END IGNORE NULLS) OVER wf AS ni
+      |  FROM gf0
+      |  WINDOW wp AS (PARTITION BY conv_id ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY conv_id ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |), gapfilled AS (
+      |  SELECT conv_id, bucket_ts,
+      |    CASE WHEN value IS NOT NULL THEN value
+      |         WHEN pv IS NULL THEN nv
+      |         WHEN nv IS NULL THEN pv
+      |         ELSE pv + (i - pi) * (nv - pv) / (ni - pi) END AS value
+      |  FROM gf1
+      |)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_transcripts" ->
+      (cte + "\nSELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts ORDER BY conv_id, turn_idx"),
+    "ts_regular_1m" ->
+      (cte + regularCte +
+        "\nSELECT conv_id, bucket_ts, value FROM regular WHERE bucket_ts < timestamp '2024-01-02' ORDER BY conv_id, bucket_ts"),
+    "ts_gapfill_1m" ->
+      (cte + gapfilledCte +
+        "\nSELECT conv_id, bucket_ts, value FROM gapfilled WHERE bucket_ts < timestamp '2024-01-02' ORDER BY conv_id, bucket_ts"),
+    "ts_rollup_1h" ->
+      (cte + gapfilledCte +
+        """
+          |SELECT conv_id, date_trunc('hour', bucket_ts) AS bucket_ts,
+          |  count(value) AS n,
+          |  round(sum(value) + 1e-9, 4) AS sum_v,
+          |  round(avg(value) + 1e-9, 4) AS mean_v,
+          |  min(value) AS min_v, max(value) AS max_v,
+          |  CASE WHEN count(value) > 1 THEN round(stddev_samp(value) + 1e-9, 4) END AS std_v,
+          |  quantile_cont(value, 0.5) AS med_v,
+          |  quantile_cont(value, 0.25) AS fqr_v,
+          |  quantile_cont(value, 0.75) AS tqr_v,
+          |  round(max(value) - min(value) + 1e-9, 4) AS amp_v,
+          |  quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr_v
+          |FROM gapfilled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_rollup_1d" ->
+      (cte + gapfilledCte +
+        """
+          |SELECT conv_id, date_trunc('day', bucket_ts) AS bucket_ts,
+          |  count(value) AS n,
+          |  round(sum(value) + 1e-9, 4) AS sum_v,
+          |  round(sum(value) / count(value) + 1e-9, 4) AS mean_v,
+          |  min(value) AS min_v, max(value) AS max_v,
+          |  CASE WHEN count(value) > 1 THEN
+          |    round(sqrt(greatest(0.0, (sum(value * value) - sum(value) * sum(value) / count(value)) / (count(value) - 1))) + 1e-9, 4)
+          |  END AS std_v,
+          |  round(max(value) - min(value) + 1e-9, 4) AS amp_v
+          |FROM gapfilled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_reduce_series" ->
+      (cte + metricsCte +
+        """
+          |SELECT conv_id, min(ts) AS start_ts, count(text_len) AS n,
+          |  round(avg(text_len) + 1e-9, 4) AS t_mean,
+          |  min(text_len) AS t_min, max(text_len) AS t_max,
+          |  CASE WHEN count(text_len) > 1 THEN round(stddev_samp(text_len) + 1e-9, 4) END AS t_std,
+          |  quantile_cont(text_len, 0.5) AS t_median,
+          |  quantile_cont(text_len, 0.25) AS t_fqr,
+          |  quantile_cont(text_len, 0.75) AS t_tqr,
+          |  round(max(text_len) - min(text_len) + 1e-9, 4) AS t_amplitude,
+          |  quantile_cont(text_len, 0.75) - quantile_cont(text_len, 0.25) AS t_iqr
+          |FROM metrics GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+    "ts_fslope_1d" ->
+      (cte + metricsCte +
+        """, diffs AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts, text_len,
+          |    abs(text_len - lag(text_len) OVER (PARTITION BY conv_id, date_trunc('day', ts) ORDER BY ts, turn_idx)) AS d
+          |  FROM metrics)
+          |SELECT conv_id, bucket_ts, max(d) AS fslope_v, count(text_len) AS n
+          |FROM diffs GROUP BY 1, 2 HAVING max(d) IS NOT NULL ORDER BY 1, 2""".stripMargin),
+  )
 }

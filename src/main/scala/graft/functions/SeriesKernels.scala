@@ -1,0 +1,351 @@
+package graft.functions
+
+/** Pure-Scala per-series kernels transcribing the reference's C++ math
+  * *as coded* (not as the textbook formula) — these are both the engine's
+  * mapGroups kernels and the unit-test oracles (SURVEY.md §5).
+  * NaN plays the role of R's NA.
+  */
+object SeriesKernels {
+
+  /** impute_linear (/root/reference/src/linear_interp.cpp:25-113):
+    * leading back-fill, interior linear by index, trailing LOCF; all-NaN in →
+    * all-NaN out. Single pass, O(n). Mutates and returns a copy.
+    */
+  def imputeLinear(in: Array[Double]): Array[Double] = {
+    val x = in.clone()
+    val n = x.length
+    var curr = 0
+    while (curr < n && x(curr).isNaN) curr += 1
+    if (curr == n) return x // all-NaN
+    var k = 0
+    while (k < curr) { x(k) = x(curr); k += 1 } // leading back-fill
+    var i = curr
+    while (i < n) {
+      // i points at a non-NaN; find next NaN run
+      var numToNa = i
+      while (numToNa + 1 < n && !x(numToNa + 1).isNaN) numToNa += 1
+      if (numToNa + 1 >= n) return x
+      var naToNum = numToNa + 1
+      while (naToNum < n && x(naToNum).isNaN) naToNum += 1
+      if (naToNum >= n) { // trailing LOCF
+        val v = x(numToNa)
+        var j = numToNa + 1
+        while (j < n) { x(j) = v; j += 1 }
+        return x
+      }
+      val gaps = naToNum - numToNa
+      val base = x(numToNa)
+      val target = x(naToNum)
+      var step = 1
+      var j = numToNa + 1
+      while (j < naToNum) {
+        // exact operand order of linear_interp.cpp:20-22
+        x(j) = base + (step * (target - base) / gaps)
+        step += 1; j += 1
+      }
+      i = naToNum
+    }
+    x
+  }
+
+  // ---- t_* temporal reductions (/root/reference/src/reduce_fns.cpp) ----
+
+  def tMax(v: Array[Double]): Double = v.max
+  def tMin(v: Array[Double]): Double = v.min
+  def tMean(v: Array[Double]): Double = v.sum / v.length
+
+  /** arma::median: even n → mean of the two middle order statistics. */
+  def tMedian(v: Array[Double]): Double = {
+    val s = v.sorted; val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** arma::stddev(norm_type=0) = sample stddev, /(n-1) (reduce_fns.cpp:32-34). */
+  def tStd(v: Array[Double]): Double = {
+    val n = v.length
+    if (n < 2) return Double.NaN
+    val m = tMean(v)
+    math.sqrt(v.map(x => (x - m) * (x - m)).sum / (n - 1))
+  }
+
+  /** t_skewness *as coded* (reduce_fns.cpp:37-49): population m3/m2^1.5 times
+    * the quirky factor  sqrt(n(n-1))/n - 2  (precedence as written).
+    */
+  def tSkew(v: Array[Double]): Double = {
+    val n = v.length
+    val adj = math.sqrt((n * (n - 1)).toDouble) / n - 2.0
+    val m = tMean(v)
+    val m3 = v.map(x => math.pow(x - m, 3)).sum / n
+    val s = math.pow(v.map(x => (x - m) * (x - m)).sum / n, 1.5)
+    m3 / s * adj
+  }
+
+  /** t_kurtosis (reduce_fns.cpp:52-60): n·Σd⁴ / (Σd²)² — Pearson, not excess. */
+  def tKurt(v: Array[Double]): Double = {
+    val n = v.length
+    val m = tMean(v)
+    val m4 = v.map(x => math.pow(x - m, 4)).sum
+    val m2sq = { val s2 = v.map(x => (x - m) * (x - m)).sum; s2 * s2 }
+    n * m4 / m2sq
+  }
+
+  def tAmplitude(v: Array[Double]): Double = v.max - v.min
+
+  /** max |first difference| (reduce_fns.cpp:68-70). NaN for n<2. */
+  def tFslope(v: Array[Double]): Double = {
+    if (v.length < 2) return Double.NaN
+    var mx = Double.NegativeInfinity
+    var i = 1
+    while (i < v.length) { val d = math.abs(v(i) - v(i - 1)); if (d > mx) mx = d; i += 1 }
+    mx
+  }
+
+  /** arma::quantile — Hyndman & Fan definition 5 (reduce_fns.cpp:79-92):
+    * h = n·p + 0.5; x[⌈h-0.5⌉] interpolated.
+    */
+  def tQuantileArma(v: Array[Double], p: Double): Double = {
+    val s = v.sorted; val n = s.length
+    if (n == 1) return s(0)
+    val h = n * p + 0.5
+    val lo = math.floor(h - 0.5).toInt // 1-based lower index
+    val hi = lo + 1
+    val loC = math.min(math.max(lo, 1), n)
+    val hiC = math.min(math.max(hi, 1), n)
+    val frac = h - 0.5 - lo
+    s(loC - 1) + frac * (s(hiC - 1) - s(loC - 1))
+  }
+  def tFqr(v: Array[Double]): Double = tQuantileArma(v, 0.25)
+  def tTqr(v: Array[Double]): Double = tQuantileArma(v, 0.75)
+  def tIqr(v: Array[Double]): Double = tTqr(v) - tFqr(v)
+
+  /** t_mse (reduce_fns.cpp:73-76): mean |FFT(series)|² (spectral energy).
+    * Naive O(n²) DFT — series are short (≤ timeline length); exactness over
+    * speed, and it runs inside a distributed aggregator anyway.
+    */
+  def tMse(v: Array[Double]): Double = {
+    val n = v.length
+    var acc = 0.0
+    var k = 0
+    while (k < n) {
+      var re = 0.0; var im = 0.0
+      var t = 0
+      while (t < n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        re += v(t) * math.cos(ang); im += v(t) * math.sin(ang)
+        t += 1
+      }
+      acc += re * re + im * im
+      k += 1
+    }
+    acc / n
+  }
+
+  // ---- smoothers (/root/reference/src/smooth_whit.cpp, smooth_sgp.cpp) ----
+
+  /** Whittaker 2nd-difference penalized smoother (smooth_whit.cpp:20-81):
+    * solves (I + λ·D₂ᵀD₂) z = y per series via banded (pentadiagonal)
+    * Cholesky — O(n) forward/back substitution, as in the reference.
+    */
+  def whittaker(y: Array[Double], lambda: Double): Array[Double] = {
+    val n = y.length
+    if (n < 3) return y.clone()
+    // Build pentadiagonal A = I + λ D2'D2 (bands: 0..2)
+    val d0 = new Array[Double](n); val d1 = new Array[Double](n); val d2 = new Array[Double](n)
+    // D2'D2 coefficients for second differences
+    var i = 0
+    while (i < n) {
+      val c = (if (i >= 2 && i <= n - 3) 6.0
+               else if (i == 1 || i == n - 2) 5.0
+               else 1.0)
+      d0(i) = 1.0 + lambda * (if (n < 5) d2d2Diag(n, i) else c)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val c = if (i == 0 || i == n - 2) -2.0 else -4.0
+      d1(i) = lambda * c; i += 1
+    }
+    i = 0
+    while (i < n - 2) { d2(i) = lambda * 1.0; i += 1 }
+    // Banded LDLᵀ (bandwidth 2)
+    val l1 = new Array[Double](n); val l2 = new Array[Double](n)
+    val d = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      var dv = d0(i)
+      if (i >= 1) dv -= l1(i - 1) * l1(i - 1) * d(i - 1)
+      if (i >= 2) dv -= l2(i - 2) * l2(i - 2) * d(i - 2)
+      d(i) = dv
+      if (i + 1 < n) {
+        var e = d1(i)
+        if (i >= 1) e -= l1(i - 1) * d(i - 1) * l2(i - 1)
+        l1(i) = e / dv
+      }
+      if (i + 2 < n) l2(i) = d2(i) / dv
+      i += 1
+    }
+    // Solve L z = y
+    val z = y.clone()
+    i = 0
+    while (i < n) {
+      if (i >= 1) z(i) -= l1(i - 1) * z(i - 1)
+      if (i >= 2) z(i) -= l2(i - 2) * z(i - 2)
+      i += 1
+    }
+    i = 0
+    while (i < n) { z(i) /= d(i); i += 1 }
+    i = n - 1
+    while (i >= 0) {
+      if (i + 1 < n) z(i) -= l1(i) * z(i + 1)
+      if (i + 2 < n) z(i) -= l2(i) * z(i + 2)
+      i -= 1
+    }
+    z
+  }
+
+  /** exact D2'D2 diagonal for tiny n (n=3,4) */
+  private def d2d2Diag(n: Int, i: Int): Double = {
+    // row i of D2ᵀD2 where D2 is (n-2)×n second-difference matrix
+    var s = 0.0
+    var r = 0
+    while (r < n - 2) {
+      val c = if (i == r) 1.0 else if (i == r + 1) -2.0 else if (i == r + 2) 1.0 else 0.0
+      s += c * c; r += 1
+    }
+    s
+  }
+
+  /** Savitzky-Golay smoother (smooth_sgp.cpp:14-75, api_signal.R:49-79):
+    * least-squares polynomial filter of given order over window 2k+1; edges
+    * keep the original values scaled by the boundary convolution (reference
+    * convolves interior only and corrects edges with the coefficient matrix;
+    * we reproduce interior convolution + passthrough edges as the reference's
+    * samples-level sits_sgolay does for short series).
+    */
+  def sgolay(y: Array[Double], order: Int = 3, k: Int = 2): Array[Double] = {
+    val win = 2 * k + 1
+    if (y.length < win) return y.clone()
+    val c = sgolayCoef(order, k)
+    val out = y.clone()
+    var i = k
+    while (i < y.length - k) {
+      var acc = 0.0
+      var j = -k
+      while (j <= k) { acc += c(j + k) * y(i + j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** Central-row SG coefficients via normal equations (AᵀA)⁻¹Aᵀ e0 —
+    * small Gaussian elimination, order ≤ 5.
+    */
+  def sgolayCoef(order: Int, k: Int): Array[Double] = {
+    val win = 2 * k + 1
+    val m = order + 1
+    // G = AᵀA where A(i,j) = i^j for i in -k..k
+    val g = Array.ofDim[Double](m, m)
+    val b = new Array[Double](m)
+    for (p <- 0 until m; q <- 0 until m)
+      g(p)(q) = (-k to k).map(x => math.pow(x, p + q)).sum
+    b(0) = 1.0 // e0: evaluate fitted polynomial at x=0
+    // solve g * a = b
+    val a = solveDense(g, b)
+    val c = new Array[Double](win)
+    for (x <- -k to k)
+      c(x + k) = (0 until m).map(p => a(p) * math.pow(x, p)).sum
+    c
+  }
+
+  private def solveDense(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val tb = b(col); b(col) = b(piv); b(piv) = tb
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        var c2 = col
+        while (c2 < n) { a(r)(c2) -= f * a(col)(c2); c2 += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** DTW distance, symmetric-2 step pattern with p-norm local cost
+    * (/root/reference/src/dtw.cpp:36-105). O(n·m), two-row DP.
+    */
+  def dtw(a: Array[Double], b: Array[Double], p: Double = 2.0): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return Double.NaN
+    def cost(i: Int, j: Int): Double = math.pow(math.abs(a(i) - b(j)), p)
+    var prev = new Array[Double](m)
+    var curr = new Array[Double](m)
+    prev(0) = cost(0, 0)
+    var j = 1
+    while (j < m) { prev(j) = prev(j - 1) + cost(0, j); j += 1 }
+    var i = 1
+    while (i < n) {
+      curr(0) = prev(0) + cost(i, 0)
+      j = 1
+      while (j < m) {
+        val c = cost(i, j)
+        // symmetric2: diagonal counts twice
+        curr(j) = math.min(math.min(prev(j) + c, curr(j - 1) + c), prev(j - 1) + 2 * c)
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    math.pow(prev(m - 1), 1.0 / p)
+  }
+
+  // ---- windowed kernels w_* (/root/reference/src/kernel.cpp:8-124) ----
+
+  /** Mirrored-edge index: kernel.cpp:8-19 reflects out-of-range offsets. */
+  private def mirror(i: Int, n: Int): Int = {
+    var j = i
+    if (j < 0) j = -j
+    if (j >= n) j = 2 * (n - 1) - j
+    math.min(math.max(j, 0), n - 1)
+  }
+
+  /** Apply an NaN-ignoring window stat over a centered window of half-width k
+    * with mirrored edge padding (the reference's w_median/w_mean/… shape).
+    */
+  def windowed(v: Array[Double], k: Int, stat: Array[Double] => Double): Array[Double] = {
+    val n = v.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val buf = new Array[Double](2 * k + 1)
+      var j = -k; var c = 0
+      while (j <= k) {
+        val x = v(mirror(i + j, n))
+        if (!x.isNaN) { buf(c) = x; c += 1 }
+        j += 1
+      }
+      out(i) = if (c == 0) Double.NaN else stat(java.util.Arrays.copyOf(buf, c))
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tier
+
+/** Temporal rollups — the t_* reduction set of the reference's `sits_reduce`
+  * (/root/reference/R/sits_reduce.R:96-203, src/reduce_fns.cpp) as Spark
+  * aggregates, plus the continuous-aggregate tier cascade raw→1m→1h→1d.
+  *
+  * Scale design:
+  *  - every aggregate here is partially aggregable (map-side combine), so the
+  *    shuffle carries one row per (conv, bucket) group, not raw turns;
+  *  - higher tiers re-aggregate *from the lower tier's algebraic state*
+  *    ([[cascade]]) — at 10^12 turns the 1d job reads 1h points (5 orders of
+  *    magnitude smaller), never raw data;
+  *  - holistic stats (median/quantiles) are computed from the finest retained
+  *    tier only ([[rollup]]), documented retention contract (SURVEY.md §7.4);
+  *  - doubles that are order-of-summation sensitive are rounded to 4 decimals
+  *    at the *output boundary* (oracle comparability), never internally.
+  */
+object Rollup {
+
+  /** Output-boundary rounding, biased +1e-9 first: exact half-boundary
+    * values (common with integer-derived rationals like 19.65625) would
+    * otherwise flip between Spark's HALF_UP and DuckDB's half-even under ULP
+    * summation noise. The bias moves nice rationals 1e-9 inside the upper
+    * side, where 1e-13 ULP differences can no longer cross the boundary.
+    */
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** Full t_* rollup of a value series into `tier` buckets. Input:
+    * (conv_id, bucket_ts|ts, value). One shuffle; percentiles are exact
+    * (sort-based within group — groups bounded by timeline length).
+    */
+  def rollup(series: DataFrame, tier: Tier, tsCol: String = "bucket_ts"): DataFrame =
+    series
+      .groupBy(col("conv_id"), date_trunc(tier.unit, col(tsCol)).as("bucket_ts"))
+      .agg(
+        count(col("value")).as("n"),
+        r4(sum("value")).as("sum_v"),
+        r4(avg("value")).as("mean_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        when(count(col("value")) > 1, r4(stddev_samp(col("value"))))
+          .otherwise(lit(null).cast("double")).as("std_v"),
+        percentile(col("value"), lit(0.5)).as("med_v"),
+        percentile(col("value"), lit(0.25)).as("fqr_v"),
+        percentile(col("value"), lit(0.75)).as("tqr_v"),
+        r4(max("value") - min("value")).as("amp_v"))
+      .withColumn("iqr_v", col("tqr_v") - col("fqr_v"))
+
+  /** Algebraic tier state (n, Σv, Σv², min, max) — the moments carried
+    * between tiers. Partial+final aggregation; immune to hot-conv skew
+    * because group cardinality is bounded by the tier ratio (≤60 for 1m→1h).
+    */
+  def tierState(series: DataFrame, tier: Tier, tsCol: String = "bucket_ts"): DataFrame =
+    series
+      .groupBy(col("conv_id"), date_trunc(tier.unit, col(tsCol)).as("bucket_ts"))
+      .agg(
+        count(col("value")).as("n"),
+        sum("value").as("sum_v"),
+        sum(col("value") * col("value")).as("sum2_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+
+  /** Cascade one tier's algebraic state up to the next tier WITHOUT touching
+    * finer data — the continuous-aggregate step (our addition per the north
+    * rule; the reference recomputes from raw each time, sits_reduce.R).
+    */
+  def cascade(lowerState: DataFrame, to: Tier): DataFrame =
+    lowerState
+      .groupBy(col("conv_id"), date_trunc(to.unit, col("bucket_ts")).as("bucket_ts"))
+      .agg(
+        sum("n").as("n"),
+        sum("sum_v").as("sum_v"),
+        sum("sum2_v").as("sum2_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+
+  /** Present algebraic state as user-facing stats: mean, stddev (sample, via
+    * moments: sqrt((Σv² − (Σv)²/n)/(n−1))), amplitude. Rounded at the output
+    * boundary.
+    */
+  def presentState(state: DataFrame): DataFrame =
+    state.select(
+      col("conv_id"), col("bucket_ts"), col("n"),
+      r4(col("sum_v")).as("sum_v"),
+      r4(col("sum_v") / col("n")).as("mean_v"),
+      col("min_v"), col("max_v"),
+      when(col("n") > 1,
+        r4(sqrt(greatest(lit(0.0),
+          (col("sum2_v") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1)))))
+        .otherwise(lit(null).cast("double")).as("std_v"),
+      r4(col("max_v") - col("min_v")).as("amp_v"))
+
+  /** t_fslope per (conv, tier bucket): max |first difference| of the series
+    * ordered by (ts, turn_idx) *within the bucket*
+    * (reduce_fns.cpp:68-70 applied per rollup window).
+    */
+  def fslope(series: DataFrame, tier: Tier, tsCol: String, orderCols: Seq[String]): DataFrame = {
+    val b = date_trunc(tier.unit, col(tsCol)).as("bucket_ts")
+    val w = Window.partitionBy(col("conv_id"), date_trunc(tier.unit, col(tsCol)))
+      .orderBy(orderCols.map(col): _*)
+    series
+      .withColumn("d", abs(col("value") - lag("value", 1).over(w)))
+      .groupBy(col("conv_id"), b)
+      .agg(max("d").as("fslope_v"), count(col("value")).as("n"))
+      .filter(col("fslope_v").isNotNull) // buckets with a single point have no diff
+  }
+
+  /** Whole-series reduction (≙ sits_reduce on samples): one row per conv,
+    * stamped with the series' min bucket as output date
+    * (/root/reference/R/api_reduce.R:150,179: out date = min(timeline)).
+    */
+  def reduceSeries(series: DataFrame, tsCol: String = "bucket_ts"): DataFrame =
+    series
+      .groupBy(col("conv_id"))
+      .agg(
+        min(col(tsCol)).as("start_ts"),
+        count(col("value")).as("n"),
+        r4(avg("value")).as("t_mean"),
+        min("value").as("t_min"),
+        max("value").as("t_max"),
+        when(count(col("value")) > 1, r4(stddev_samp(col("value"))))
+          .otherwise(lit(null).cast("double")).as("t_std"),
+        percentile(col("value"), lit(0.5)).as("t_median"),
+        percentile(col("value"), lit(0.25)).as("t_fqr"),
+        percentile(col("value"), lit(0.75)).as("t_tqr"),
+        r4(max("value") - min("value")).as("t_amplitude"))
+      .withColumn("t_iqr", col("t_tqr") - col("t_fqr"))
+}

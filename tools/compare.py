@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Registers each parquet table as a view, runs every oracle SQL from
+oracle_sql.json, and diffs against the Spark parquet output: row count,
+column set, and (column-name-sorted, row-sorted) value equality.
+"""
+import json, sys, glob, os
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"create view {name} as select * from '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output dir"); fails += 1; continue
+    try:
+        odf = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    sdf = con.sql(f"select * from '{spark_dir}/*.parquet'").df()
+    ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+    if ocols != scols:
+        print(f"FAIL {name}: cols oracle={ocols} spark={scols}"); fails += 1; continue
+    if len(odf) != len(sdf):
+        print(f"FAIL {name}: rows oracle={len(odf)} spark={len(sdf)}"); fails += 1; continue
+    o = odf[ocols].sort_values(ocols).reset_index(drop=True)
+    s = sdf[ocols].sort_values(ocols).reset_index(drop=True)
+    diff_cols = []
+    for c in ocols:
+        a, b = o[c], s[c]
+        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            import numpy as np
+            eq = ((a.isna() & b.isna()) | (a == b)).all()
+        else:
+            eq = ((a.isna() & b.isna()) | (a.astype(str) == b.astype(str))).all()
+        if not eq:
+            diff_cols.append(c)
+    if diff_cols:
+        print(f"FAIL {name}: value mismatch in {diff_cols} ({len(o)} rows)")
+        for c in diff_cols[:3]:
+            mask = ~((o[c].isna() & s[c].isna()) | (o[c] == s[c]))
+            print(f"  {c}: {mask.sum()} differing rows; first:")
+            print("   oracle:", o[mask].head(2).to_dict('records'))
+            print("   spark :", s[mask].head(2).to_dict('records'))
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(o)} rows)")
+print(f"{'ALL OK' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)
