@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{GapFill, Regularize, Rollup}
+import graft.operators.{ChunkStore, GapFill, Regularize, Rollup}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -67,6 +67,14 @@ object SparkEntry {
     "ts_rollup_1d" -> ((s, dir) => {
       val st1h = Rollup.tierState(gapfilled(s, dir), Tier.H1)
       Rollup.presentState(Rollup.cascade(st1h, Tier.D1))
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // north rule: Gorilla+delta-of-delta chunk encode → decode round trip —
+    // bit-exact, so the gap-fill oracle doubles as the codec oracle
+    "ts_chunk_roundtrip" -> ((s, dir) => {
+      val chunks = ChunkStore.encode(s, gapfilled(s, dir), Tier.M1)
+      ChunkStore.decode(s, chunks).toDF()
+        .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
         .orderBy("conv_id", "bucket_ts")
     }),
     // §2.6 whole-series reduction (sits_reduce on samples; date = min ts)
@@ -154,6 +162,9 @@ private object Oracles {
       (cte + regularCte +
         "\nSELECT conv_id, bucket_ts, value FROM regular WHERE bucket_ts < timestamp '2024-01-02' ORDER BY conv_id, bucket_ts"),
     "ts_gapfill_1m" ->
+      (cte + gapfilledCte +
+        "\nSELECT conv_id, bucket_ts, value FROM gapfilled WHERE bucket_ts < timestamp '2024-01-02' ORDER BY conv_id, bucket_ts"),
+    "ts_chunk_roundtrip" ->
       (cte + gapfilledCte +
         "\nSELECT conv_id, bucket_ts, value FROM gapfilled WHERE bucket_ts < timestamp '2024-01-02' ORDER BY conv_id, bucket_ts"),
     "ts_rollup_1h" ->

@@ -106,13 +106,12 @@ object SeriesKernels {
   def tQuantileArma(v: Array[Double], p: Double): Double = {
     val s = v.sorted; val n = s.length
     if (n == 1) return s(0)
-    val h = n * p + 0.5
-    val lo = math.floor(h - 0.5).toInt // 1-based lower index
-    val hi = lo + 1
-    val loC = math.min(math.max(lo, 1), n)
-    val hiC = math.min(math.max(hi, 1), n)
-    val frac = h - 0.5 - lo
-    s(loC - 1) + frac * (s(hiC - 1) - s(loC - 1))
+    val h = n * p + 0.5 // 1-based fractional rank
+    if (h <= 1.0) return s(0)
+    if (h >= n.toDouble) return s(n - 1)
+    val lo = math.floor(h).toInt
+    val frac = h - lo
+    s(lo - 1) + frac * (s(lo) - s(lo - 1))
   }
   def tFqr(v: Array[Double]): Double = tQuantileArma(v, 0.25)
   def tTqr(v: Array[Double]): Double = tQuantileArma(v, 0.75)

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SeriesKernels._
+
+class SeriesKernelsSpec extends AnyFunSuite {
+  val NaN = Double.NaN
+
+  private def assveq(a: Array[Double], b: Array[Double], tol: Double = 1e-12): Unit = {
+    assert(a.length == b.length, s"${a.toSeq} vs ${b.toSeq}")
+    a.zip(b).foreach { case (x, y) =>
+      if (x.isNaN) assert(y.isNaN) else assert(math.abs(x - y) <= tol, s"${a.toSeq} vs ${b.toSeq}")
+    }
+  }
+
+  // -- impute_linear semantics (linear_interp.cpp:25-113) --
+
+  test("interior linear gap") {
+    assveq(imputeLinear(Array(1, NaN, NaN, NaN, 5)), Array(1, 2, 3, 4, 5))
+  }
+  test("leading back-fill, trailing LOCF") {
+    assveq(imputeLinear(Array(NaN, NaN, 3, NaN, 7, NaN)), Array(3, 3, 3, 5, 7, 7))
+  }
+  test("all-NaN stays all-NaN; empty ok; no-NaN identity") {
+    assert(imputeLinear(Array(NaN, NaN)).forall(_.isNaN))
+    assert(imputeLinear(Array[Double]()).isEmpty)
+    assveq(imputeLinear(Array(1, 2, 3)), Array(1, 2, 3))
+  }
+  test("single valid value broadcasts") {
+    assveq(imputeLinear(Array(NaN, 4, NaN)), Array(4, 4, 4))
+  }
+  test("idempotent on random series") {
+    val rnd = new java.util.Random(1)
+    (1 to 100).foreach { _ =>
+      val v = Array.fill(rnd.nextInt(50))(if (rnd.nextBoolean()) NaN else rnd.nextInt(10).toDouble)
+      val once = imputeLinear(v)
+      assveq(imputeLinear(once.clone()), once)
+    }
+  }
+
+  // -- t_* reductions as coded in reduce_fns.cpp --
+
+  val v = Array(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+
+  test("t_mean/max/min/amplitude/median") {
+    assert(tMean(v) == 5.0); assert(tMax(v) == 9.0); assert(tMin(v) == 2.0)
+    assert(tAmplitude(v) == 7.0); assert(tMedian(v) == 4.5)
+    assert(tMedian(Array(1.0, 2.0, 9.0)) == 2.0)
+  }
+  test("t_std is sample stddev (/(n-1))") {
+    assert(math.abs(tStd(v) - math.sqrt(32.0 / 7.0)) < 1e-12)
+    assert(tStd(Array(3.0)).isNaN)
+  }
+  test("t_skewness reproduces the coded quirk factor sqrt(n(n-1))/n - 2") {
+    val n = v.length
+    val adj = math.sqrt((n * (n - 1)).toDouble) / n - 2.0 // = -1.064...
+    val m = 5.0
+    val m3 = v.map(x => math.pow(x - m, 3)).sum / n
+    val s = math.pow(v.map(x => (x - m) * (x - m)).sum / n, 1.5)
+    assert(math.abs(tSkew(v) - m3 / s * adj) < 1e-12)
+    assert(adj < 0) // the quirk: factor is negative, sign flips vs textbook
+  }
+  test("t_kurtosis is n·Σd⁴/(Σd²)² (Pearson)") {
+    val m = 5.0
+    val m4 = v.map(x => math.pow(x - m, 4)).sum
+    val m2 = math.pow(v.map(x => (x - m) * (x - m)).sum, 2)
+    assert(math.abs(tKurt(v) - v.length * m4 / m2) < 1e-12)
+  }
+  test("t_fslope = max |first difference|") {
+    assert(tFslope(Array(1.0, 3.0, 2.0, 8.0)) == 6.0)
+    assert(tFslope(Array(1.0)).isNaN)
+  }
+  test("arma quantile (Hyndman-Fan type 5)") {
+    // R: quantile(c(1,2,3,4), type=5) → 25%: 1.5, 75%: 3.5
+    val x = Array(1.0, 2.0, 3.0, 4.0)
+    assert(tQuantileArma(x, 0.25) == 1.5)
+    assert(tQuantileArma(x, 0.75) == 3.5)
+    assert(tQuantileArma(x, 0.5) == 2.5)
+    // odd n: quantile(c(10,20,30), .25, type=5) = 12.5
+    assert(tQuantileArma(Array(10.0, 20.0, 30.0), 0.25) == 12.5)
+    assert(tIqr(x) == 2.0)
+  }
+  test("t_mse: DFT energy mean; Parseval check vs direct") {
+    val x = Array(1.0, 2.0, 3.0, 4.0, 3.0, 1.0)
+    // Parseval: mean(|FFT|²) = Σx² (since Σ|X_k|² = n·Σx²)
+    assert(math.abs(tMse(x) - x.map(a => a * a).sum) < 1e-9)
+  }
+
+  // -- smoothers --
+
+  test("whittaker matches dense solve of (I + λ D2'D2) z = y") {
+    val rnd = new java.util.Random(3)
+    for (n <- Seq(3, 4, 5, 8, 30); lambda <- Seq(0.5, 2.0, 25.0)) {
+      val y = Array.fill(n)(rnd.nextDouble() * 10)
+      val z = whittaker(y, lambda)
+      // dense A
+      val a = Array.ofDim[Double](n, n)
+      for (i <- 0 until n) a(i)(i) = 1.0
+      for (r <- 0 until n - 2) {
+        val c = Array(1.0, -2.0, 1.0)
+        for (p <- 0 to 2; q <- 0 to 2) a(r + p)(r + q) += lambda * c(p) * c(q)
+      }
+      // check A z ≈ y
+      for (i <- 0 until n) {
+        val ri = (0 until n).map(j => a(i)(j) * z(j)).sum
+        assert(math.abs(ri - y(i)) < 1e-8, s"n=$n λ=$lambda row $i")
+      }
+    }
+  }
+
+  test("sgolay quadratic/cubic k=2 gives classic coefficients [-3,12,17,12,-3]/35") {
+    val c = sgolayCoef(3, 2)
+    val expect = Array(-3.0, 12.0, 17.0, 12.0, -3.0).map(_ / 35.0)
+    assveq(c, expect, 1e-10)
+  }
+  test("sgolay preserves polynomials up to its order") {
+    val y = Array.tabulate(20)(i => 0.5 * i * i - 3 * i + 2.0) // quadratic
+    val sm = sgolay(y, order = 3, k = 2)
+    (2 until 18).foreach(i => assert(math.abs(sm(i) - y(i)) < 1e-9))
+  }
+
+  test("dtw: identity = 0, known small example, symmetry") {
+    assert(dtw(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)) == 0.0)
+    val d1 = dtw(Array(0.0, 1.0, 2.0), Array(0.0, 2.0))
+    val d2 = dtw(Array(0.0, 2.0), Array(0.0, 1.0, 2.0))
+    assert(math.abs(d1 - d2) < 1e-12)
+    assert(d1 > 0)
+  }
+
+  test("windowed mean with mirrored edges") {
+    val out = windowed(Array(1.0, 2.0, 3.0), 1, a => a.sum / a.length)
+    // edges mirror: [x1,x0,x1]=[2,1,2]→5/3 ; [1,2,3]→2 ; [2,3,2]→7/3
+    assveq(out, Array(5.0 / 3, 2.0, 7.0 / 3))
+  }
+  test("windowed ignores NaN") {
+    val out = windowed(Array(1.0, NaN, 3.0), 1, a => a.sum / a.length)
+    assveq(out, Array(1.0, 2.0, 3.0))
+  }
+}
