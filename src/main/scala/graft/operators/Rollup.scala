@@ -110,6 +110,47 @@ object Rollup {
       .filter(col("fslope_v").isNotNull) // buckets with a single point have no diff
   }
 
+  /** Exact-match high-moment reductions of `sits_reduce`
+    * (/root/reference/src/reduce_fns.cpp:37-76), reproducing the code —
+    * including its quirks — not the textbook formulas:
+    *
+    *  - t_skewness (`:37-49`): `adj = sqrt(n*(n-1))/n - 2` exactly as coded
+    *    (the R precedence quirk: NOT sqrt(n(n-1))/(n-2));
+    *    skew = (Σ(x-μ)³/n) / (Σ(x-μ)²/n)^1.5 * adj.
+    *  - t_kurtosis (`:52-60`): Pearson `n·Σ(x-μ)⁴ / (Σ(x-μ)²)²` — no excess
+    *    adjustment (Spark's `kurtosis` subtracts 3; we don't).
+    *  - t_mse (`:73-76`): mean over frequencies of |FFT(x)|²; by Parseval's
+    *    theorem with arma's unnormalized DFT this is exactly Σx² — no FFT
+    *    needed, a plain partially-aggregable sum.
+    *
+    * Two-pass shape (mean first, centered sums second) mirrors arma's
+    * computation and keeps the doubles well-conditioned; both groupBys hash
+    * on conv_id so Catalyst reuses the exchange. Constant series (s2=0)
+    * yield null skew/kurt (the reference would produce NaN/Inf).
+    */
+  def reduceHighMoments(series: DataFrame): DataFrame = {
+    val mu = series.groupBy("conv_id").agg(avg("value").as("mu"))
+    val d = col("value") - col("mu")
+    val st = series.join(mu, "conv_id")
+      .groupBy(col("conv_id"))
+      .agg(
+        count(col("value")).as("n"),
+        sum(d * d).as("s2"),
+        sum(d * d * d).as("s3"),
+        sum(d * d * d * d).as("s4"),
+        sum(col("value") * col("value")).as("mse"))
+    val n = col("n").cast("double")
+    val adj = sqrt(n * (n - lit(1))) / n - lit(2) // as coded, reduce_fns.cpp:43
+    st.select(
+      col("conv_id"), col("n"),
+      when(col("s2") > 0,
+        r4((col("s3") / n) / pow(col("s2") / n, lit(1.5)) * adj))
+        .otherwise(lit(null).cast("double")).as("t_skewness"),
+      when(col("s2") > 0, r4(n * col("s4") / (col("s2") * col("s2"))))
+        .otherwise(lit(null).cast("double")).as("t_kurtosis"),
+      r4(col("mse")).as("t_mse"))
+  }
+
   /** Whole-series reduction (≙ sits_reduce on samples): one row per conv,
     * stamped with the series' min bucket as output date
     * (/root/reference/R/api_reduce.R:150,179: out date = min(timeline)).

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Projection / predicate operators ≙ the reference's metadata-pushdown
+  * filter family (/root/reference/R/sits_select.R:38, R/api_select.R:6-140,
+  * R/api_cube.R:953-1178) and sampling verbs
+  * (R/sits_sample_functions.R:27, R/api_tibble.R:278-291).
+  *
+  * All pure Catalyst: band selection = column projection, date/interval
+  * filters = range predicates, tile selection = key-range predicates — each
+  * reaches the parquet scan as PushedFilters / pruned ReadSchema, which is
+  * the Spark analog of sits filtering `file_info` before any raster I/O.
+  */
+object Select {
+
+  /** Select metrics (≙ bands), a time interval, and a conversation range —
+    * the composition .select_raster_cube performs (api_select.R:102-140).
+    */
+  def selectSeries(transcripts: DataFrame, metrics: Seq[String],
+      from: Column, to: Column, convPred: Column): DataFrame =
+    Regularize.withMetrics(transcripts)
+      .filter(col("ts") >= from && col("ts") < to && convPred)
+      .select((Seq("conv_id", "turn_idx", "ts").map(col) ++ metrics.map(col)): _*)
+
+  /** Deterministic per-stratum sampling ≙ `sits_sample` per-label fraction
+    * (sits_sample_functions.R:27). Deterministic arithmetic on the unique key
+    * replaces RNG so runs are reproducible across engines and resumes
+    * (Knuth multiplicative hash on turn_idx ⊕ conv suffix); per-role
+    * fractions are expressed in percent.
+    */
+  def sampleByRole(transcripts: DataFrame, pctByRole: Map[String, Int]): DataFrame = {
+    val key = (substring(col("conv_id"), 2, 6).cast("long") * 2654435761L
+      + col("turn_idx")) % 100
+    val frac = pctByRole.foldLeft(lit(-1)) { case (acc, (role, pct)) =>
+      when(col("role") === role, lit(pct)).otherwise(acc)
+    }
+    transcripts.filter(key < frac)
+  }
+
+  /** Stratified train/validation split ≙ `.tibble_samples_split`
+    * (api_tibble.R:278-291): per-role deterministic assignment flag.
+    */
+  def trainValSplit(transcripts: DataFrame, trainPct: Int): DataFrame =
+    transcripts.withColumn("train",
+      (substring(col("conv_id"), 2, 6).cast("long") * 48271L + col("turn_idx")) % 100 < trainPct)
+
+  /** First-tile-wins dedup ≙ `.data_get_ts` multi-tile point dedup
+    * (api_data.R:214-222): keep one row per identity by stable preference
+    * order.
+    */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -19,7 +19,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
-    spark_dir = f"{out}/{name}"
+    spark_dir = f"{out}/{name}.parquet"
+    if not os.path.isdir(spark_dir):
+        spark_dir = f"{out}/{name}"  # pre-rename layout fallback
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output dir"); fails += 1; continue
     try:
