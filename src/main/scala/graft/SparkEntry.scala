@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChunkStore, GapFill, Regularize, Rollup, Select, SeriesRollup}
+import graft.operators.{ChunkStore, GapFill, KernelWindows, Regularize, Rollup, Select, SeriesRollup, Smooth}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +34,12 @@ object SparkEntry {
     // fused densify+fill kernel over aggregated observations — identical
     // results to the window path (property-tested), ~60× less shuffle
     GapFill.fillDense(s, Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1)
+
+  /** Day-1 slice of the gap-filled 1m grid — shared input of the per-series
+    * kernel queries (windows/smoothers/codec).
+    */
+  private def day1(s: SparkSession, dir: String): DataFrame =
+    gapfilled(s, dir).filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -118,6 +124,25 @@ object SparkEntry {
       Select.sampleByRole(transcripts(s, dir),
         Map("user" -> 37, "assistant" -> 11, "tool" -> 63))
         .orderBy("conv_id", "turn_idx")),
+    // §2.5 w_* kernel window stats with reference-exact mirrored edges
+    // (locus_mirror) and smallest-value modal tie-break, k=2
+    "ts_kernel_w" -> ((s, dir) =>
+      KernelWindows(day1(s, dir), k = 2).orderBy("conv_id", "bucket_ts")),
+    // §2.4 Savitzky-Golay smoother with reference edge-matrix semantics
+    // (smooth_sgp.cpp:34-60); oracle SQL generated from the same coefficient
+    // matrix, so the linear algebra is cross-checked end-to-end
+    "ts_sgolay" -> ((s, dir) =>
+      Smooth.sgolay(s, day1(s, dir), order = 3, k = 3)
+        .select(col("conv_id"), col("bucket_ts"),
+          round(col("value") + lit(1e-9), 4).as("sg_v"))
+        .orderBy("conv_id", "bucket_ts")),
+    // §2.4 Whittaker smoother (pentadiagonal solve — not SQL-expressible;
+    // correctness locked by the dense-solve kernel oracle in ScalaTest)
+    "ts_whittaker" -> ((s, dir) =>
+      Smooth.whittaker(s, day1(s, dir), lambda = 2.0)
+        .select(col("conv_id"), col("bucket_ts"),
+          round(col("value") + lit(1e-9), 4).as("wh_v"))
+        .orderBy("conv_id", "bucket_ts")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -177,6 +202,36 @@ private object Oracles {
       |         WHEN nv IS NULL THEN pv
       |         ELSE pv + (i - pi) * (nv - pv) / (ni - pi) END AS value
       |  FROM gf1
+      |)""".stripMargin
+
+  // Savitzky-Golay coefficient matrix (order 3, k=3) — same matrix the Spark
+  // kernel uses, embedded as literals so DuckDB runs the identical algebra
+  private val sgF = graft.functions.SeriesKernels.sgolayMatrix(3, 3)
+  private def sgDot(r: Int, idx: Int => String): String =
+    (0 until 7).map(j => s"(${sgF(r)(j)}) * vals[${idx(j)}]").mkString(" + ")
+  private val sgCase: String = {
+    val lead = (0 until 3).map(r =>
+      s"WHEN i = ${r + 1} THEN ${sgDot(r, j => s"${j + 1}")}").mkString("\n    ")
+    val trail = (4 until 7).map { r =>
+      val off = 6 - r
+      val cond = if (off == 0) "n" else s"n - $off"
+      s"WHEN i = $cond THEN ${sgDot(r, j => s"n - 6 + $j")}"
+    }.mkString("\n    ")
+    val mid = (0 until 7).map(s => s"(${sgF(3)(s)}) * vals[i + ${3 - s}]").mkString(" + ")
+    s"CASE WHEN n < 7 THEN vals[i]\n    $lead\n    $trail\n    ELSE $mid END"
+  }
+
+  private val seriesArrCtes =
+    """, day1 AS (
+      |  SELECT conv_id, bucket_ts, value FROM gapfilled WHERE bucket_ts < timestamp '2024-01-02'
+      |), arr AS (
+      |  SELECT conv_id, list(bucket_ts ORDER BY bucket_ts) AS tsv,
+      |         list(value ORDER BY bucket_ts) AS vals
+      |  FROM day1 GROUP BY conv_id
+      |), idx AS (
+      |  SELECT conv_id, tsv, vals, len(vals) AS n,
+      |         unnest(generate_series(1, len(vals))) AS i
+      |  FROM arr
       |)""".stripMargin
 
   val all: Map[String, String] = Map(
@@ -277,5 +332,47 @@ private object Oracles {
           |WHERE (cast(substring(conv_id, 2, 6) AS bigint) * 2654435761 + turn_idx) % 100 <
           |  CASE role WHEN 'user' THEN 37 WHEN 'assistant' THEN 11 WHEN 'tool' THEN 63 ELSE -1 END
           |ORDER BY conv_id, turn_idx""".stripMargin),
+    "ts_kernel_w" ->
+      (cte + gapfilledCte + seriesArrCtes +
+        """, win AS (
+          |  SELECT conv_id, tsv[i] AS bucket_ts,
+          |    list_transform(generate_series(-2, 2), j ->
+          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
+          |                ELSE i - 1 + j END + 1]) AS w
+          |  FROM idx
+          |), stats AS (
+          |  SELECT conv_id, bucket_ts,
+          |    list_sum(w) AS s1,
+          |    list_sum(list_transform(w, x -> x * x)) AS s2,
+          |    list_sort(w)[3] AS w_median,
+          |    list_min(w) AS w_min, list_max(w) AS w_max
+          |  FROM win
+          |), modal_u AS (
+          |  SELECT conv_id, bucket_ts, unnest(w) AS val FROM win
+          |), modal_c AS (
+          |  SELECT conv_id, bucket_ts, val, count(*) AS c
+          |  FROM modal_u GROUP BY conv_id, bucket_ts, val
+          |), modal AS (
+          |  SELECT conv_id, bucket_ts, val AS w_modal FROM (
+          |    SELECT conv_id, bucket_ts, val,
+          |      row_number() OVER (PARTITION BY conv_id, bucket_ts ORDER BY c DESC, val ASC) AS rn
+          |    FROM modal_c) WHERE rn = 1
+          |)
+          |SELECT s.conv_id, s.bucket_ts,
+          |  round(s1 + 1e-9, 4) AS w_sum,
+          |  round(s1 / 5 + 1e-9, 4) AS w_mean,
+          |  w_median, w_min, w_max,
+          |  round(sqrt(greatest(0.0, (s2 - s1 * s1 / 5) / 4)) + 1e-9, 4) AS w_sd,
+          |  round((s2 - s1 * s1 / 5) / 4 + 1e-9, 4) AS w_var,
+          |  m.w_modal
+          |FROM stats s JOIN modal m ON s.conv_id = m.conv_id AND s.bucket_ts = m.bucket_ts
+          |ORDER BY s.conv_id, s.bucket_ts""".stripMargin),
+    "ts_sgolay" ->
+      (cte + gapfilledCte + seriesArrCtes +
+        s"""
+           |SELECT conv_id, tsv[i] AS bucket_ts,
+           |  round(($sgCase) + 1e-9, 4) AS sg_v
+           |FROM idx ORDER BY conv_id, bucket_ts""".stripMargin),
   )
 }

@@ -214,25 +214,59 @@ object SeriesKernels {
     s
   }
 
-  /** Savitzky-Golay smoother (smooth_sgp.cpp:14-75, api_signal.R:49-79):
-    * least-squares polynomial filter of given order over window 2k+1; edges
-    * keep the original values scaled by the boundary convolution (reference
-    * convolves interior only and corrects edges with the coefficient matrix;
-    * we reproduce interior convolution + passthrough edges as the reference's
-    * samples-level sits_sgolay does for short series).
+  /** Full Savitzky-Golay coefficient matrix F (n×n, n=2k+1) of
+    * api_signal.R:49-79 `.signal_sgolay_coef` (m=0): row r estimates window
+    * position r; rows 0..k from the least-squares pseudo-inverse (computed
+    * via normal equations — C has full column rank for p<n), rows k+1..n-1 by
+    * the point symmetry `filter[(k+2):n,] = filter[k:1, n:1]`.
     */
-  def sgolay(y: Array[Double], order: Int = 3, k: Int = 2): Array[Double] = {
-    val win = 2 * k + 1
-    if (y.length < win) return y.clone()
-    val c = sgolayCoef(order, k)
-    val out = y.clone()
-    var i = k
-    while (i < y.length - k) {
-      var acc = 0.0
-      var j = -k
-      while (j <= k) { acc += c(j + k) * y(i + j); j += 1 }
-      out(i) = acc
-      i += 1
+  def sgolayMatrix(order: Int, k: Int): Array[Array[Double]] = {
+    val n = 2 * k + 1
+    val m = order + 1
+    val f = Array.ofDim[Double](n, n)
+    for (row <- 0 to k) {
+      // C(i,j) = (i - row)^j, i in 0..n-1 (reference uses 1-based (1:n)-row)
+      val c = Array.tabulate(n, m)((i, j) => math.pow((i - row).toDouble, j))
+      val g = Array.tabulate(m, m)((p, q) =>
+        (0 until n).map(i => c(i)(p) * c(i)(q)).sum)
+      val e0 = new Array[Double](m); e0(0) = 1.0
+      val a = solveDense(g, e0) // first row of (CᵀC)⁻¹
+      for (i <- 0 until n)
+        f(row)(i) = (0 until m).map(j => a(j) * c(i)(j)).sum
+    }
+    for (row <- k + 1 until n; j <- 0 until n)
+      f(row)(j) = f(n - 1 - row)(n - 1 - j)
+    f
+  }
+
+  /** Savitzky-Golay smoother exactly as smooth_sgp.cpp:34-60 `smooth_sg`:
+    * interior by causal filter with the central row (≡ correlation
+    * y(t)=Σ_s F(k,s)·x(t+k−s)), first k and last k points by the edge rows of
+    * F times the first/last window. Series shorter than the window pass
+    * through unchanged.
+    */
+  def sgolay(y: Array[Double], order: Int = 3, k: Int = 3): Array[Double] = {
+    val n = 2 * k + 1
+    val len = y.length
+    if (len < n) return y.clone()
+    val f = sgolayMatrix(order, k)
+    val out = new Array[Double](len)
+    var t = 0
+    while (t < k) { // leading edge: rows 0..k-1 × first window
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += f(t)(j) * y(j); j += 1 }
+      out(t) = acc; t += 1
+    }
+    while (t <= len - k - 1) { // interior: central-row correlation
+      var acc = 0.0; var s = 0
+      while (s < n) { acc += f(k)(s) * y(t + k - s); s += 1 }
+      out(t) = acc; t += 1
+    }
+    while (t < len) { // trailing edge: rows k+1..n-1 × last window
+      val r = t - (len - n)
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += f(r)(j) * y(len - n + j); j += 1 }
+      out(t) = acc; t += 1
     }
     out
   }
@@ -319,11 +353,11 @@ object SeriesKernels {
 
   // ---- windowed kernels w_* (/root/reference/src/kernel.cpp:8-124) ----
 
-  /** Mirrored-edge index: kernel.cpp:8-19 reflects out-of-range offsets. */
-  private def mirror(i: Int, n: Int): Int = {
-    var j = i
-    if (j < 0) j = -j
-    if (j >= n) j = 2 * (n - 1) - j
+  /** Mirrored-edge index, exactly kernel.cpp:8-19 `locus_mirror`:
+    * p<0 → -p-1 (edge value repeats first), p≥n → 2n-p-1.
+    */
+  def mirror(i: Int, n: Int): Int = {
+    val j = if (i < 0) -i - 1 else if (i >= n) 2 * n - i - 1 else i
     math.min(math.max(j, 0), n - 1)
   }
 

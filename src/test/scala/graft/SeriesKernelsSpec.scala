@@ -127,13 +127,19 @@ class SeriesKernelsSpec extends AnyFunSuite {
     assert(d1 > 0)
   }
 
-  test("windowed mean with mirrored edges") {
+  test("windowed mean with mirrored edges (locus_mirror: edge repeats)") {
     val out = windowed(Array(1.0, 2.0, 3.0), 1, a => a.sum / a.length)
-    // edges mirror: [x1,x0,x1]=[2,1,2]→5/3 ; [1,2,3]→2 ; [2,3,2]→7/3
-    assveq(out, Array(5.0 / 3, 2.0, 7.0 / 3))
+    // kernel.cpp:8-19: mirror(-1)=0, mirror(3)=2 →
+    // [x0,x0,x1]=[1,1,2]→4/3 ; [1,2,3]→2 ; [2,3,3]→8/3
+    assveq(out, Array(4.0 / 3, 2.0, 8.0 / 3))
   }
   test("windowed ignores NaN") {
     val out = windowed(Array(1.0, NaN, 3.0), 1, a => a.sum / a.length)
+    // [x0,x0,NaN]→1 ; [1,NaN,3]→2 ; [NaN,3,3]→3
     assveq(out, Array(1.0, 2.0, 3.0))
+  }
+  test("mirror matches reference locus_mirror table") {
+    // locus_mirror(size=4, leg=2) = [1,0, 0,1,2,3, 3,2] (kernel.cpp:8-19)
+    assert((-2 to 5).map(mirror(_, 4)) == Seq(1, 0, 0, 1, 2, 3, 3, 2))
   }
 }
