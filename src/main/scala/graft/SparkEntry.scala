@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChunkStore, GapFill, KernelWindows, Regularize, Rollup, Select, SeriesRollup, Smooth}
+import graft.operators.{ChunkStore, GapFill, KernelWindows, Probs, Regularize, Rollup, Select, SeriesRollup, Smooth}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -143,6 +143,39 @@ object SparkEntry {
         .select(col("conv_id"), col("bucket_ts"),
           round(col("value") + lit(1e-9), 4).as("wh_v"))
         .orderBy("conv_id", "bucket_ts")),
+    // §2.7 label classification (first-max argmax) + uncertainty measures
+    // (entropy/margin/least) over per-(conv,day) role-mix probabilities
+    "ts_probs_label" -> ((s, dir) => {
+      val p = Probs.roleMix(transcripts(s, dir))
+      Probs.label(p).join(Probs.uncertainty(p), Seq("conv_id", "bucket_ts"))
+        .select(col("conv_id"), col("bucket_ts"), col("p1"), col("p2"), col("p3"),
+          col("label"), col("entropy"), col("margin"), col("least"))
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.7 Bayesian smoothing of the p1-logit day series (mirrored window,
+    // top-fraction prior, posterior shrinkage — smooth_bayes.cpp semantics)
+    "ts_smooth_bayes" -> ((s, dir) => {
+      val lg = Probs.roleMix(transcripts(s, dir))
+        .select(col("conv_id"), col("bucket_ts"),
+          log(col("p1") / (lit(1.0) - col("p1"))).as("logit"))
+      Probs.bayesSmooth(lg, k = 2, fraction = 0.75, smoothness = 0.8)
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.7 ensemble combine: weighted average of two probability cubes
+    "ts_combine" -> ((s, dir) => {
+      val a = Probs.roleMix(transcripts(s, dir))
+      val b = Probs.roleMix(transcripts(s, dir).filter(col("turn_idx") % 2 === 0))
+      Probs.combine(a, b, 0.6, 0.4).orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.7 rule-based reclassification (first matching rule wins)
+    "ts_reclassify" -> ((s, dir) => {
+      val labeled = Probs.label(Probs.roleMix(transcripts(s, dir)))
+      Probs.reclassify(labeled, Seq(
+        (col("label") === 3 && col("p3") < 0.5, 2),
+        (col("label") === 1 && col("p1") >= 0.6, 4)))
+        .select(col("conv_id"), col("bucket_ts"), col("label"), col("label_new"))
+        .orderBy("conv_id", "bucket_ts")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,6 +253,15 @@ private object Oracles {
     val mid = (0 until 7).map(s => s"(${sgF(3)(s)}) * vals[i + ${3 - s}]").mkString(" + ")
     s"CASE WHEN n < 7 THEN vals[i]\n    $lead\n    $trail\n    ELSE $mid END"
   }
+
+  private val probsCte =
+    """, probs AS (
+      |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+      |    cast(count(*) FILTER (WHERE role = 'user') + 1 AS double) / (count(*) + 3) AS p1,
+      |    cast(count(*) FILTER (WHERE role = 'assistant') + 1 AS double) / (count(*) + 3) AS p2,
+      |    cast(count(*) FILTER (WHERE role = 'tool') + 1 AS double) / (count(*) + 3) AS p3
+      |  FROM transcripts GROUP BY 1, 2
+      |)""".stripMargin
 
   private val seriesArrCtes =
     """, day1 AS (
@@ -374,5 +416,72 @@ private object Oracles {
            |SELECT conv_id, tsv[i] AS bucket_ts,
            |  round(($sgCase) + 1e-9, 4) AS sg_v
            |FROM idx ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_probs_label" ->
+      (cte + probsCte +
+        """
+          |SELECT conv_id, bucket_ts, p1, p2, p3,
+          |  CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS label,
+          |  round(-(p1 * ln(p1) + p2 * ln(p2) + p3 * ln(p3)) / ln(3.0) + 1e-9, 4) AS entropy,
+          |  round(1.0 - (greatest(p1, p2, p3) - (p1 + p2 + p3 - greatest(p1, p2, p3) - least(p1, p2, p3))) + 1e-9, 4) AS margin,
+          |  round(1.0 - greatest(p1, p2, p3) + 1e-9, 4) AS least
+          |FROM probs ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_smooth_bayes" ->
+      (cte + probsCte +
+        """, lg AS (
+          |  SELECT conv_id, bucket_ts, ln(p1 / (1 - p1)) AS logit FROM probs
+          |), larr AS (
+          |  SELECT conv_id, list(bucket_ts ORDER BY bucket_ts) AS tsv,
+          |         list(logit ORDER BY bucket_ts) AS vals
+          |  FROM lg GROUP BY conv_id
+          |), lidx AS (
+          |  SELECT conv_id, tsv, vals, len(vals) AS n,
+          |         unnest(generate_series(1, len(vals))) AS i
+          |  FROM larr
+          |), lwin AS (
+          |  SELECT conv_id, tsv[i] AS bucket_ts, vals[i] AS x0,
+          |    list_transform(generate_series(-2, 2), j ->
+          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
+          |                ELSE i - 1 + j END + 1]) AS w
+          |  FROM lidx
+          |), lhigh AS (
+          |  SELECT conv_id, bucket_ts, x0, list_slice(list_sort(w, 'DESC'), 1, 4) AS h FROM lwin
+          |), lstat AS (
+          |  SELECT conv_id, bucket_ts, x0,
+          |    list_sum(h) / 4 AS m0,
+          |    (list_sum(list_transform(h, x -> x * x)) - list_sum(h) * list_sum(h) / 4) / 3 AS s0
+          |  FROM lhigh
+          |)
+          |SELECT conv_id, bucket_ts,
+          |  round(CASE WHEN s0 < 1e-4 THEN m0
+          |             ELSE (s0 / (s0 + 0.8)) * x0 + (1 - s0 / (s0 + 0.8)) * m0 END + 1e-9, 4) AS b_v
+          |FROM lstat ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_combine" ->
+      (cte + probsCte +
+        """, probsB AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |    cast(count(*) FILTER (WHERE role = 'user') + 1 AS double) / (count(*) + 3) AS q1,
+          |    cast(count(*) FILTER (WHERE role = 'assistant') + 1 AS double) / (count(*) + 3) AS q2,
+          |    cast(count(*) FILTER (WHERE role = 'tool') + 1 AS double) / (count(*) + 3) AS q3
+          |  FROM transcripts WHERE turn_idx % 2 = 0 GROUP BY 1, 2
+          |)
+          |SELECT a.conv_id, a.bucket_ts,
+          |  round((a.p1 * 0.6 + b.q1 * 0.4) / 1.0 + 1e-9, 4) AS p1,
+          |  round((a.p2 * 0.6 + b.q2 * 0.4) / 1.0 + 1e-9, 4) AS p2,
+          |  round((a.p3 * 0.6 + b.q3 * 0.4) / 1.0 + 1e-9, 4) AS p3
+          |FROM probs a JOIN probsB b ON a.conv_id = b.conv_id AND a.bucket_ts = b.bucket_ts
+          |ORDER BY a.conv_id, a.bucket_ts""".stripMargin),
+    "ts_reclassify" ->
+      (cte + probsCte +
+        """, labeled AS (
+          |  SELECT conv_id, bucket_ts, p1, p2, p3,
+          |    CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS label
+          |  FROM probs
+          |)
+          |SELECT conv_id, bucket_ts, label,
+          |  CASE WHEN label = 3 AND p3 < 0.5 THEN 2
+          |       WHEN label = 1 AND p1 >= 0.6 THEN 4
+          |       ELSE label END AS label_new
+          |FROM labeled ORDER BY conv_id, bucket_ts""".stripMargin),
   )
 }
