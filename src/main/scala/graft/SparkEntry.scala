@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChunkStore, GapFill, KernelWindows, Probs, Regularize, Rollup, Select, SeriesRollup, Smooth}
+import graft.operators.{ChunkStore, GapFill, KernelWindows, Merge, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Smooth}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -175,6 +175,45 @@ object SparkEntry {
         (col("label") === 1 && col("p1") >= 0.6, 4)))
         .select(col("conv_id"), col("bucket_ts"), col("label"), col("label_new"))
         .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.10 positional zip merge of two metric series on the shared grid
+    "ts_merge_zip" -> ((s, dir) =>
+      Merge.zip(
+        Regularize.firstValid(transcripts(s, dir), Tier.H1, "text_len"),
+        Regularize.firstValid(transcripts(s, dir), Tier.H1, "is_tool"), "tool")
+        .orderBy("conv_id", "bucket_ts")),
+    // §2.10 cube union + dedup by (band, date)
+    "ts_merge_union" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      def assets(role: String) = t.filter(col("role") === role)
+        .select(col("conv_id"), lit("m").as("band"),
+          date_trunc("day", col("ts")).as("bucket_ts")).distinct()
+      Merge.unionDedup(assets("user"), assets("assistant"),
+        Seq("conv_id", "band", "bucket_ts"))
+        .orderBy("conv_id", "band", "bucket_ts")
+    }),
+    // §2.10 temporal zipper alignment (as-of/interval join, min per interval)
+    "ts_merge_zipper" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val t1 = t.select(col("conv_id"), date_trunc("hour", col("ts")).as("ts")).distinct()
+      Merge.zipperAlign(t1, t.select(col("conv_id"), col("ts")))
+        .orderBy("conv_id", "ts_lo")
+    }),
+    // §2.9 predictors pivot: wide per-conv matrix of the first 7 day-means
+    "ts_predictors" -> ((s, dir) => {
+      val series = metrics(s, dir)
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+        .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
+      Predictors.pivotWide(series,
+        datediff(col("bucket_ts"), lit("2024-01-01").cast("date")), k = 7)
+        .orderBy("conv_id")
+    }),
+    // §2.9 Q02/Q98 min-max normalization with clamping
+    "ts_normalize" -> ((s, dir) => {
+      val series = metrics(s, dir)
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+        .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
+      Predictors.normalizeQ(series).orderBy("conv_id", "bucket_ts")
     }),
   )
 
@@ -483,5 +522,75 @@ private object Oracles {
           |       WHEN label = 1 AND p1 >= 0.6 THEN 4
           |       ELSE label END AS label_new
           |FROM labeled ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_merge_zip" ->
+      (cte + metricsCte +
+        """, fa AS (
+          |  SELECT conv_id, bucket_ts, value FROM (
+          |    SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, text_len AS value,
+          |           row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          |                              ORDER BY quality_rank, ts, turn_idx) AS rn
+          |    FROM metrics) WHERE rn = 1
+          |), fb AS (
+          |  SELECT conv_id, bucket_ts, value FROM (
+          |    SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, is_tool AS value,
+          |           row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          |                              ORDER BY quality_rank, ts, turn_idx) AS rn
+          |    FROM metrics) WHERE rn = 1
+          |)
+          |SELECT fa.conv_id, fa.bucket_ts, fa.value, fb.value AS value_tool
+          |FROM fa JOIN fb ON fa.conv_id = fb.conv_id AND fa.bucket_ts = fb.bucket_ts
+          |ORDER BY fa.conv_id, fa.bucket_ts""".stripMargin),
+    "ts_merge_union" ->
+      (cte +
+        """
+          |SELECT conv_id, 'm' AS band, date_trunc('day', ts) AS bucket_ts
+          |FROM transcripts WHERE role = 'user'
+          |UNION
+          |SELECT conv_id, 'm' AS band, date_trunc('day', ts) AS bucket_ts
+          |FROM transcripts WHERE role = 'assistant'
+          |ORDER BY conv_id, band, bucket_ts""".stripMargin),
+    "ts_merge_zipper" ->
+      (cte +
+        """, t1 AS (
+          |  SELECT DISTINCT conv_id, date_trunc('hour', ts) AS ts FROM transcripts
+          |), iv AS (
+          |  SELECT conv_id, ts AS ts_lo,
+          |         lead(ts) OVER (PARTITION BY conv_id ORDER BY ts) AS ts_hi
+          |  FROM t1
+          |)
+          |SELECT i.conv_id, i.ts_lo, min(t.ts) AS matched_ts
+          |FROM iv i JOIN transcripts t
+          |  ON i.conv_id = t.conv_id AND t.ts >= i.ts_lo AND t.ts < i.ts_hi
+          |WHERE i.ts_hi IS NOT NULL
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_predictors" ->
+      (cte + metricsCte +
+        """, dm AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |         round(avg(text_len) + 1e-9, 4) AS value,
+          |         date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS i
+          |  FROM metrics GROUP BY 1, 2, 4
+          |)
+          |SELECT conv_id,
+          |  max(CASE WHEN i = 0 THEN value END) AS t0,
+          |  max(CASE WHEN i = 1 THEN value END) AS t1,
+          |  max(CASE WHEN i = 2 THEN value END) AS t2,
+          |  max(CASE WHEN i = 3 THEN value END) AS t3,
+          |  max(CASE WHEN i = 4 THEN value END) AS t4,
+          |  max(CASE WHEN i = 5 THEN value END) AS t5,
+          |  max(CASE WHEN i = 6 THEN value END) AS t6
+          |FROM dm GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+    "ts_normalize" ->
+      (cte + metricsCte +
+        """, dm AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |         round(avg(text_len) + 1e-9, 4) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), st AS (
+          |  SELECT quantile_cont(value, 0.02) AS q02, quantile_cont(value, 0.98) AS q98 FROM dm
+          |)
+          |SELECT conv_id, bucket_ts,
+          |  round(greatest(1e-4, least(1.0, (value - q02) / (q98 - q02))) + 1e-9, 4) AS v_norm
+          |FROM dm, st ORDER BY conv_id, bucket_ts""".stripMargin),
   )
 }
