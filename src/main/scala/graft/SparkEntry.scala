@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChunkStore, GapFill, KernelWindows, Merge, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Smooth}
+import graft.operators.{ChangeDetect, ChunkStore, GapFill, KernelWindows, Merge, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Smooth}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -214,6 +214,27 @@ object SparkEntry {
         .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
         .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
       Predictors.normalizeQ(series).orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.8 DTW classification vs per-label prototype patterns (symmetric-2
+    // DP kernel — not SQL-expressible; locked by ScalaTest DP oracle;
+    // driver performs the rows-only check)
+    "ts_dtw" -> ((s, dir) => {
+      val series = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+      val labels = series.select("conv_id").distinct()
+        .withColumn("label", substring(col("conv_id"), 2, 6).cast("int") % 3 + 1)
+      val pats = ChangeDetect.patterns(series, labels)
+      ChangeDetect.dtwClassify(s, series, pats)
+        .select(col("conv_id"), col("label"),
+          round(col("dtw_dist") + lit(1e-9), 4).as("dtw_dist"))
+        .orderBy("conv_id")
+    }),
+    // §2.8 bayts online change detection over two fused metric bands
+    "ts_bayts" -> ((s, dir) => {
+      val a = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+      val b = ChangeDetect.daySeries(transcripts(s, dir), "is_tool", "2024-01-01")
+      ChangeDetect.bayts(s, a, b,
+        Array((130.0, 40.0, 210.0, 40.0), (0.2, 0.2, 0.8, 0.2)))
+        .orderBy("conv_id")
     }),
   )
 

@@ -351,6 +351,95 @@ object SeriesKernels {
     math.pow(prev(m - 1), 1.0 / p)
   }
 
+  // ---- bayts change detection (/root/reference/src/bayts_fns.cpp) ----
+
+  private def dnorm(x: Double, mean: Double, sd: Double): Double =
+    math.exp(-0.5 * ((x - mean) / sd) * ((x - mean) / sd)) / (sd * math.sqrt(2 * math.Pi))
+
+  /** pbayes with the reference's 1e15 floor-truncation
+    * (bayts_fns.cpp:28-31).
+    */
+  def pbayes(prior: Double, post: Double): Double = {
+    val r = (prior * post) / ((prior * post) + ((1 - prior) * (1 - post)))
+    math.floor(r * 1.0e15) / 1.0e15
+  }
+
+  /** Per-series non-forest probability, fused across bands
+    * (C_bayts_calc_nf, bayts_fns.cpp:43-122): per band dnorm under F and NF
+    * stats → conditional pNF/(pNF+pF) (zeroing pNF<1e-5) → clamp to
+    * [bwf0,bwf1] → iterative Bayesian fusion across bands.
+    * bands(b)(t): value of band b at time t.
+    */
+  def baytsNf(bands: Array[Array[Double]], meanF: Array[Double], sdF: Array[Double],
+      meanNF: Array[Double], sdNF: Array[Double],
+      bwf0: Double = 0.1, bwf1: Double = 0.9): Array[Double] = {
+    val nT = bands(0).length
+    var past: Array[Double] = null
+    for (b <- bands.indices) {
+      val p = new Array[Double](nT)
+      var t = 0
+      while (t < nT) {
+        val x = bands(b)(t)
+        if (x.isNaN) p(t) = Double.NaN
+        else {
+          val pF = dnorm(x, meanF(b), sdF(b))
+          var pNF = dnorm(x, meanNF(b), sdNF(b))
+          if (pNF < 0.00001) pNF = 0.0
+          if (pNF > 0) pNF = pNF / (pNF + pF)
+          if (pNF < bwf0) pNF = bwf0
+          if (pNF > bwf1) pNF = bwf1
+          p(t) = pNF
+        }
+        t += 1
+      }
+      if (past != null) {
+        t = 0
+        while (t < nT) {
+          if (!p(t).isNaN && !past(t).isNaN) p(t) = pbayes(p(t), past(t))
+          else if (p(t).isNaN) p(t) = past(t)
+          t += 1
+        }
+      }
+      past = p
+    }
+    past
+  }
+
+  /** Sequential change confirmation (C_bayts_detect_changes core loop,
+    * bayts_fns.cpp:245-290): flag a step whose NF-prob exceeds `threshold`,
+    * Bayes-update the change probability over consecutive steps, reject the
+    * run when the posterior drops below 0.5, confirm when it reaches `chi`
+    * with a supporting current observation. Returns the 0-based index of the
+    * last confirmed-change step, or -1 (no change).
+    */
+  def baytsDetect(p: Array[Double], threshold: Double = 0.5, chi: Double = 0.9): Int = {
+    val n = p.length
+    if (n < 2) return -1
+    var t = 1
+    var flagged = false
+    var runStart = -1
+    var pchange = Double.NaN
+    while (t < n) {
+      if (!flagged) {
+        if (p(t) > threshold) {
+          pchange = pbayes(p(t - 1), p(t))
+          flagged = true
+          runStart = t
+        }
+      } else {
+        pchange = pbayes(pchange, p(t))
+        if (pchange < 0.5) { // reject run (flag 254 semantics)
+          flagged = false
+          runStart = -1
+          pchange = Double.NaN
+        }
+      }
+      if (flagged && pchange >= chi && p(t) >= 0.5) return t // confirmed
+      t += 1
+    }
+    -1
+  }
+
   // ---- windowed kernels w_* (/root/reference/src/kernel.cpp:8-124) ----
 
   /** Mirrored-edge index, exactly kernel.cpp:8-19 `locus_mirror`:

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SeriesKernels
+import graft.model.Tier
+
+/** Change detection & pattern matching ≙ the reference's
+  * `sits_dtw` / `sits_patterns` / `sits_bayts`
+  * (/root/reference/R/sits_dtw.R:27, R/sits_patterns.R:38-140,
+  * R/sits_bayts.R:40; C kernels src/dtw.cpp, src/bayts_fns.cpp).
+  *
+  * Scale shape: patterns are tiny (|labels| × |timeline|) → broadcast to
+  * every task; the per-series DP/scan runs in one mapGroups pass, so the
+  * only shuffle is the conv grouping. The DTW DP is O(n·m) per series with
+  * m = pattern length — bounded by the retention window.
+  */
+object ChangeDetect {
+
+  /** Per-label prototype series on the tier grid — the reference fits a GAM
+    * per label and resamples (sits_patterns.R:38-140); on a regular grid the
+    * pointwise mean is the least-squares constant-basis analog, which we use
+    * (documented deviation: no smoothing spline in the sandbox).
+    * labels: (conv_id, label). Output (label, idx, value).
+    */
+  def patterns(series: DataFrame, labels: DataFrame, idxCol: String = "idx"): DataFrame =
+    series.join(labels, "conv_id")
+      .groupBy(col("label"), col(idxCol))
+      .agg(avg("value").as("value"))
+
+  /** DTW classification: distance of each conv's series to every label
+    * pattern (symmetric-2, p-norm local cost, dtw.cpp:36-105), assign the
+    * argmin label. Patterns are collected (tiny) and broadcast.
+    * series: (conv_id, idx, value); patterns: (label, idx, value).
+    */
+  def dtwClassify(spark: SparkSession, series: DataFrame, patterns: DataFrame,
+      p: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val pats: Map[Int, Array[Double]] = patterns
+      .select(col("label").cast("int"), col("idx").cast("int"), col("value").cast("double"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1)
+      .map { case (l, rows) => l -> rows.sortBy(_._2).map(_._3) }
+    val bc = spark.sparkContext.broadcast(pats)
+    series.select(col("conv_id"), col("idx").cast("int"), col("value").cast("double"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (conv, it) =>
+        val s = it.toArray.sortBy(_._2).map(_._3)
+        val ds = bc.value.toSeq.map { case (l, pat) =>
+          (l, SeriesKernels.dtw(s, pat, p))
+        }.sortBy(_._1)
+        val best = ds.minBy(_._2) // first label wins ties (sorted by label)
+        (conv, best._1, best._2)
+      }
+      .toDF("conv_id", "label", "dtw_dist")
+  }
+
+  /** bayts online change detection per conv over two metric bands on the
+    * tier grid: NF-probability fusion (baytsNf) + sequential confirmation
+    * (baytsDetect). stats rows: (meanF, sdF, meanNF, sdNF) per band.
+    * Output: (conv_id, change_idx, changed) with -1 = no change.
+    */
+  def bayts(spark: SparkSession, seriesA: DataFrame, seriesB: DataFrame,
+      stats: Array[(Double, Double, Double, Double)],
+      threshold: Double = 0.5, chi: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val a = seriesA.select(col("conv_id"), col("idx").cast("int"),
+      col("value").cast("double"), lit(0).as("band"))
+    val b = seriesB.select(col("conv_id"), col("idx").cast("int"),
+      col("value").cast("double"), lit(1).as("band"))
+    val meanF = stats.map(_._1); val sdF = stats.map(_._2)
+    val meanNF = stats.map(_._3); val sdNF = stats.map(_._4)
+    a.unionByName(b)
+      .as[(String, Int, Double, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (conv, it) =>
+        val rows = it.toArray
+        val nT = rows.map(_._2).max + 1
+        val bands = Array.fill(2, nT)(Double.NaN)
+        rows.foreach { r => bands(r._4)(r._2) = r._3 }
+        val pnf = SeriesKernels.baytsNf(bands, meanF, sdF, meanNF, sdNF)
+        val idx = SeriesKernels.baytsDetect(pnf, threshold, chi)
+        (conv, idx, idx >= 0)
+      }
+      .toDF("conv_id", "change_idx", "changed")
+  }
+
+  /** Day-index series of a metric (shared input shape for this module). */
+  def daySeries(transcripts: DataFrame, metric: String, origin: String): DataFrame =
+    Regularize.withMetrics(transcripts)
+      .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+      .agg(avg(metric).as("value"))
+      .select(col("conv_id"),
+        datediff(col("bucket_ts"), lit(origin).cast("date")).as("idx"),
+        col("value"))
+}

@@ -138,6 +138,26 @@ class SeriesKernelsSpec extends AnyFunSuite {
     // [x0,x0,NaN]→1 ; [1,NaN,3]→2 ; [NaN,3,3]→3
     assveq(out, Array(1.0, 2.0, 3.0))
   }
+  test("bayts: confirm after Bayesian accumulation; reject on drop") {
+    // p = [0.1, 0.9, 0.9]: flag at t=1 (pchange = pbayes(0.1,0.9) = 0.5),
+    // t=2: pbayes(0.5, 0.9) = 0.9 ≥ chi → confirmed at index 2
+    assert(baytsDetect(Array(0.1, 0.9, 0.9), 0.5, 0.9) == 2)
+    // drop below 0.5 posterior rejects the run → no change
+    assert(baytsDetect(Array(0.1, 0.9, 0.1, 0.2), 0.5, 0.9) == -1)
+    // all-forest series: nothing flagged
+    assert(baytsDetect(Array(0.1, 0.2, 0.1), 0.5, 0.9) == -1)
+  }
+  test("bayts pbayes matches reference 1e15 truncation formula") {
+    assert(pbayes(0.5, 0.9) == math.floor((0.45 / 0.5) * 1e15) / 1e15)
+  }
+  test("baytsNf clamps and fuses bands") {
+    // single band, x exactly at NF mean → pNF/(pNF+pF) > 0.5, clamped ≤ 0.9
+    val p = baytsNf(Array(Array(10.0)), Array(0.0), Array(1.0), Array(10.0), Array(1.0))
+    assert(p(0) == 0.9) // pF≈0 → pcond≈1 → clamped to bwf1
+    val q = baytsNf(Array(Array(0.0)), Array(0.0), Array(1.0), Array(10.0), Array(1.0))
+    assert(q(0) == 0.1) // pNF≈0 → floor at bwf0
+  }
+
   test("mirror matches reference locus_mirror table") {
     // locus_mirror(size=4, leg=2) = [1,0, 0,1,2,3, 3,2] (kernel.cpp:8-19)
     assert((-2 to 5).map(mirror(_, 4)) == Seq(1, 0, 0, 1, 2, 3, 3, 2))
