@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChangeDetect, ChunkStore, GapFill, KernelWindows, Merge, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Smooth}
+import graft.operators.{ChangeDetect, ChunkStore, Dedup, GapFill, KernelWindows, Merge, Multimodal, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -236,7 +236,75 @@ object SparkEntry {
         Array((130.0, 40.0, 210.0, 40.0), (0.2, 0.2, 0.8, 0.2)))
         .orderBy("conv_id")
     }),
+    // -- training-data pipeline ops over documents/embeddings --
+    // exact dedup: hash-groupBy on content, keep smallest id
+    "dd_exact" -> ((s, dir) =>
+      Dedup.exact(docsPlanted(s, dir)).orderBy("text_md5")),
+    // MinHash+LSH near-dup candidate pairs (md5 minhashes, banded join)
+    "dd_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
+    // n-gram Jaccard verification of the LSH candidates
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      val d = docsPlanted(s, dir)
+      Dedup.ngramJaccard(d, Dedup.minhashPairs(d)).orderBy("id1", "id2")
+    }),
+    // SimHash (16-bit, md5-parity votes) near-dup pairs
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
+    // brute-force cosine top-5 per query vector (deterministic ranking)
+    "ann_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(embeddings(s, dir), col("vec_id") % 50 === 0, k = 5)
+        .orderBy("qid", "rn")),
+    // IVF-bucketed top-3 (assign to nearest centroid cell, probe own cell)
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 50 === 0,
+        col("vec_id") % 97 === 0, k = 3).orderBy("qid", "rn")),
+    // embedding-cosine near-dup pairs within IVF cells
+    "dd_embed_cosine" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(
+        e.filter(col("vec_id") % 37 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.nearDupPairs(planted, col("vec_id") % 97 === 0, threshold = 0.999)
+        .orderBy("id1", "id2")
+    }),
+    // language ID by stopword-hit heuristic
+    "txt_langid" -> ((s, dir) =>
+      TextAnalysis.langId(documents(s, dir)).orderBy("doc_id")),
+    // quality scoring + token counting
+    "txt_quality" -> ((s, dir) =>
+      TextAnalysis.quality(documents(s, dir))
+        .join(TextAnalysis.tokenCounts(documents(s, dir)), "doc_id")
+        .orderBy("doc_id")),
+    // content fingerprint (normalized md5)
+    "txt_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(documents(s, dir)).orderBy("doc_id")),
+    // multimodal: binary payload + batched (stub) decode via mapPartitions —
+    // the oracle recomputes the deterministic fake features from the text,
+    // proving the binary plumbing end-to-end
+    "mm_features" -> ((s, dir) =>
+      Multimodal.decodeStub(s, Multimodal.withPayload(documents(s, dir)))
+        .orderBy("doc_id")),
   )
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Documents with deterministically planted exact (+100000, same text) and
+    * near (+200000, text + tail) duplicates — the corpus has none naturally,
+    * and the dedup operators need positives to find. Mirrored in SQL.
+    */
+  private def docsPlanted(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zz near dup tail")).as("text")))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -613,5 +681,213 @@ private object Oracles {
           |SELECT conv_id, bucket_ts,
           |  round(greatest(1e-4, least(1.0, (value - q02) / (q98 - q02))) + 1e-9, 4) AS v_norm
           |FROM dm, st ORDER BY conv_id, bucket_ts""".stripMargin),
+    "dd_exact" ->
+      (plantedCte +
+        """
+          |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin),
+    "dd_minhash" ->
+      (plantedCte + shingleCtes + bandCtes +
+        """
+          |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin),
+    "dd_ngram_jaccard" ->
+      (plantedCte + shingleCtes + bandCtes +
+        """, shx AS (
+          |  SELECT doc_id, unnest(sh) AS s FROM sgl
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n FROM shx GROUP BY 1
+          |), inter AS (
+          |  SELECT p.id1, p.id2, count(*) AS n_inter
+          |  FROM pairs p
+          |  JOIN shx a ON a.doc_id = p.id1
+          |  JOIN shx b2 ON b2.doc_id = p.id2 AND b2.s = a.s
+          |  GROUP BY 1, 2
+          |)
+          |SELECT p.id1, p.id2,
+          |  round(cast(coalesce(i.n_inter, 0) AS double) /
+          |        (s1.n + s2.n - coalesce(i.n_inter, 0)) + 1e-9, 4) AS jaccard
+          |FROM pairs p
+          |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+          |JOIN sizes s1 ON s1.doc_id = p.id1
+          |JOIN sizes s2 ON s2.doc_id = p.id2
+          |ORDER BY p.id1, p.id2""".stripMargin),
+    "dd_simhash" ->
+      (plantedCte +
+        """, tk AS (
+          |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM docs
+          |), sig AS (
+          |  SELECT doc_id, list_sum(list_transform(generate_series(0, 31), j ->
+          |    cast(pow(2, j) AS bigint) * CASE WHEN
+          |      list_sum(list_transform(toks, t2 ->
+          |        ((strpos('0123456789abcdef', substr(md5(t2), cast(j AS int) + 1, 1)) - 1) % 2) * 2 - 1)) > 0
+          |    THEN 1 ELSE 0 END)) AS sig
+          |  FROM tk
+          |)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig
+          |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+          |ORDER BY 1, 2""".stripMargin),
+    "ann_topk" ->
+      (embCtes("embeddings") +
+        """, q AS (
+          |  SELECT vec_id AS qid, v AS qv, nm AS qn FROM nrm WHERE vec_id % 50 = 0
+          |), sc AS (
+          |  SELECT q.qid, n2.vec_id AS eid,
+          |    round(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * n2.v[i]))
+          |          / (q.qn * n2.nm) + 1e-9, 6) AS cos
+          |  FROM q JOIN nrm n2 ON q.qid != n2.vec_id
+          |)
+          |SELECT qid, eid, cos, rn FROM (
+          |  SELECT qid, eid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
+          |  FROM sc) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "ann_ivf" ->
+      (embCtes("embeddings") + ivfCtes +
+        """, q AS (
+          |  SELECT n.vec_id AS qid, n.v AS qv, n.nm AS qn, a.cell
+          |  FROM nrm n JOIN asg a ON a.vec_id = n.vec_id WHERE n.vec_id % 50 = 0
+          |), c2 AS (
+          |  SELECT n.vec_id AS eid, n.v AS ev, n.nm AS en, a.cell
+          |  FROM nrm n JOIN asg a ON a.vec_id = n.vec_id
+          |), sc AS (
+          |  SELECT q.qid, c2.eid, q.cell,
+          |    round(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c2.ev[i]))
+          |          / (q.qn * c2.en) + 1e-9, 6) AS cos
+          |  FROM q JOIN c2 ON q.cell = c2.cell AND q.qid != c2.eid
+          |)
+          |SELECT qid, eid, cell, cos, rn FROM (
+          |  SELECT qid, eid, cell, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
+          |  FROM sc) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin),
+    "dd_embed_cosine" ->
+      ("""WITH emb2 AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 37 = 0
+          |)""".stripMargin + embCtes("emb2").replaceFirst("WITH ", ", ") + ivfCtes +
+        """, a1 AS (
+          |  SELECT n.vec_id AS id1, n.v AS qv, n.nm AS qn, g.cell
+          |  FROM nrm n JOIN asg g ON g.vec_id = n.vec_id
+          |), b1 AS (
+          |  SELECT n.vec_id AS id2, n.v AS ev, n.nm AS en, g.cell
+          |  FROM nrm n JOIN asg g ON g.vec_id = n.vec_id
+          |)
+          |SELECT id1, id2, cos FROM (
+          |  SELECT a1.id1, b1.id2,
+          |    round(list_sum(list_transform(generate_series(1, 64), i -> a1.qv[i] * b1.ev[i]))
+          |          / (a1.qn * b1.en) + 1e-9, 6) AS cos
+          |  FROM a1 JOIN b1 ON a1.cell = b1.cell AND a1.id1 < b1.id2)
+          |WHERE cos >= 0.999 ORDER BY id1, id2""".stripMargin),
+    "txt_langid" ->
+      ("""WITH t AS (
+          |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+          |         len(string_split(text, ' ')) AS n_tok
+          |  FROM documents
+          |), h AS (
+          |  SELECT doc_id, lang, n_tok,
+          |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS hits_en,
+          |    len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ein'))) AS hits_de,
+          |    len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'y', 'que'))) AS hits_es,
+          |    len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr,
+          |    len(list_filter(toks, x -> x IN ('的', '是', '了'))) AS hits_zh
+          |  FROM t
+          |), g AS (
+          |  SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS gm FROM h
+          |)
+          |SELECT doc_id, lang,
+          |  CASE WHEN hits_en = gm AND gm > 0 THEN 'en'
+          |       WHEN hits_de = gm AND gm > 0 THEN 'de'
+          |       WHEN hits_es = gm AND gm > 0 THEN 'es'
+          |       WHEN hits_fr = gm AND gm > 0 THEN 'fr'
+          |       WHEN hits_zh = gm AND gm > 0 THEN 'zh'
+          |       ELSE 'und' END AS lang_pred,
+          |  round(cast(gm AS double) / n_tok + 1e-9, 4) AS score
+          |FROM g ORDER BY doc_id""".stripMargin),
+    "txt_quality" ->
+      ("""WITH t AS (
+          |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+          |), b AS (
+          |  SELECT doc_id, text, toks, len(toks) AS n_tok,
+          |    list_sum(list_transform(toks, x -> cast(length(x) AS double))) / len(toks) AS mean_len,
+          |    cast(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS double) / len(toks) AS stop_ratio,
+          |    cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS double) / length(text) AS digit_ratio,
+          |    len(toks) AS n_words,
+          |    list_sum(list_transform(toks, x -> cast(ceil(length(x) / 4.0) AS int))) AS n_subwords
+          |  FROM t
+          |)
+          |SELECT doc_id, n_tok,
+          |  round(mean_len + 1e-9, 4) AS mean_len,
+          |  round(stop_ratio + 1e-9, 4) AS stop_ratio,
+          |  round(digit_ratio + 1e-9, 4) AS digit_ratio,
+          |  round(0.4 * least(1.0, cast(n_tok AS double) / 100) +
+          |        0.3 * (1.0 - stop_ratio) +
+          |        0.3 * least(1.0, mean_len / 8) + 1e-9, 4) AS q_score,
+          |  n_words, n_subwords
+          |FROM b ORDER BY doc_id""".stripMargin),
+    "txt_fingerprint" ->
+      ("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin),
+    "mm_features" ->
+      ("""SELECT doc_id,
+          |  octet_length(cast(text AS BLOB)) AS byte_len,
+          |  64 + (octet_length(cast(text AS BLOB)) % 64) AS width,
+          |  64 + (ascii(substr(text, 1, 1)) % 64) AS height,
+          |  octet_length(cast(text AS BLOB)) // 100 + 1 AS frames
+          |FROM documents ORDER BY doc_id""".stripMargin),
   )
+
+  /** Planted-duplicate corpus shared by the dd_* oracles (mirrors
+    * SparkEntry.docsPlanted exactly).
+    */
+  private lazy val plantedCte =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz near dup tail' FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  private lazy val shingleCtes =
+    """, tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM docs
+      |), sgl AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+      |  FROM tk WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  private lazy val bandCtes =
+    """, mh AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
+      |    list_aggregate(list_transform(sh, x -> md5(cast(j AS varchar) || '|' || x)), 'min')) AS m
+      |  FROM sgl
+      |), bnd AS (
+      |  SELECT doc_id, u.band_idx,
+      |         m[2 * u.band_idx + 1] || m[2 * u.band_idx + 2] AS band_key
+      |  FROM mh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) u
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bnd a JOIN bnd b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Norm CTE over an embedding relation (name parameterized so the planted
+    * variant can reuse it).
+    */
+  private def embCtes(rel: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM $rel
+       |), nrm AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM e
+       |)""".stripMargin
+
+  private lazy val ivfCtes =
+    """, cents AS (
+      |  SELECT vec_id AS cid, v AS cv, nm AS cn FROM nrm WHERE vec_id % 97 = 0
+      |), asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT n.vec_id, c.cid AS cell,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, 64), i -> c.cv[i] * n.v[i]))
+      |              / (c.cn * n.nm) + 1e-9, 6) DESC, c.cid) AS rn
+      |    FROM nrm n CROSS JOIN cents c) WHERE rn = 1
+      |)""".stripMargin
 }

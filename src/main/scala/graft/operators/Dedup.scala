@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication over a `documents(doc_id, text)`
+  * corpus — the operations a 100 TB pretraining pipeline needs on top of the
+  * reference's operator set (engine addition; no sits analog).
+  *
+  * All hashing is MD5-based and therefore bit-identical across engines (the
+  * DuckDB oracles run the same md5 on the same strings), and every stage is
+  * a plain Catalyst expression → shuffle topology:
+  *  - exact: one hash-aggregate on text (map-side combined);
+  *  - minhash: per-doc signature is embarrassingly parallel; the only
+  *    shuffle is the band-key self-join, whose key cardinality ≈ #docs ×
+  *    #bands with near-dup buckets tiny (LSH guarantee);
+  *  - simhash: per-doc, then an equi-join on the 16-bit signature.
+  *
+  * At 10^12 docs: band-join is the classic LSH dedup shape (shuffle by band
+  * key, pairs only within buckets — never a cross join); skewed buckets
+  * (boilerplate text) are handled by AQE skew splitting + a bucket-size cap.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per identical text; reports the
+    * number of copies. One partially-aggregable hash aggregate keyed on the
+    * text hash (md5 — never shuffles full documents at scale).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature over distinct word 3-shingles:
+    * mh_j = min over shingles of md5(j || '|' || shingle), j < numHashes.
+    * Returns (doc_id, mh: array<string>). Docs with <3 tokens get no rows.
+    */
+  def minhashSignature(docs: DataFrame, numHashes: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+          |  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          |            element_at(toks, i + 3))))""".stripMargin))
+      .withColumn("mh", expr(
+        s"""transform(sequence(0, ${numHashes - 1}), j ->
+           |  array_min(transform(sh, s -> md5(concat(cast(j as string), '|', s)))))""".stripMargin))
+      .select(col("doc_id"), col("mh"))
+
+  /** LSH candidate pairs: band key = concat of `rowsPerBand` consecutive
+    * minhashes; docs sharing any band key become a candidate pair.
+    */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val sig = minhashSignature(docs, numHashes)
+      .withColumn("band", explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  struct(b as idx, concat_ws('', slice(mh, b * $rowsPerBand + 1, $rowsPerBand)) as key))""".stripMargin)))
+      .select(col("doc_id"), col("band.idx").as("band_idx"), col("band.key").as("band_key"))
+    val a = sig.select(col("band_idx"), col("band_key"), col("doc_id").as("id1"))
+    val b = sig.select(col("band_idx"), col("band_key"), col("doc_id").as("id2"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** n-gram Jaccard similarity for given candidate pairs, computed from the
+    * distinct 3-shingle sets (|A∩B| / (|A|+|B|−|A∩B|)) via an exploded
+    * shingle join — no arrays shipped through the pair join.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("s", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+          |  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          |            element_at(toks, i + 3))))""".stripMargin)))
+      .select(col("doc_id"), col("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("id1"), col("s")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")) + lit(1e-9), 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash from distinct word tokens: bit j votes by the parity of
+    * hex digit j of md5(token) (md5 has exactly 32 hex digits); signature
+    * bit set when the vote sum is positive. 32 bits keeps random collisions
+    * negligible at this corpus size; a production 64-bit variant would take
+    * two md5 passes. Returns (doc_id, sig: bigint).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc +
+          |  cast(pow(2, j) as bigint) * (CASE WHEN
+          |    aggregate(toks, 0, (s, t) ->
+          |      s + ((instr('0123456789abcdef', substr(md5(t), j + 1, 1)) - 1) % 2) * 2 - 1)
+          |    > 0 THEN 1 ELSE 0 END))""".stripMargin))
+      .select(col("doc_id"), col("sig"))
+
+  /** SimHash near-dup pairs: identical signatures (Hamming distance 0 —
+    * the banding generalization would split the bits into key segments).
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val s = simhash(docs)
+    s.select(col("sig"), col("doc_id").as("id1"))
+      .join(s.select(col("sig"), col("doc_id").as("id2")), Seq("sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sig")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (`embeddings(vec_id, embedding: array<float>, label)`) — engine addition
+  * for training-data pipelines (no sits analog).
+  *
+  * Cosine arithmetic is element-wise double fold (`zip_with` + `aggregate`)
+  * — codegen'd, no UDF. Scores are rounded to 6 dp BEFORE ranking with a
+  * vec_id tie-break, so top-k is deterministic and engine-independent
+  * (libm/fold-order ulps cannot reorder ranks).
+  *
+  * Scale paths:
+  *  - [[bruteTopK]]: queries × corpus — correct baseline; at 10^12 rows only
+  *    viable for small query sets (broadcast the queries, stream the corpus,
+  *    per-partition top-k then global merge, which is exactly what the rank
+  *    window over the broadcast join compiles to).
+  *  - [[ivfTopK]]: IVF — assign every vector to its nearest centroid cell
+  *    (tiny broadcast centroid set), probe only the query's cell. The cell
+  *    id becomes the shuffle/partition key; at scale cells are Iceberg
+  *    partition values and probing prunes the scan.
+  */
+object Similarity {
+
+  private def dims(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, col(c).cast("array<double>"))
+
+  /** Append `norm` column. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm",
+      sqrt(expr("aggregate(embedding, cast(0 as double), (s, x) -> s + x * x)")))
+
+  private val dot = "aggregate(zip_with(qv, ev, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+
+  /** Brute-force cosine top-k of every query vector vs the corpus. */
+  def bruteTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val e = withNorm(dims(emb, "embedding"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("eid"), col("embedding").as("ev"), col("norm").as("en"))
+    val scored = q.join(c, col("qid") =!= col("eid"))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("eid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "eid", "cos", "rn")
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine, centroid-id
+    * tie-break) — the IVF cell map. centroidPred picks the seed rows.
+    */
+  def ivfAssign(emb: DataFrame, centroidPred: org.apache.spark.sql.Column): DataFrame = {
+    val e = withNorm(dims(emb, "embedding"))
+    val cents = e.filter(centroidPred)
+      .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("norm").as("qn"))
+    val all = e.select(col("vec_id").as("eid"), col("embedding").as("ev"), col("norm").as("en"))
+    val scored = all.join(broadcast(cents), lit(true))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+    val w = Window.partitionBy("eid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("eid"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: probe only the query's own cell. */
+  def ivfTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      centroidPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val cells = ivfAssign(emb, centroidPred)
+    val e = withNorm(dims(emb, "embedding")).join(cells, col("vec_id") === col("eid")).drop("eid")
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("cell"))
+    val c = e.select(col("vec_id").as("eid"), col("embedding").as("ev"),
+      col("norm").as("en"), col("cell"))
+    val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("eid"))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("eid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "eid", "cell", "cos", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs inside IVF cells (cell equi-join,
+    * never a corpus cross join) above a threshold.
+    */
+  def nearDupPairs(emb: DataFrame, centroidPred: org.apache.spark.sql.Column,
+      threshold: Double): DataFrame = {
+    val cells = ivfAssign(emb, centroidPred)
+    val e = withNorm(dims(emb, "embedding")).join(cells, col("vec_id") === col("eid")).drop("eid")
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("qv"),
+      col("norm").as("qn"), col("cell"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("ev"),
+      col("norm").as("en"), col("cell"))
+    a.join(b, Seq("cell")).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over
+  * `documents(doc_id, text, lang, source, n_chars)` — engine addition
+  * (no sits analog): language ID, quality scoring, token counting,
+  * fingerprinting. Pure Catalyst expressions; embarrassingly parallel
+  * (no shuffle at all except final ordering).
+  */
+object TextAnalysis {
+
+  /** Stopword sets per language for the n-gram/stopword-hit heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def hitExpr(words: Seq[String]): String =
+    s"size(filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Language ID by per-language stopword hit rate; ties break by the fixed
+    * language preference order above (highest score wins, first language
+    * checked wins ties).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+    val scored = stopwords.foldLeft(d) { case (acc, (l, ws)) =>
+      acc.withColumn(s"hits_$l", expr(hitExpr(ws)))
+    }
+    // argmax with first-wins ties, expressed as a CASE chain over languages
+    val langs = stopwords.map(_._1)
+    val maxHits = greatest(langs.map(l => col(s"hits_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { case (l, els) =>
+      when(col(s"hits_$l") === maxHits && maxHits > 0, lit(l)).otherwise(els)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("lang_pred"),
+      round(maxHits.cast("double") / col("n_tok") + lit(1e-9), 4).as("score"))
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio, digit
+    * ratio → weighted score in [0,1] (a length/punct/stopword heuristic in
+    * the spirit of C4/Gopher rules).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val en = stopwords.head._2
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("mean_len", expr(
+        "aggregate(toks, cast(0 as double), (s, t) -> s + length(t)) / size(toks)"))
+      .withColumn("stop_ratio", expr(hitExpr(en)).cast("double") / col("n_tok"))
+      .withColumn("digit_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("double") / length(col("text")))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("mean_len") + lit(1e-9), 4).as("mean_len"),
+        round(col("stop_ratio") + lit(1e-9), 4).as("stop_ratio"),
+        round(col("digit_ratio") + lit(1e-9), 4).as("digit_ratio"),
+        round(
+          lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(lit(1.0), col("mean_len") / 8) + lit(1e-9), 4).as("q_score"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (⌈len/4⌉ subwords per token — the common ~4-chars/token heuristic).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        expr("aggregate(toks, 0, (s, t) -> s + cast(ceil(length(t) / 4.0) as int))")
+          .as("n_subwords"))
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text —
+    * the exact-dedup/content-address key (identical across engines).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+}
