@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // batch-throughput GC: the per-series kernels allocate GBs of short-lived
+  // arrays; default G1 pause-targeting throttles them at high thread counts
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Parallel")}GC",
 )

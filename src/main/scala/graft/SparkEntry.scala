@@ -714,12 +714,12 @@ private object Oracles {
     "dd_simhash" ->
       (plantedCte +
         """, tk AS (
-          |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM docs
+          |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs FROM docs
           |), sig AS (
           |  SELECT doc_id, list_sum(list_transform(generate_series(0, 31), j ->
           |    cast(pow(2, j) AS bigint) * CASE WHEN
-          |      list_sum(list_transform(toks, t2 ->
-          |        ((strpos('0123456789abcdef', substr(md5(t2), cast(j AS int) + 1, 1)) - 1) % 2) * 2 - 1)) > 0
+          |      list_sum(list_transform(hs, h ->
+          |        ((strpos('0123456789abcdef', substr(h, cast(j AS int) + 1, 1)) - 1) % 2) * 2 - 1)) > 0
           |    THEN 1 ELSE 0 END)) AS sig
           |  FROM tk
           |)

@@ -11,8 +11,14 @@ object SeriesKernels {
     * leading back-fill, interior linear by index, trailing LOCF; all-NaN in →
     * all-NaN out. Single pass, O(n). Mutates and returns a copy.
     */
-  def imputeLinear(in: Array[Double]): Array[Double] = {
-    val x = in.clone()
+  def imputeLinear(in: Array[Double]): Array[Double] =
+    imputeLinearInPlace(in.clone())
+
+  /** Allocation-free variant: mutates and returns `x` (the tier-pipeline
+    * hot path fills ~10^8 grid slots per task batch; the defensive clone
+    * doubled its memory traffic).
+    */
+  def imputeLinearInPlace(x: Array[Double]): Array[Double] = {
     val n = x.length
     var curr = 0
     while (curr < n && x(curr).isNaN) curr += 1

@@ -47,12 +47,37 @@ object ChunkStore {
       }
   }
 
+  /** Fused fill+encode: chunks straight from [[Regularize.firstValid]]
+    * observations — the dense gap-filled grid exists only as a primitive
+    * array inside the kernel and NEVER hits a shuffle or row encoder
+    * (encode-after-fillDense shipped the whole grid through a second
+    * shuffle; at 58M grid points that was the pipeline's dominant cost).
+    */
+  def encodeFilled(spark: SparkSession, firstValid: DataFrame, tier: Tier): Dataset[ChunkStruct] = {
+    import spark.implicits._
+    firstValid
+      .select(col("conv_id"), unix_millis(col("bucket_ts")).as("t"),
+        col("value").cast("double").as("v"))
+      .as[(String, Long, Option[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (conv, it) =>
+        val (t0, v) = SeriesRollup.filledGrid(it.toArray, tier.millis)
+        // linear-prediction XOR: filled grids are piecewise linear/constant,
+        // ~4× smaller than plain Gorilla here
+        ChunkStruct(conv, tier.name, new java.sql.Timestamp(t0), v.length, "gorilla_lp+dod",
+          GorillaCodec.encodeRegularTimestamps(t0, tier.millis, v.length),
+          GorillaCodec.encodeValuesLP(v))
+      }
+  }
+
   /** chunks → grid (conv_id, bucket_ts, value) — exact inverse of [[encode]]. */
   def decode(spark: SparkSession, chunks: Dataset[ChunkStruct]): DataFrame = {
     import spark.implicits._
     chunks.flatMap { c =>
       val ts = GorillaCodec.decodeTimestamps(c.ts_payload)
-      val vs = GorillaCodec.decodeValues(c.value_payload)
+      val vs =
+        if (c.codec.startsWith("gorilla_lp")) GorillaCodec.decodeValuesLP(c.value_payload)
+        else GorillaCodec.decodeValues(c.value_payload)
       require(ts.length == c.n && vs.length == c.n,
         s"chunk ${c.conv_id}/${c.tier}: decoded ${ts.length}/${vs.length} != ${c.n}")
       Iterator.tabulate(c.n)(i =>

@@ -99,12 +99,14 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+      // hash each distinct token ONCE; the 32 bit-votes then only slice the
+      // hex string (md5 32× per token made this the slowest query by 3×)
+      .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> md5(t))"))
       .withColumn("sig", expr(
         """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc +
           |  cast(pow(2, j) as bigint) * (CASE WHEN
-          |    aggregate(toks, 0, (s, t) ->
-          |      s + ((instr('0123456789abcdef', substr(md5(t), j + 1, 1)) - 1) % 2) * 2 - 1)
+          |    aggregate(hs, 0, (s, h) ->
+          |      s + ((instr('0123456789abcdef', substr(h, j + 1, 1)) - 1) % 2) * 2 - 1)
           |    > 0 THEN 1 ELSE 0 END))""".stripMargin))
       .select(col("doc_id"), col("sig"))
 

@@ -32,7 +32,7 @@ object SeriesRollup {
   /** Sort observations, build the dense fine grid, gap-fill
     * (impute_linear semantics). Returns (t0 epoch ms, filled values).
     */
-  private def filledGrid(obs0: Array[(String, Long, Option[Double])],
+  private[operators] def filledGrid(obs0: Array[(String, Long, Option[Double])],
       step: Long): (Long, Array[Double]) = {
     val obs = obs0
     scala.util.Sorting.stableSort(obs, (a: (String, Long, Option[Double]),
@@ -41,7 +41,7 @@ object SeriesRollup {
     val n = ((obs.last._2 - t0) / step + 1).toInt
     val vs = Array.fill(n)(Double.NaN)
     obs.foreach { o => vs(((o._2 - t0) / step).toInt) = o._3.getOrElse(Double.NaN) }
-    (t0, SeriesKernels.imputeLinear(vs))
+    (t0, SeriesKernels.imputeLinearInPlace(vs)) // vs is fresh — mutate, don't clone
   }
 
   /** Spark `percentile`-compatible linear interpolation (Hyndman-Fan 7,

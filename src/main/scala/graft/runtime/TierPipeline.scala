@@ -1,0 +1,193 @@
+package graft.runtime
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tier
+import graft.operators.{ChunkStore, GapFill, Regularize, Rollup, SeriesRollup}
+
+/** Resumable tier-rollup pipeline with per-partition lineage manifests —
+  * the north-rule runtime, mirroring the reference's missing-jobs recovery
+  * (/root/reference/R/api_gdalcubes.R:506-513,713-768: re-scan produced
+  * outputs, diff against wanted (tile×band×time), re-enqueue only the
+  * missing) and resume-from-existing-files convention
+  * (R/api_regularize.R:134-145).
+  *
+  * Work unit = (tier, conv-hash bucket). Each bucket is written as one
+  * partition directory (`bucket=<n>`) via dynamic partition overwrite — the
+  * sandbox stand-in for an Iceberg partition-level commit: re-running a
+  * bucket atomically replaces exactly that partition, so retries are
+  * idempotent. After each bucket set commits, one manifest line per bucket
+  * is appended to `<tier>.manifest.jsonl` recording (job, tier, bucket,
+  * input snapshot id, rows in/out, wall ms, status).
+  *
+  * Resume = diff wanted buckets against committed manifest lines (the
+  * manifest is the only truth — reference precedent: re-derive, don't trust
+  * in-flight state) and process only the missing ones. A crash between data
+  * commit and manifest append re-runs that bucket; the dynamic overwrite
+  * makes that safe.
+  *
+  * At cluster scale: buckets = Iceberg `bucket(conv_id)` partitions; the
+  * manifest carries the snapshot id so a changed input invalidates resume.
+  */
+object TierPipeline {
+
+  final case class TierRun(tier: String, processed: Seq[Int], skipped: Seq[Int],
+      rowsIn: Long, rowsOut: Long)
+
+  def bucketCol(nBuckets: Int) = pmod(hash(col("conv_id")), lit(nBuckets))
+
+  private def manifestPath(outRoot: String, tier: String) =
+    Paths.get(s"$outRoot/${tier}.manifest.jsonl")
+
+  /** Buckets with a committed manifest line for this snapshot. */
+  def committedBuckets(outRoot: String, tier: String, snapshotId: Long): Set[Int] = {
+    val p = manifestPath(outRoot, tier)
+    if (!Files.exists(p)) return Set.empty
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala
+      .filter(l => l.contains("\"status\":\"committed\"") &&
+        l.contains(s""""snapshotId":$snapshotId"""))
+      .flatMap { l =>
+        """"bucket":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt)
+      }.toSet
+  }
+
+  private def appendManifests(outRoot: String, tier: String, jobId: String,
+      snapshotId: Long, buckets: Seq[Int], path: String, rowsIn: Long,
+      rowsOut: Long, wallMs: Long): Unit = {
+    val lines = buckets.map { b =>
+      s"""{"jobId":"$jobId","tier":"$tier","bucket":$b,"snapshotId":$snapshotId,""" +
+        s""""path":"$path","rowsIn":$rowsIn,"rowsOut":$rowsOut,"wallMs":$wallMs,"status":"committed"}"""
+    }
+    Files.createDirectories(Paths.get(outRoot))
+    Files.write(manifestPath(outRoot, tier),
+      (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Batch directories committed for this snapshot (manifest = table of
+    * contents, exactly an Iceberg manifest-list in miniature). A tier's data
+    * is the union of its committed batch dirs; in-flight or stale-snapshot
+    * dirs are invisible to readers.
+    */
+  def committedPaths(outRoot: String, tier: String, snapshotId: Long): Seq[String] = {
+    val p = manifestPath(outRoot, tier)
+    if (!Files.exists(p)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala
+      .filter(l => l.contains("\"status\":\"committed\"") &&
+        l.contains(s""""snapshotId":$snapshotId"""))
+      .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
+      .distinct.toSeq
+  }
+
+  /** Read a tier as of a snapshot: only manifest-committed batches. */
+  def readTier(spark: SparkSession, outRoot: String, tier: String,
+      snapshotId: Long): DataFrame = {
+    val paths = committedPaths(outRoot, tier, snapshotId)
+    require(paths.nonEmpty, s"tier $tier has no committed batches for snapshot $snapshotId")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Deterministic input-snapshot identity (Iceberg snapshot-id stand-in):
+    * sum of (size, mtime) over the input files.
+    */
+  def snapshotId(inputPath: String): Long = {
+    val root = Paths.get(inputPath)
+    if (!Files.exists(root)) return 0L
+    val s = Files.walk(root)
+    try {
+      s.filter(p => Files.isRegularFile(p)).mapToLong(p =>
+        Files.size(p) + Files.getLastModifiedTime(p).toMillis).sum()
+    } finally s.close()
+  }
+
+  /** Run one tier: compute `df` (which must carry a `bucket` column)
+    * restricted to non-committed buckets, commit those partitions, append
+    * manifests. Returns what ran vs was skipped.
+    */
+  def runTier(spark: SparkSession, outRoot: String, tier: String,
+      snapshot: Long, nBuckets: Int, df: DataFrame,
+      limitBuckets: Option[Int] = None): TierRun = {
+    val done = committedBuckets(outRoot, tier, snapshot)
+    val wanted = (0 until nBuckets).filterNot(done.contains)
+    val todo = limitBuckets.map(wanted.take).getOrElse(wanted)
+    if (todo.isEmpty) return TierRun(tier, Nil, done.toSeq.sorted, 0, 0)
+    val t0 = System.nanoTime()
+    // one BATCH DIRECTORY per (snapshot, bucket-set) commit, plain parquet
+    // with `bucket` as an ordinary column. NOT partitionBy(bucket): Spark's
+    // dynamic-partitioned write sorts every task's rows by partition key and
+    // opens tasks×buckets tiny files — measured 2.5× the plain write and it
+    // got WORSE with more cores. The deterministic dir name makes retries
+    // idempotent (a re-run of the same bucket set overwrites the same dir);
+    // readers only see batches listed in the manifest.
+    val batchDir = s"$outRoot/$tier/b_${snapshot}_${todo.min}_${todo.size}"
+    // row metrics ride ON the write job (Observation API) — no second scan
+    val obs = org.apache.spark.sql.Observation(s"tier-$tier")
+    val hasN = df.columns.contains("n")
+    val part = df.filter(col("bucket").isin(todo: _*))
+      .observe(obs, count(lit(1)).as("out"),
+        (if (hasN) sum(col("n")) else max(lit(-1L))).as("in"))
+    part.write.mode(SaveMode.Overwrite).parquet(batchDir)
+    val rowsOut = obs.get("out").asInstanceOf[Long]
+    val rowsIn = obs.get("in").asInstanceOf[Long]
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    appendManifests(outRoot, tier, s"job-$tier-$snapshot", snapshot, todo,
+      batchDir, rowsIn = rowsIn, rowsOut = rowsOut, wallMs = wallMs)
+    TierRun(tier, todo, done.toSeq.sorted, rowsIn, rowsOut)
+  }
+
+  /** Full cascade raw→1m(fill+chunks)→1h(state)→1d(state), resumable at
+    * bucket granularity per tier. `limitBuckets` caps how many missing
+    * buckets each tier processes this run (used to exercise resume).
+    */
+  def runAll(spark: SparkSession, transcripts: DataFrame, inputPath: String,
+      outRoot: String, nBuckets: Int = 8,
+      limitBuckets: Option[Int] = None): Seq[TierRun] = {
+    val snap = snapshotId(inputPath)
+    val b = bucketCol(nBuckets)
+
+    // firstValid feeds BOTH the 1m-chunk and 1h-state tiers → persist once
+    // (observed-bucket cardinality, bounded; ≙ materializing the regular
+    // cube the reference writes to disk between stages)
+    val fv = Regularize.firstValid(transcripts, Tier.M1).persist()
+    fv.count() // materialize before forking the two independent tier jobs
+
+    // tiers 1m and 1h are independent given fv → submit CONCURRENTLY; the
+    // scheduler interleaves their tasks, filling each other's stage-tail
+    // idle slots (straggling hot-conv kernels no longer idle the cluster)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future {
+      val chunks = ChunkStore.encodeFilled(spark, fv, Tier.M1).toDF()
+        .withColumn("bucket", bucketCol(nBuckets))
+      runTier(spark, outRoot, "1m-chunks", snap, nBuckets, chunks, limitBuckets)
+    }
+    val f2 = Future {
+      val st1h = SeriesRollup.stateDense(spark, fv, Tier.M1, Tier.H1)
+        .withColumn("bucket", b)
+      runTier(spark, outRoot, "1h-state", snap, nBuckets, st1h, limitBuckets)
+    }
+    val r1 = Await.result(f1, Duration.Inf)
+    val r2 = Await.result(f2, Duration.Inf)
+    fv.unpersist()
+
+    // tier 1d: cascaded from committed 1h partitions (never from raw) —
+    // gated on 1h being FULLY committed, else a 1d bucket would aggregate an
+    // incomplete lower tier and be wrongly marked done (stage dependency,
+    // as the reference's per-stage job diff enforces)
+    val r3 =
+      if (committedBuckets(outRoot, "1h-state", snap).size < nBuckets)
+        TierRun("1d-state", Nil, Nil, 0, 0)
+      else {
+        val st1hStored = readTier(spark, outRoot, "1h-state", snap)
+        val st1d = Rollup.cascade(st1hStored.drop("bucket"), Tier.D1)
+          .withColumn("bucket", b)
+        runTier(spark, outRoot, "1d-state", snap, nBuckets, st1d, limitBuckets)
+      }
+
+    Seq(r1, r2, r3)
+  }
+}

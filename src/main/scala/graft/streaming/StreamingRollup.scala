@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.{Tier, Turn}
+
+/** Streaming analog of the batch tier cascade (SURVEY.md §2.11-streaming):
+  * the reference is strictly batch; its incremental contract is
+  * "new assets → re-derive affected buckets" (api_gdalcubes.R:713-768).
+  * On Spark that is Structured Streaming with event-time windows:
+  *
+  *  - [[incremental1m]]: watermarked tumbling-window aggregation producing
+  *    the same quality-ordered first-valid 1m points as
+  *    [[graft.operators.Regularize.firstValid]] — late turns inside the
+  *    watermark update their bucket; beyond it the bucket is final
+  *    (the batch path instead re-derives, which stays the recovery story).
+  *  - [[convState]]: per-conversation running state via
+  *    flatMapGroupsWithState (the reference's cumulative scans, e.g. bayts,
+  *    map to exactly this primitive in streaming form).
+  *
+  * State size: one row per open (conv, minute) window ≤ watermark horizon —
+  * bounded; conv skew is absorbed by partial aggregation exactly like the
+  * batch path.
+  */
+object StreamingRollup {
+
+  /** Quality-ordered first-valid 1m points over a stream of turns.
+    * Append-mode compatible (watermark closes windows).
+    */
+  def incremental1m(turns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    turns
+      .withColumn("text_len", length(col("text")).cast("double"))
+      .withColumn("quality_rank",
+        when(col("role") === "user", 0)
+          .when(col("role") === "assistant", 1).otherwise(2))
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), window(col("ts"), "1 minute"))
+      .agg(
+        min_by(col("text_len"),
+          struct(col("quality_rank"), col("ts"), col("turn_idx"))).as("value"),
+        count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("window.start").as("bucket_ts"),
+        col("value"), col("n_turns"))
+
+  final case class ConvState(nTurns: Long, lastLen: Double, maxGapSec: Long,
+      lastTsMs: Long)
+  final case class ConvUpdate(conv_id: String, n_turns: Long, last_len: Double,
+      max_gap_sec: Long)
+
+  /** Per-conversation running state (turn count, last value, max inter-turn
+    * gap) emitted on every batch — the flatMapGroupsWithState shape for
+    * custom cumulative scans. ProcessingTimeTimeout-free (test-friendly).
+    */
+  def convState(spark: SparkSession, turns: Dataset[Turn]): Dataset[ConvUpdate] = {
+    import spark.implicits._
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (conv: String, it: Iterator[Turn], state: GroupState[ConvState]) =>
+          val sorted = it.toArray.sortBy(t => (t.ts.getTime, t.turn_idx))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(ConvState(0, Double.NaN, 0, Long.MinValue))
+            sorted.foreach { t =>
+              val gap = if (st.lastTsMs == Long.MinValue) 0
+                        else (t.ts.getTime - st.lastTsMs) / 1000
+              st = ConvState(st.nTurns + 1, t.text.length.toDouble,
+                math.max(st.maxGapSec, gap), t.ts.getTime)
+            }
+            state.update(st)
+            Iterator.single(ConvUpdate(conv, st.nTurns, st.lastLen, st.maxGapSec))
+          }
+      }
+  }
+}

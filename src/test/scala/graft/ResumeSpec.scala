@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.runtime.TierPipeline
+import graft.sources.Transcripts
+
+/** Resume/lineage contract (north rule; reference precedent
+  * api_gdalcubes.R:713-768): a run interrupted after a partial tier commit,
+  * then resumed, must produce byte-identical tier tables to an uninterrupted
+  * run, and the manifests must be the only source of truth for what to skip.
+  */
+class ResumeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val nBuckets = 4
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"tier_$tag").toString
+    d
+  }
+
+  private def sortedRows(outRoot: String, tier: String, snap: Long,
+      cols: Seq[String]): Seq[String] =
+    TierPipeline.readTier(spark, outRoot, tier, snap).select(cols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("interrupted run + resume == uninterrupted run (byte-identical tiers)") {
+    val input = freshDir("in")
+    Transcripts.synthetic(spark, nConv = 60).write.mode("overwrite")
+      .parquet(s"$input/transcripts.parquet")
+    val tr = spark.read.parquet(s"$input/transcripts.parquet")
+
+    // uninterrupted reference run
+    val full = freshDir("full")
+    val runsA = TierPipeline.runAll(spark, tr, input, full, nBuckets)
+    assert(runsA.map(_.processed.size) == Seq(nBuckets, nBuckets, nBuckets))
+    assert(runsA.forall(_.rowsOut > 0))
+
+    // interrupted: each tier only commits 2 of 4 buckets; 1d must refuse to
+    // run on the incomplete 1h tier
+    val part = freshDir("part")
+    val runsB1 = TierPipeline.runAll(spark, tr, input, part, nBuckets, Some(2))
+    assert(runsB1.take(2).map(_.processed.size) == Seq(2, 2))
+    assert(runsB1(2).processed.isEmpty, "1d must be gated on complete 1h")
+
+    // resume: only the missing buckets run, then everything matches
+    val runsB2 = TierPipeline.runAll(spark, tr, input, part, nBuckets)
+    assert(runsB2.take(2).map(_.processed.size) == Seq(2, 2))
+    assert(runsB2.take(2).map(_.skipped.size) == Seq(2, 2))
+    assert(runsB2(2).processed.size == nBuckets)
+
+    val snap = TierPipeline.snapshotId(input)
+    for ((tier, cols) <- Seq(
+        "1m-chunks" -> Seq("conv_id", "tier", "n", "codec"),
+        "1h-state" -> Seq("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v"),
+        "1d-state" -> Seq("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v"))) {
+      assert(sortedRows(full, tier, snap, cols) == sortedRows(part, tier, snap, cols),
+        s"tier $tier differs after resume")
+    }
+
+    // third run: everything already committed → all skipped, nothing re-runs
+    val runsB3 = TierPipeline.runAll(spark, tr, input, part, nBuckets)
+    assert(runsB3.forall(_.processed.isEmpty))
+    assert(runsB3.map(_.skipped.size) == Seq(nBuckets, nBuckets, nBuckets))
+  }
+
+  test("changed input snapshot invalidates resume") {
+    val input = freshDir("in2")
+    Transcripts.synthetic(spark, nConv = 10).write.mode("overwrite")
+      .parquet(s"$input/transcripts.parquet")
+    val tr = spark.read.parquet(s"$input/transcripts.parquet")
+    val out = freshDir("out2")
+    TierPipeline.runAll(spark, tr, input, out, nBuckets)
+    // rewrite input (new snapshot id) → nothing is considered committed
+    Thread.sleep(1100) // mtime granularity
+    Transcripts.synthetic(spark, nConv = 12).write.mode("overwrite")
+      .parquet(s"$input/transcripts.parquet")
+    val tr2 = spark.read.parquet(s"$input/transcripts.parquet")
+    val runs = TierPipeline.runAll(spark, tr2, input, out, nBuckets)
+    assert(runs.head.processed.size == nBuckets, "new snapshot must re-run all buckets")
+  }
+}

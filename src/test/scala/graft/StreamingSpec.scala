@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.{Tier, Turn}
+import graft.operators.Regularize
+import graft.streaming.StreamingRollup
+
+/** Streaming ≡ batch: the incremental 1m rollup over a stream (including a
+  * late-but-within-watermark turn) must equal the batch firstValid over the
+  * same data — the reference's "re-derive affected buckets" contract.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def turn(conv: String, idx: Int, role: String, sec: Long, pad: Int) =
+    Turn(conv, idx, role, s"$conv:$idx:" + ("x" * pad), null,
+      new java.sql.Timestamp(1735689600000L + sec * 1000))
+
+  test("incremental 1m stream == batch firstValid (incl. late arrival)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamingRollup.incremental1m(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("agg1m")
+      .outputMode("complete") // test-friendly: full result table each batch
+      .start()
+    try {
+      val batch1 = Seq(
+        turn("a", 0, "tool", 5, 10), turn("a", 1, "user", 20, 3), // same minute
+        turn("a", 2, "assistant", 70, 7),
+        turn("b", 0, "assistant", 10, 4))
+      val batch2 = Seq(
+        turn("a", 3, "user", 65, 9),  // late for minute 1 but within watermark
+        turn("b", 1, "user", 130, 6))
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT conv_id, bucket_ts, value FROM agg1m ORDER BY conv_id, bucket_ts")
+        .collect().map(_.toString).toSeq
+      val batch = Regularize.firstValid(
+        (batch1 ++ batch2).toDS().toDF(), Tier.M1)
+        .orderBy("conv_id", "bucket_ts")
+        .select("conv_id", "bucket_ts", "value")
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch)
+      // the late user turn (quality 0) must have displaced the earlier
+      // assistant value in a's minute-1 bucket
+      val aMin1 = spark.sql(
+        "SELECT value FROM agg1m WHERE conv_id = 'a' AND bucket_ts = timestamp '2025-01-01 00:01:00'")
+        .head().getDouble(0)
+      assert(aMin1 == ("a:3:" + "x" * 9).length.toDouble)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState carries per-conv running state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamingRollup.convState(spark, mem.toDS())
+      .writeStream.format("memory").queryName("cstate")
+      .outputMode("append").start()
+    try {
+      mem.addData(turn("a", 0, "user", 0, 5), turn("a", 1, "tool", 100, 8))
+      q.processAllAvailable()
+      mem.addData(turn("a", 2, "user", 400, 2))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_turns, max_gap_sec FROM cstate ORDER BY n_turns")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // batch1 emit: 2 turns, max gap 100; batch2 emit: 3 turns, gap 300
+      assert(rows == Seq((2L, 100L), (3L, 300L)))
+    } finally q.stop()
+  }
+}
