@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChangeDetect, ChunkStore, Dedup, GapFill, KernelWindows, Merge, Multimodal, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Accuracy, ChangeDetect, ChunkStore, Dedup, GapFill, KernelWindows, Merge, Multimodal, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -235,6 +236,55 @@ object SparkEntry {
       ChangeDetect.bayts(s, a, b,
         Array((130.0, 40.0, 210.0, 40.0), (0.2, 0.2, 0.8, 0.2)))
         .orderBy("conv_id")
+    }),
+    // §2.6/north rule: calendar-month tier cascaded 1m→1h→1d→1mo (three
+    // cascade hops; oracle computes directly from the 1m grid)
+    "ts_rollup_1mo" -> ((s, dir) => {
+      val st1h = SeriesRollup.stateDense(s,
+        Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1, Tier.H1)
+      val stMo = Rollup.cascade(Rollup.cascade(st1h, Tier.D1), Tier.Mo1)
+      Rollup.presentState(stMo).orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.9 sits_accuracy: confusion matrix + overall accuracy
+    "ts_accuracy" -> ((s, dir) => {
+      val labeled = Probs.reclassify(Probs.label(Probs.roleMix(transcripts(s, dir))), Seq(
+        (col("label") === 3 && col("p3") < 0.5, 2),
+        (col("label") === 1 && col("p1") >= 0.6, 4)))
+      Accuracy.confusion(labeled, "label", "label_new").orderBy("actual", "pred")
+    }),
+    // §2.9 sampling design: proportional + Neyman allocation over roles
+    "ts_sampling_design" -> ((s, dir) =>
+      Accuracy.samplingDesign(
+        Regularize.withMetrics(transcripts(s, dir)), "role", "text_len", 1000)
+        .orderBy("stratum")),
+    // §2.9 uncertainty sampling: global top-20 highest-entropy cells
+    "ts_topk_uncertain" -> ((s, dir) => {
+      val u = Probs.uncertainty(Probs.roleMix(transcripts(s, dir)))
+      val w = Window.orderBy(col("entropy").desc, col("conv_id"), col("bucket_ts"))
+      u.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+        .select("rk", "conv_id", "bucket_ts", "entropy")
+        .orderBy("rk")
+    }),
+    // §2.10 sits_add_base_cube: broadcast-join static per-conv covariates
+    "ts_base_join" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val static = t.groupBy("conv_id").agg(
+        min_by(col("role"), col("turn_idx")).as("first_role"),
+        count(lit(1)).as("n_turns"))
+      val dm = Regularize.withMetrics(t)
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+        .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
+      dm.join(broadcast(static), "conv_id")
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.7 sits_variance: mirrored-window sample variance of the p1 logit
+    "ts_variance" -> ((s, dir) => {
+      val lg = Probs.roleMix(transcripts(s, dir))
+        .select(col("conv_id"), col("bucket_ts"),
+          log(col("p1") / (lit(1.0) - col("p1"))).as("value"))
+      KernelWindows(lg, k = 2)
+        .select("conv_id", "bucket_ts", "w_var")
+        .orderBy("conv_id", "bucket_ts")
     }),
     // -- training-data pipeline ops over documents/embeddings --
     // exact dedup: hash-groupBy on content, keep smallest id
@@ -681,6 +731,96 @@ private object Oracles {
           |SELECT conv_id, bucket_ts,
           |  round(greatest(1e-4, least(1.0, (value - q02) / (q98 - q02))) + 1e-9, 4) AS v_norm
           |FROM dm, st ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_rollup_1mo" ->
+      (cte + gapfilledCte +
+        """
+          |SELECT conv_id, date_trunc('month', bucket_ts) AS bucket_ts,
+          |  count(value) AS n,
+          |  round(sum(value) + 1e-9, 4) AS sum_v,
+          |  round(sum(value) / count(value) + 1e-9, 4) AS mean_v,
+          |  min(value) AS min_v, max(value) AS max_v,
+          |  CASE WHEN count(value) > 1 THEN
+          |    round(sqrt(greatest(0.0, (sum(value * value) - sum(value) * sum(value) / count(value)) / (count(value) - 1))) + 1e-9, 4)
+          |  END AS std_v,
+          |  round(max(value) - min(value) + 1e-9, 4) AS amp_v
+          |FROM gapfilled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_accuracy" ->
+      (cte + probsCte +
+        """, labeled AS (
+          |  SELECT conv_id, bucket_ts, p1, p2, p3,
+          |    CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS label
+          |  FROM probs
+          |), rl AS (
+          |  SELECT label,
+          |    CASE WHEN label = 3 AND p3 < 0.5 THEN 2
+          |         WHEN label = 1 AND p1 >= 0.6 THEN 4
+          |         ELSE label END AS label_new
+          |  FROM labeled
+          |), cm AS (
+          |  SELECT label AS actual, label_new AS pred, count(*) AS n FROM rl GROUP BY 1, 2
+          |)
+          |SELECT actual, pred, n,
+          |  round(n / sum(n) OVER () + 1e-9, 4) AS frac,
+          |  round(sum(CASE WHEN actual = pred THEN n ELSE 0 END) OVER () / sum(n) OVER () + 1e-9, 4) AS overall_acc
+          |FROM cm ORDER BY actual, pred""".stripMargin),
+    "ts_sampling_design" ->
+      (cte + metricsCte +
+        """, sd AS (
+          |  SELECT role AS stratum, count(*) AS n_h,
+          |         round(stddev_samp(text_len) + 1e-9, 4) AS s_h
+          |  FROM metrics GROUP BY 1
+          |)
+          |SELECT stratum, n_h, s_h,
+          |  round(1000 * n_h / sum(n_h) OVER () + 1e-9, 4) AS alloc_prop,
+          |  round(1000 * (n_h * s_h) / sum(n_h * s_h) OVER () + 1e-9, 4) AS alloc_neyman
+          |FROM sd ORDER BY stratum""".stripMargin),
+    "ts_topk_uncertain" ->
+      (cte + probsCte +
+        """, u AS (
+          |  SELECT conv_id, bucket_ts,
+          |    round(-(p1 * ln(p1) + p2 * ln(p2) + p3 * ln(p3)) / ln(3.0) + 1e-9, 4) AS entropy
+          |  FROM probs
+          |)
+          |SELECT rk, conv_id, bucket_ts, entropy FROM (
+          |  SELECT conv_id, bucket_ts, entropy,
+          |    row_number() OVER (ORDER BY entropy DESC, conv_id, bucket_ts) AS rk
+          |  FROM u) WHERE rk <= 20 ORDER BY rk""".stripMargin),
+    "ts_base_join" ->
+      (cte + metricsCte +
+        """, static AS (
+          |  SELECT conv_id, arg_min(role, turn_idx) AS first_role, count(*) AS n_turns
+          |  FROM transcripts GROUP BY conv_id
+          |), dm AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |         round(avg(text_len) + 1e-9, 4) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |)
+          |SELECT d.conv_id, d.bucket_ts, d.value, s.first_role, s.n_turns
+          |FROM dm d JOIN static s ON d.conv_id = s.conv_id
+          |ORDER BY d.conv_id, d.bucket_ts""".stripMargin),
+    "ts_variance" ->
+      (cte + probsCte +
+        """, lg AS (
+          |  SELECT conv_id, bucket_ts, ln(p1 / (1 - p1)) AS logit FROM probs
+          |), larr AS (
+          |  SELECT conv_id, list(bucket_ts ORDER BY bucket_ts) AS tsv,
+          |         list(logit ORDER BY bucket_ts) AS vals
+          |  FROM lg GROUP BY conv_id
+          |), lidx AS (
+          |  SELECT conv_id, tsv, vals, len(vals) AS n,
+          |         unnest(generate_series(1, len(vals))) AS i
+          |  FROM larr
+          |), lwin AS (
+          |  SELECT conv_id, tsv[i] AS bucket_ts,
+          |    list_transform(generate_series(-2, 2), j ->
+          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
+          |                ELSE i - 1 + j END + 1]) AS w
+          |  FROM lidx
+          |)
+          |SELECT conv_id, bucket_ts,
+          |  round((list_sum(list_transform(w, x -> x * x)) - list_sum(w) * list_sum(w) / 5) / 4 + 1e-9, 4) AS w_var
+          |FROM lwin ORDER BY conv_id, bucket_ts""".stripMargin),
     "dd_exact" ->
       (plantedCte +
         """

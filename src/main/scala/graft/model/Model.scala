@@ -77,7 +77,12 @@ object Tier {
   case object M1 extends Tier("1m", "minute", 60L * 1000)
   case object H1 extends Tier("1h", "hour", 3600L * 1000)
   case object D1 extends Tier("1d", "day", 86400L * 1000)
-  val all: Seq[Tier] = Seq(M1, H1, D1)
+  /** Calendar month — variable width: usable as a cascade/rollup target
+    * (date_trunc) but NOT as a fixed-step grid tier (millis = 0 sentinel).
+    * ≙ the reference's P1M period with month snapping (api_gdalcubes.R:339-352).
+    */
+  case object Mo1 extends Tier("1mo", "month", 0L)
+  val all: Seq[Tier] = Seq(M1, H1, D1, Mo1)
   def of(name: String): Tier = all.find(_.name == name).getOrElse(
     throw new IllegalArgumentException(s"unknown tier $name"))
 }
