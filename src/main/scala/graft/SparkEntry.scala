@@ -286,6 +286,19 @@ object SparkEntry {
         .select("conv_id", "bucket_ts", "w_var")
         .orderBy("conv_id", "bucket_ts")
     }),
+    // north rule: explicit two-phase SALTED aggregation — identical results
+    // to the unsalted path (the oracle aggregates directly), but a hot
+    // conversation's rows spread over 8 reducers in phase 1
+    "ts_rollup_salted" -> ((s, dir) =>
+      Rollup.presentState(Rollup.tierStateSalted(
+        metrics(s, dir).select(col("conv_id"), col("ts"), col("text_len").as("value")),
+        Tier.H1, saltWidth = 8, tsCol = "ts"))
+        .orderBy("conv_id", "bucket_ts")),
+    // §2.1 sits_get_data: nested per-conv series assembly (summary columns
+    // verified; the nested array itself is exercised by the aggregate fold)
+    "ts_get_data" -> ((s, dir) =>
+      Transcripts.assembleSeries(metrics(s, dir), "text_len")
+        .drop("series").orderBy("conv_id")),
     // -- training-data pipeline ops over documents/embeddings --
     // exact dedup: hash-groupBy on content, keep smallest id
     "dd_exact" -> ((s, dir) =>
@@ -731,6 +744,32 @@ private object Oracles {
           |SELECT conv_id, bucket_ts,
           |  round(greatest(1e-4, least(1.0, (value - q02) / (q98 - q02))) + 1e-9, 4) AS v_norm
           |FROM dm, st ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_rollup_salted" ->
+      (cte + metricsCte +
+        """
+          |SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |  count(text_len) AS n,
+          |  round(sum(text_len) + 1e-9, 4) AS sum_v,
+          |  round(sum(text_len) / count(text_len) + 1e-9, 4) AS mean_v,
+          |  min(text_len) AS min_v, max(text_len) AS max_v,
+          |  CASE WHEN count(text_len) > 1 THEN
+          |    round(sqrt(greatest(0.0, (sum(text_len * text_len) - sum(text_len) * sum(text_len) / count(text_len)) / (count(text_len) - 1))) + 1e-9, 4)
+          |  END AS std_v,
+          |  round(max(text_len) - min(text_len) + 1e-9, 4) AS amp_v
+          |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_get_data" ->
+      (cte + metricsCte +
+        """, srt AS (
+          |  SELECT conv_id, ts, text_len AS v,
+          |    row_number() OVER (PARTITION BY conv_id ORDER BY ts, text_len) AS rn,
+          |    count(*) OVER (PARTITION BY conv_id) AS nn
+          |  FROM metrics
+          |)
+          |SELECT conv_id, max(nn) AS n_points, min(ts) AS start_ts, max(ts) AS end_ts,
+          |  max(CASE WHEN rn = 1 THEN v END) AS first_v,
+          |  max(CASE WHEN rn = nn THEN v END) AS last_v,
+          |  round(sum(v) + 1e-9, 4) AS sum_v
+          |FROM srt GROUP BY conv_id ORDER BY conv_id""".stripMargin),
     "ts_rollup_1mo" ->
       (cte + gapfilledCte +
         """

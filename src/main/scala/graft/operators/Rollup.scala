@@ -79,6 +79,36 @@ object Rollup {
         min("min_v").as("min_v"),
         max("max_v").as("max_v"))
 
+  /** Two-phase SALTED tier state for hot-key skew (north rule; the
+    * reference has no skew handling — a big tile is just a slow worker,
+    * SURVEY.md §4): phase 1 groups by (conv, bucket, salt) where salt
+    * spreads one conversation's rows over `saltWidth` reducers; phase 2
+    * merges the salted partials per (conv, bucket). Results are identical
+    * to [[tierState]] (algebraic merge; oracle-checked), but no single
+    * reducer ever sees more than ~1/saltWidth of a hot conversation.
+    * Salt is deterministic (hash of the timestamp), not random — resume
+    * and retries stay reproducible.
+    */
+  def tierStateSalted(series: DataFrame, tier: Tier, saltWidth: Int,
+      tsCol: String = "bucket_ts"): DataFrame =
+    series
+      .withColumn("__salt", pmod(hash(col(tsCol)), lit(saltWidth)))
+      .groupBy(col("conv_id"), date_trunc(tier.unit, col(tsCol)).as("bucket_ts"),
+        col("__salt"))
+      .agg(
+        count(col("value")).as("n"),
+        sum("value").as("sum_v"),
+        sum(col("value") * col("value")).as("sum2_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+      .groupBy(col("conv_id"), col("bucket_ts"))
+      .agg(
+        sum("n").as("n"),
+        sum("sum_v").as("sum_v"),
+        sum("sum2_v").as("sum2_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+
   /** Present algebraic state as user-facing stats: mean, stddev (sample, via
     * moments: sqrt((Σv² − (Σv)²/n)/(n−1))), amplitude. Rounded at the output
     * boundary.

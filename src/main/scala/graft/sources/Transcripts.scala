@@ -58,6 +58,30 @@ object Transcripts {
       |  FROM t0
       |)""".stripMargin
 
+  /** Series assembly ≙ `sits_get_data` / `.ts_get_raster_data`
+    * (/root/reference/R/sits_get_data.R:109, R/api_ts.R:224-333): group a
+    * metric's turns into one nested, time-sorted series row per
+    * conversation — the `sits` tibble shape. One shuffle;
+    * `sort_array(collect_list(struct(...)))` gives deterministic order
+    * regardless of ambient partitioning.
+    */
+  def assembleSeries(metrics: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    metrics
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col(valueCol).as("v"))))
+        .as("series"))
+      .select(col("conv_id"),
+        size(col("series")).as("n_points"),
+        col("series")(0).getField("ts").as("start_ts"),
+        element_at(col("series"), -1).getField("ts").as("end_ts"),
+        col("series")(0).getField("v").as("first_v"),
+        element_at(col("series"), -1).getField("v").as("last_v"),
+        round(expr("aggregate(series, cast(0 as double), (s, p) -> s + p.v)")
+          + lit(1e-9), 4).as("sum_v"),
+        col("series"))
+  }
+
   /** Deterministic seeded transcript generator (FIXTURES.md §1). Distributed:
     * one task per conversation-range; every turn derivable from (seed,
     * convIdx, turnIdx) alone, so output is invariant to partitioning —

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, partial aggregation, salting) must
+  * stay visible in the executed plan — a silent planner regression here is
+  * a 100× slowdown at 10^12 rows long before it's a correctness bug.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("parquet scans prune columns to what the query references") {
+    // events has (event_id, ts, user_id, event_type, value, props); the
+    // regularize path must not read `value`/`event_type`/`props`
+    val p = plan("ts_regular_1m")
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("ts") && scanLine.contains("user_id"))
+    assert(!scanLine.contains("value"), s"unpruned scan: $scanLine")
+  }
+
+  test("predicate pushdown reaches the parquet scan for plain filters") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("aggregations are two-phase (map-side partial combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "no partial aggregation")
+    // densify's quality-first agg is also partial (min_by)
+    assert(plan("ts_regular_1m").contains("partial_min_by"))
+  }
+
+  test("small sides broadcast: densify grid join and base-covariate join") {
+    assert(plan("ts_regular_1m").contains("BroadcastHashJoin"))
+    assert(plan("ts_base_join").contains("BroadcastHashJoin"))
+    assert(plan("ts_normalize").contains("BroadcastNestedLoopJoin") ||
+      plan("ts_normalize").contains("BroadcastHashJoin") ||
+      plan("ts_normalize").contains("BroadcastExchange"))
+  }
+
+  test("salted rollup really is two aggregation phases keyed by __salt") {
+    val p = plan("ts_rollup_salted")
+    assert(p.contains("__salt"))
+    // 4 HashAggregates: partial+final of the salted phase, then
+    // partial+final of the merge phase
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4, p)
+    // final phase keys must NOT include the salt
+    val finalAgg = p.linesIterator.find(l =>
+      l.contains("HashAggregate") && l.contains("functions=[sum(n#")).getOrElse("")
+    assert(!finalAgg.contains("__salt"), s"salt leaked into final keys: $finalAgg")
+  }
+}
