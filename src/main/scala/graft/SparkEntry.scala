@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, ChangeDetect, ChunkStore, Dedup, GapFill, KernelWindows, Merge, Multimodal, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
+import graft.operators.{Accuracy, ChangeDetect, ChunkStore, Dedup, GapFill, KernelWindows, Merge, Mixture, Multimodal, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -299,6 +299,45 @@ object SparkEntry {
     "ts_get_data" -> ((s, dir) =>
       Transcripts.assembleSeries(metrics(s, dir), "text_len")
         .drop("series").orderBy("conv_id")),
+    // §2.7 sits_clean: modal filter over the per-day class-label series
+    // (mirrored window k=1, smallest-label tie-break)
+    "ts_clean" -> ((s, dir) => {
+      val labels = Probs.label(Probs.roleMix(transcripts(s, dir)))
+        .select(col("conv_id"), col("bucket_ts"), col("label").cast("double").as("value"))
+      KernelWindows(labels, k = 1)
+        .select(col("conv_id"), col("bucket_ts"), col("w_modal").cast("int").as("label_clean"))
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.8 sits_geo_dist analog (1-D): min temporal distance from each
+    // sample conversation's start to any reference conversation's start
+    "ts_geo_dist" -> ((s, dir) => {
+      val starts = transcripts(s, dir).groupBy("conv_id")
+        .agg(min(col("ts")).as("start_ts"))
+      val a = starts.filter(substring(col("conv_id"), 7, 1).cast("int") < 5)
+        .select(col("conv_id"), col("start_ts"))
+      val b = starts.filter(substring(col("conv_id"), 7, 1).cast("int") >= 5)
+        .select(col("conv_id").as("ref_id"), col("start_ts").as("ref_ts"))
+      a.crossJoin(broadcast(b))
+        .groupBy(col("conv_id"), col("start_ts"))
+        .agg(min(abs(unix_millis(col("start_ts").cast("timestamp"))
+          - unix_millis(col("ref_ts").cast("timestamp")))).as("min_dist_ms"))
+        .orderBy("conv_id")
+    }),
+    // §2.7 sits_mixture_model: NNLS unmixing of per-(conv,day) feature
+    // vectors against 3 endmember archetypes (Lawson-Hanson — not
+    // SQL-expressible; KKT/brute-force oracle in ScalaTest; rows-only here)
+    "ts_mixture" -> ((s, dir) => {
+      val feats = Regularize.withMetrics(transcripts(s, dir))
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+        .agg((avg("text_len") / 100.0).as("f_len"),
+          avg("is_tool").as("f_tool"),
+          (count(lit(1)) / 10.0).as("f_rate"))
+      Mixture.unmix(s, feats, Seq("f_len", "f_tool", "f_rate"), Seq(
+        "chatty" -> Array(2.0, 0.1, 1.5),
+        "tooly" -> Array(0.8, 0.9, 0.8),
+        "terse" -> Array(0.3, 0.0, 0.2)))
+        .orderBy("conv_id", "bucket_ts")
+    }),
     // -- training-data pipeline ops over documents/embeddings --
     // exact dedup: hash-groupBy on content, keep smallest id
     "dd_exact" -> ((s, dir) =>
@@ -744,6 +783,50 @@ private object Oracles {
           |SELECT conv_id, bucket_ts,
           |  round(greatest(1e-4, least(1.0, (value - q02) / (q98 - q02))) + 1e-9, 4) AS v_norm
           |FROM dm, st ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_clean" ->
+      (cte + probsCte +
+        """, lab AS (
+          |  SELECT conv_id, bucket_ts,
+          |    cast(CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS double) AS v
+          |  FROM probs
+          |), larr AS (
+          |  SELECT conv_id, list(bucket_ts ORDER BY bucket_ts) AS tsv,
+          |         list(v ORDER BY bucket_ts) AS vals
+          |  FROM lab GROUP BY conv_id
+          |), lidx AS (
+          |  SELECT conv_id, tsv, vals, len(vals) AS n,
+          |         unnest(generate_series(1, len(vals))) AS i
+          |  FROM larr
+          |), lwin AS (
+          |  SELECT conv_id, tsv[i] AS bucket_ts,
+          |    list_transform(generate_series(-1, 1), j ->
+          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
+          |                ELSE i - 1 + j END + 1]) AS w
+          |  FROM lidx
+          |), mu AS (
+          |  SELECT conv_id, bucket_ts, unnest(w) AS val FROM lwin
+          |), mc AS (
+          |  SELECT conv_id, bucket_ts, val, count(*) AS c FROM mu GROUP BY 1, 2, 3
+          |)
+          |SELECT conv_id, bucket_ts, cast(val AS int) AS label_clean FROM (
+          |  SELECT conv_id, bucket_ts, val,
+          |    row_number() OVER (PARTITION BY conv_id, bucket_ts ORDER BY c DESC, val ASC) AS rn
+          |  FROM mc) WHERE rn = 1
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_geo_dist" ->
+      (cte +
+        """, starts AS (
+          |  SELECT conv_id, min(ts) AS start_ts FROM transcripts GROUP BY conv_id
+          |), sa AS (
+          |  SELECT conv_id, start_ts FROM starts WHERE cast(substring(conv_id, 7, 1) AS int) < 5
+          |), sb AS (
+          |  SELECT conv_id AS ref_id, start_ts AS ref_ts FROM starts WHERE cast(substring(conv_id, 7, 1) AS int) >= 5
+          |)
+          |SELECT sa.conv_id, sa.start_ts,
+          |  min(abs(epoch_ms(sa.start_ts) - epoch_ms(sb.ref_ts))) AS min_dist_ms
+          |FROM sa CROSS JOIN sb
+          |GROUP BY 1, 2 ORDER BY sa.conv_id""".stripMargin),
     "ts_rollup_salted" ->
       (cte + metricsCte +
         """

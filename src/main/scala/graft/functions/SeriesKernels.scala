@@ -357,6 +357,78 @@ object SeriesKernels {
     math.pow(prev(m - 1), 1.0 / p)
   }
 
+  // ---- mixture model (/root/reference/src/nnls_solver.cpp) ----
+
+  /** Non-negative least squares min‖Ax−b‖, x≥0, by the Lawson-Hanson active
+    * set method (the published algorithm behind the reference's per-pixel
+    * endmember unmixing). A is m×n dense, small (endmember count ≤ ~8).
+    */
+  def nnls(a: Array[Array[Double]], b: Array[Double], maxIter: Int = 200): Array[Double] = {
+    val m = a.length
+    val n = a(0).length
+    val x = new Array[Double](n)
+    val passive = Array.fill(n)(false)
+    def residual(): Array[Double] = {
+      val r = b.clone()
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < n) { r(i) -= a(i)(j) * x(j); j += 1 }
+        i += 1
+      }
+      r
+    }
+    def gradient(r: Array[Double]): Array[Double] =
+      Array.tabulate(n)(j => (0 until m).map(i => a(i)(j) * r(i)).sum)
+    def lsOnPassive(): Array[Double] = {
+      val idx = (0 until n).filter(passive).toArray
+      if (idx.isEmpty) return new Array[Double](n)
+      val k = idx.length
+      val g = Array.tabulate(k, k)((p, q) =>
+        (0 until m).map(i => a(i)(idx(p)) * a(i)(idx(q))).sum)
+      val rhs = Array.tabulate(k)(p => (0 until m).map(i => a(i)(idx(p)) * b(i)).sum)
+      val z = solveDense(g, rhs)
+      val full = new Array[Double](n)
+      idx.zipWithIndex.foreach { case (j, p) => full(j) = z(p) }
+      full
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      val w = gradient(residual())
+      var best = -1
+      var bw = 1e-10
+      var j = 0
+      while (j < n) { if (!passive(j) && w(j) > bw) { bw = w(j); best = j }; j += 1 }
+      if (best < 0) return x // KKT satisfied
+      passive(best) = true
+      var z = lsOnPassive()
+      // inner loop: while the trial solution leaves the feasible region,
+      // step to the boundary and drop the blocking variables
+      while ((0 until n).exists(j2 => passive(j2) && z(j2) <= 0)) {
+        var alpha = Double.MaxValue
+        var j2 = 0
+        while (j2 < n) {
+          if (passive(j2) && z(j2) <= 0) {
+            val r = x(j2) / (x(j2) - z(j2))
+            if (r < alpha) alpha = r
+          }
+          j2 += 1
+        }
+        j2 = 0
+        while (j2 < n) {
+          if (passive(j2)) x(j2) = x(j2) + alpha * (z(j2) - x(j2))
+          if (passive(j2) && x(j2) <= 1e-12) { x(j2) = 0; passive(j2) = false }
+          j2 += 1
+        }
+        z = lsOnPassive()
+      }
+      var j3 = 0
+      while (j3 < n) { if (passive(j3)) x(j3) = z(j3); j3 += 1 }
+      iter += 1
+    }
+    x
+  }
+
   // ---- bayts change detection (/root/reference/src/bayts_fns.cpp) ----
 
   private def dnorm(x: Double, mean: Double, sd: Double): Double =

@@ -138,6 +138,60 @@ class SeriesKernelsSpec extends AnyFunSuite {
     // [x0,x0,NaN]→1 ; [1,NaN,3]→2 ; [NaN,3,3]→3
     assveq(out, Array(1.0, 2.0, 3.0))
   }
+  test("nnls matches brute-force best active set (all 2^n subsets)") {
+    val rnd = new java.util.Random(7)
+    def solve(aSub: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      // unconstrained LS via normal equations (tiny)
+      val m = aSub.length; val n = aSub(0).length
+      val g = Array.tabulate(n, n)((p, q) => (0 until m).map(i => aSub(i)(p) * aSub(i)(q)).sum)
+      val rhs = Array.tabulate(n)(p => (0 until m).map(i => aSub(i)(p) * b(i)).sum)
+      // Gaussian elimination
+      val a2 = g.map(_.clone()); val b2 = rhs.clone()
+      for (c <- 0 until n) {
+        val piv = (c until n).maxBy(r => math.abs(a2(r)(c)))
+        val t = a2(c); a2(c) = a2(piv); a2(piv) = t
+        val tb = b2(c); b2(c) = b2(piv); b2(piv) = tb
+        for (r <- c + 1 until n) {
+          val f = a2(r)(c) / a2(c)(c)
+          for (c2 <- c until n) a2(r)(c2) -= f * a2(c)(c2)
+          b2(r) -= f * b2(c)
+        }
+      }
+      val x = new Array[Double](n)
+      for (i <- n - 1 to 0 by -1) {
+        var s = b2(i)
+        for (j <- i + 1 until n) s -= a2(i)(j) * x(j)
+        x(i) = s / a2(i)(i)
+      }
+      x
+    }
+    def rss(a: Array[Array[Double]], x: Array[Double], b: Array[Double]): Double =
+      (0 until a.length).map { i =>
+        val d = b(i) - (0 until x.length).map(j => a(i)(j) * x(j)).sum; d * d
+      }.sum
+    for (_ <- 0 until 50) {
+      val m = 4; val n = 3
+      val a = Array.fill(m, n)(rnd.nextDouble())
+      val b = Array.fill(m)(rnd.nextDouble() * 2 - 0.5)
+      val x = nnls(a, b)
+      assert(x.forall(_ >= 0))
+      // brute force: best feasible solution over all active subsets
+      var best = rss(a, new Array[Double](n), b)
+      for (mask <- 1 until (1 << n)) {
+        val idx = (0 until n).filter(j => (mask & (1 << j)) != 0).toArray
+        val aSub = a.map(row => idx.map(row))
+        val z = solve(aSub, b)
+        if (z.forall(_ >= -1e-12)) {
+          val full = new Array[Double](n)
+          idx.zipWithIndex.foreach { case (j, p) => full(j) = math.max(z(p), 0) }
+          best = math.min(best, rss(a, full, b))
+        }
+      }
+      assert(rss(a, x, b) <= best + 1e-8,
+        s"nnls rss ${rss(a, x, b)} vs brute $best")
+    }
+  }
+
   test("bayts: confirm after Bayesian accumulation; reject on drop") {
     // p = [0.1, 0.9, 0.9]: flag at t=1 (pchange = pbayes(0.1,0.9) = 0.5),
     // t=2: pbayes(0.5, 0.9) = 0.9 ≥ chi → confirmed at index 2
