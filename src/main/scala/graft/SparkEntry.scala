@@ -338,6 +338,13 @@ object SparkEntry {
         "terse" -> Array(0.3, 0.0, 0.2)))
         .orderBy("conv_id", "bucket_ts")
     }),
+    // §2.8 sits_cluster_dendro: single-linkage clustering over pairwise DTW
+    // distances (distributed distance matrix, driver-side dendrogram cut —
+    // not SQL-expressible; deterministic; rows-only driver check)
+    "ts_cluster" -> ((s, dir) =>
+      ChangeDetect.clusterDendro(s,
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"),
+        nClusters = 5).orderBy("conv_id")),
     // -- training-data pipeline ops over documents/embeddings --
     // exact dedup: hash-groupBy on content, keep smallest id
     "dd_exact" -> ((s, dir) =>

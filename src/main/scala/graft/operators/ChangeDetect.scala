@@ -86,6 +86,51 @@ object ChangeDetect {
       .toDF("conv_id", "change_idx", "changed")
   }
 
+  /** Agglomerative (single-linkage) clustering over pairwise DTW distances
+    * ≙ `sits_cluster_dendro` (/root/reference/R/sits_cluster.R:59+, which
+    * delegates to dtwclust hierarchical clustering). Series are collected
+    * (the reference clusters SAMPLE sets — thousands, not the cube; at
+    * larger scale the pairwise matrix itself would be the crossJoin), the
+    * O(k²) DTW matrix is computed distributed (one task per series row vs
+    * the broadcast set), and the dendrogram cut at `nClusters` runs on the
+    * driver (k² merges, trivial).
+    * Returns (conv_id, cluster) with clusters numbered by smallest member.
+    */
+  def clusterDendro(spark: SparkSession, series: DataFrame, nClusters: Int,
+      p: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val arrs: Array[(String, Array[Double])] = series
+      .select(col("conv_id"), col("idx").cast("int"), col("value").cast("double"))
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).toArray
+      .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) }
+      .sortBy(_._1)
+    val k = arrs.length
+    val bc = spark.sparkContext.broadcast(arrs.map(_._2))
+    // distributed pairwise DTW (upper triangle)
+    val dists = spark.range(0, k.toLong, 1, math.min(k, 64)).as[Long]
+      .flatMap { i =>
+        val vi = bc.value(i.toInt)
+        (i.toInt + 1 until bc.value.length).iterator.map { j =>
+          (i.toInt, j, SeriesKernels.dtw(vi, bc.value(j), p))
+        }
+      }.collect()
+    // driver-side single-linkage agglomeration down to nClusters
+    val parent = Array.tabulate(k)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    var groups = k
+    dists.sortBy(_._3).foreach { case (i, j, _) =>
+      if (groups > nClusters) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) { parent(math.max(ri, rj)) = math.min(ri, rj); groups -= 1 }
+      }
+    }
+    val roots = (0 until k).map(find)
+    val renumber = roots.distinct.sorted.zipWithIndex.toMap
+    arrs.indices.map(i => (arrs(i)._1, renumber(roots(i)) + 1))
+      .toDF("conv_id", "cluster")
+  }
+
   /** Day-index series of a metric (shared input shape for this module). */
   def daySeries(transcripts: DataFrame, metric: String, origin: String): DataFrame =
     Regularize.withMetrics(transcripts)

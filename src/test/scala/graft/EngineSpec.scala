@@ -133,6 +133,21 @@ class EngineSpec extends AnyFunSuite {
     filled.unpersist(); chunks.unpersist()
   }
 
+  test("clusterDendro separates two obvious series families") {
+    val rows = for {
+      (conv, base) <- Seq("a1" -> 1.0, "a2" -> 1.2, "a3" -> 0.9,
+        "b1" -> 50.0, "b2" -> 49.5)
+      i <- 0 until 10
+    } yield (conv, i, base + i * 0.01)
+    val df = rows.toDF("conv_id", "idx", "value")
+    val out = graft.operators.ChangeDetect.clusterDendro(spark, df, nClusters = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out("a1") == out("a2") && out("a2") == out("a3"))
+    assert(out("b1") == out("b2"))
+    assert(out("a1") != out("b1"))
+    assert(out.values.toSet == Set(1, 2))
+  }
+
   test("reference timeline rule: max-min..min-max, asserts start<=end") {
     def mkTurn(conv: String, idx: Int, min: Long) =
       graft.model.Turn(conv, idx, "user", s"$conv:$idx:x", null,
