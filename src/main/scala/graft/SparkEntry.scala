@@ -37,10 +37,13 @@ object SparkEntry {
     GapFill.fillDense(s, Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1)
 
   /** Day-1 slice of the gap-filled 1m grid — shared input of the per-series
-    * kernel queries (windows/smoothers/codec).
+    * kernel queries (windows/smoothers/codec). The fill always uses the full
+    * series; only the emission is bounded (30× less kernel output).
     */
   private def day1(s: SparkSession, dir: String): DataFrame =
-    gapfilled(s, dir).filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
+    GapFill.fillDense(s, Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1,
+      // 2024-01-02T00:00:00Z as epoch millis (TZ-independent construction)
+      emitBefore = Some(new java.sql.Timestamp(1704153600000L)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -65,9 +68,7 @@ object SparkEntry {
         .orderBy("conv_id", "bucket_ts")),
     // §2.4 gap-fill (impute_linear semantics; filled on full grid, day-1 out)
     "ts_gapfill_1m" -> ((s, dir) =>
-      gapfilled(s, dir)
-        .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
-        .orderBy("conv_id", "bucket_ts")),
+      day1(s, dir).orderBy("conv_id", "bucket_ts")),
     // §2.6 t_* rollup of the gap-filled 1m grid into 1h buckets — fused
     // per-series kernel (fill+stats in one group pass; the dense grid never
     // shuffles), same semantics as the relational Rollup.rollup path
@@ -86,11 +87,9 @@ object SparkEntry {
     // north rule: Gorilla+delta-of-delta chunk encode → decode round trip —
     // bit-exact, so the gap-fill oracle doubles as the codec oracle
     "ts_chunk_roundtrip" -> ((s, dir) => {
-      // filter BEFORE encode: commutes with the round-trip identity and keeps
-      // the bench measuring codec throughput, not a decode-then-discard scan
-      val day1 = gapfilled(s, dir)
-        .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
-      val chunks = ChunkStore.encode(s, day1, Tier.M1)
+      // encode the day-1 slice: commutes with the round-trip identity and
+      // keeps the bench measuring codec throughput, not a discard scan
+      val chunks = ChunkStore.encode(s, day1(s, dir), Tier.M1)
       ChunkStore.decode(s, chunks).orderBy("conv_id", "bucket_ts")
     }),
     // §2.6 whole-series reduction (sits_reduce on samples; date = min ts)

@@ -69,8 +69,13 @@ object GapFill {
     * retention window, not by turn count (≙ the reference's memory-bounded
     * block planning, /root/reference/R/api_jobs.R:10-81).
     */
-  def fillDense(spark: SparkSession, firstValid: DataFrame, tier: graft.model.Tier): DataFrame = {
+  def fillDense(spark: SparkSession, firstValid: DataFrame, tier: graft.model.Tier,
+      emitBefore: Option[java.sql.Timestamp] = None): DataFrame = {
     import spark.implicits._
+    // interpolation always uses the FULL series; emitBefore only bounds the
+    // rows serialized out of the kernel (a consumer that keeps one day of a
+    // 30-day grid would otherwise pay 30× the emission it reads)
+    val bound = emitBefore.map(_.getTime).getOrElse(Long.MaxValue)
     firstValid
       .select(col("conv_id"), unix_millis(col("bucket_ts")).as("t"),
         col("value").cast("double").as("v"))
@@ -85,8 +90,9 @@ object GapFill {
         val n = ((obs.last._2 - t0) / step + 1).toInt
         val vs = Array.fill(n)(Double.NaN)
         obs.foreach { o => vs(((o._2 - t0) / step).toInt) = o._3.getOrElse(Double.NaN) }
-        val filled = SeriesKernels.imputeLinear(vs)
-        Iterator.tabulate(n) { i =>
+        val filled = SeriesKernels.imputeLinearInPlace(vs)
+        val nEmit = math.min(n.toLong, math.max(0L, (bound - t0 + step - 1) / step)).toInt
+        Iterator.tabulate(nEmit) { i =>
           (conv, t0 + i * step, if (filled(i).isNaN) None else Some(filled(i)))
         }
       }

@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   *    order + strict max_element, kernel.cpp:45-67);
   *  - sd/var are sample statistics (R sd/var, /(m-1)).
   *
-  * Implementation is pure Catalyst higher-order functions over per-conv
-  * sorted arrays: one shuffle (the groupBy), then posexplode + transform/
-  * aggregate lambdas — fully codegen-friendly, no UDFs. Because windows are
-  * always full (2k+1, no NaN on a gap-filled grid) the median needs no
-  * interpolation: it is the (k+1)-th order statistic.
+  * Execution shape: ALL per-index stats are computed inside ONE expression
+  * at the conversation-row level (`transform(sequence(0, n-1), pos -> …)`),
+  * and only the small per-point result structs are exploded. Exploding the
+  * series array first and computing per row would copy the whole
+  * |timeline|-element array into every output row — O(n²) memory traffic
+  * per conversation (measured ~25 GB of row copies at sf0.1).
+  * One shuffle (the groupBy); no UDFs. Because windows are always full
+  * (2k+1, no NaN on a gap-filled grid) the median needs no interpolation:
+  * it is the (k+1)-th order statistic.
   */
 object KernelWindows {
 
@@ -29,13 +33,15 @@ object KernelWindows {
   def apply(grid: DataFrame, k: Int): DataFrame = {
     val m = 2 * k + 1
     val r4 = (c: org.apache.spark.sql.Column) => round(c + lit(1e-9), 4)
-    val mirrored =
-      s"""transform(sequence(-$k, $k), j -> element_at(vals,
-         |  (CASE WHEN pos + j < 0 THEN -(pos + j) - 1
-         |        WHEN pos + j >= n THEN 2*n - (pos + j) - 1
-         |        ELSE pos + j END) + 1))""".stripMargin
     // first-longest-run over the ascending sorted window = modal value with
     // smallest-value tie-break (strict > keeps the earliest maximal run)
+    val perPoint =
+      s"""transform(sequence(0, n - 1), pos -> named_struct(
+         |  'bucket_ts', element_at(ts, pos + 1),
+         |  'win', transform(sequence(-$k, $k), j -> element_at(vals,
+         |    (CASE WHEN pos + j < 0 THEN -(pos + j) - 1
+         |          WHEN pos + j >= n THEN 2*n - (pos + j) - 1
+         |          ELSE pos + j END) + 1))))""".stripMargin
     val modal =
       """aggregate(array_sort(win),
         |  named_struct('best', cast(null as double), 'bc', 0,
@@ -56,10 +62,9 @@ object KernelWindows {
         expr("transform(pts, p -> p.bucket_ts)").as("ts"),
         expr("transform(pts, p -> cast(p.value as double))").as("vals"))
       .withColumn("n", size(col("vals")))
-      .select(col("conv_id"), col("ts"), col("vals"), col("n"),
-        posexplode(col("vals")).as(Seq("pos", "x0")))
-      .withColumn("bucket_ts", expr("element_at(ts, pos + 1)"))
-      .withColumn("win", expr(mirrored))
+      .select(col("conv_id"), explode(expr(perPoint)).as("pt"))
+      .select(col("conv_id"), col("pt.bucket_ts").as("bucket_ts"),
+        col("pt.win").as("win"))
       .withColumn("s1", expr("aggregate(win, cast(0 as double), (a, x) -> a + x)"))
       .withColumn("s2", expr("aggregate(win, cast(0 as double), (a, x) -> a + x * x)"))
       .select(
