@@ -133,6 +133,27 @@ class EngineSpec extends AnyFunSuite {
     filled.unpersist(); chunks.unpersist()
   }
 
+  test("fillDense emitBefore bounds emission without changing fill values") {
+    import graft.operators.{GapFill, Regularize}
+    def mk(conv: String, idx: Int, min: Long) =
+      graft.model.Turn(conv, idx, "user", s"$conv:$idx:" + ("y" * idx), null,
+        new java.sql.Timestamp(1735689600000L + min * 60000L))
+    val t = Seq(mk("a", 0, 0), mk("a", 1, 5), mk("a", 2, 9)).toDS().toDF()
+    val fv = Regularize.firstValid(t, graft.model.Tier.M1)
+    val full = GapFill.fillDense(spark, fv, graft.model.Tier.M1)
+      .orderBy("bucket_ts").collect()
+    assert(full.length == 10)
+    // bound mid-grid: prefix identical, rest absent
+    val bounded = GapFill.fillDense(spark, fv, graft.model.Tier.M1,
+      emitBefore = Some(new java.sql.Timestamp(1735689600000L + 4 * 60000L)))
+      .orderBy("bucket_ts").collect()
+    assert(bounded.length == 4)
+    assert(bounded.map(_.toString).toSeq == full.take(4).map(_.toString).toSeq)
+    // bound before the series start: nothing
+    assert(GapFill.fillDense(spark, fv, graft.model.Tier.M1,
+      emitBefore = Some(new java.sql.Timestamp(1735689600000L - 60000L))).count() == 0)
+  }
+
   test("clusterDendro separates two obvious series families") {
     val rows = for {
       (conv, base) <- Seq("a1" -> 1.0, "a2" -> 1.2, "a3" -> 0.9,
