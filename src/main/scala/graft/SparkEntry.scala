@@ -256,11 +256,18 @@ object SparkEntry {
       Accuracy.samplingDesign(
         Regularize.withMetrics(transcripts(s, dir)), "role", "text_len", 1000)
         .orderBy("stratum")),
-    // §2.9 uncertainty sampling: global top-20 highest-entropy cells
+    // §2.9 uncertainty sampling: global top-20 highest-entropy cells —
+    // orderBy().limit() = TakeOrderedAndProject (per-partition top-k +
+    // merge), the scale-safe shape; the rank is assigned AFTER the limit,
+    // over a ≤20-row bounded set (partitionBy(lit(0)) keeps the window spec
+    // non-empty: no "No Partition Defined" single-partition move of the
+    // full relation, which the round-1 global row_number window did)
     "ts_topk_uncertain" -> ((s, dir) => {
       val u = Probs.uncertainty(Probs.roleMix(transcripts(s, dir)))
-      val w = Window.orderBy(col("entropy").desc, col("conv_id"), col("bucket_ts"))
-      u.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+      val ord = Seq(col("entropy").desc, col("conv_id").asc, col("bucket_ts").asc)
+      val top = u.orderBy(ord: _*).limit(20)
+      val w = Window.partitionBy(lit(0)).orderBy(ord: _*)
+      top.withColumn("rk", row_number().over(w))
         .select("rk", "conv_id", "bucket_ts", "entropy")
         .orderBy("rk")
     }),
@@ -615,9 +622,10 @@ private object Oracles {
         """, win AS (
           |  SELECT conv_id, tsv[i] AS bucket_ts,
           |    list_transform(generate_series(-2, 2), j ->
-          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |      vals[greatest(0, least(n - 1,
+          |           CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
           |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
-          |                ELSE i - 1 + j END + 1]) AS w
+          |                ELSE i - 1 + j END)) + 1]) AS w
           |  FROM idx
           |), stats AS (
           |  SELECT conv_id, bucket_ts,
@@ -676,9 +684,10 @@ private object Oracles {
           |), lwin AS (
           |  SELECT conv_id, tsv[i] AS bucket_ts, vals[i] AS x0,
           |    list_transform(generate_series(-2, 2), j ->
-          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |      vals[greatest(0, least(n - 1,
+          |           CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
           |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
-          |                ELSE i - 1 + j END + 1]) AS w
+          |                ELSE i - 1 + j END)) + 1]) AS w
           |  FROM lidx
           |), lhigh AS (
           |  SELECT conv_id, bucket_ts, x0, list_slice(list_sort(w, 'DESC'), 1, 4) AS h FROM lwin
@@ -806,9 +815,10 @@ private object Oracles {
           |), lwin AS (
           |  SELECT conv_id, tsv[i] AS bucket_ts,
           |    list_transform(generate_series(-1, 1), j ->
-          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |      vals[greatest(0, least(n - 1,
+          |           CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
           |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
-          |                ELSE i - 1 + j END + 1]) AS w
+          |                ELSE i - 1 + j END)) + 1]) AS w
           |  FROM lidx
           |), mu AS (
           |  SELECT conv_id, bucket_ts, unnest(w) AS val FROM lwin
@@ -941,9 +951,10 @@ private object Oracles {
           |), lwin AS (
           |  SELECT conv_id, tsv[i] AS bucket_ts,
           |    list_transform(generate_series(-2, 2), j ->
-          |      vals[CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |      vals[greatest(0, least(n - 1,
+          |           CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
           |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
-          |                ELSE i - 1 + j END + 1]) AS w
+          |                ELSE i - 1 + j END)) + 1]) AS w
           |  FROM lidx
           |)
           |SELECT conv_id, bucket_ts,
@@ -1093,12 +1104,20 @@ private object Oracles {
       ("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin),
     "mm_features" ->
-      ("""SELECT doc_id,
-          |  octet_length(cast(text AS BLOB)) AS byte_len,
-          |  64 + (octet_length(cast(text AS BLOB)) % 64) AS width,
-          |  64 + (ascii(substr(text, 1, 1)) % 64) AS height,
-          |  octet_length(cast(text AS BLOB)) // 100 + 1 AS frames
-          |FROM documents ORDER BY doc_id""".stripMargin),
+      // height derives from the FIRST UTF-8 BYTE of the payload (the Spark
+      // stub reads bytes(0) & 0xff) — ascii() would give the first CODEPOINT
+      // and diverge on any document starting with a non-ASCII character
+      ("""WITH mm AS (
+          |  SELECT doc_id, octet_length(cast(text AS BLOB)) AS byte_len,
+          |    (strpos('0123456789ABCDEF', substr(hex(cast(text AS BLOB)), 1, 1)) - 1) * 16
+          |      + strpos('0123456789ABCDEF', substr(hex(cast(text AS BLOB)), 2, 1)) - 1 AS b0
+          |  FROM documents
+          |)
+          |SELECT doc_id, byte_len,
+          |  64 + (byte_len % 64) AS width,
+          |  64 + (b0 % 64) AS height,
+          |  byte_len // 100 + 1 AS frames
+          |FROM mm ORDER BY doc_id""".stripMargin),
   )
 
   /** Planted-duplicate corpus shared by the dd_* oracles (mirrors

@@ -34,7 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit every oracle under BOTH `<name>` and `<name>.parquet` keys: the
+    // driver keys its CORRECTNESS compare by the Spark output DIRECTORY name
+    // (`<name>.parquet`), while this map is keyed by bare query name — round 1
+    // recorded err=no_oracle for every query because of exactly this mismatch.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -97,8 +97,16 @@ object ChangeDetect {
     * Returns (conv_id, cluster) with clusters numbered by smallest member.
     */
   def clusterDendro(spark: SparkSession, series: DataFrame, nClusters: Int,
-      p: Double = 2.0): DataFrame = {
+      p: Double = 2.0, maxSeries: Int = 100000): DataFrame = {
     import spark.implicits._
+    // SAMPLE-SET contract (matches the reference, which clusters sample
+    // tibbles, sits_cluster.R:59): the series set is collected to the driver
+    // and the distance matrix is O(k²). Guard so a user cannot point this at
+    // a full cube — at cube scale, sample first (ts_sample_strat / sampleBy).
+    val nSeries = series.select("conv_id").distinct().count()
+    require(nSeries <= maxSeries,
+      s"clusterDendro is a sample-set operator: got $nSeries series > " +
+        s"maxSeries=$maxSeries; sample the input first (O(k²) distance matrix)")
     val arrs: Array[(String, Array[Double])] = series
       .select(col("conv_id"), col("idx").cast("int"), col("value").cast("double"))
       .as[(String, Int, Double)].collect()

@@ -35,13 +35,18 @@ object KernelWindows {
     val r4 = (c: org.apache.spark.sql.Column) => round(c + lit(1e-9), 4)
     // first-longest-run over the ascending sorted window = modal value with
     // smallest-value tie-break (strict > keeps the earliest maximal run)
+    // the reflected index is clamped to [0, n-1] exactly like
+    // SeriesKernels.mirror — for n ≤ k a single reflection still lands
+    // out of range (e.g. n=1, j=-2 → reflect 1 ≥ n) and unclamped
+    // element_at would throw under ANSI mode
     val perPoint =
       s"""transform(sequence(0, n - 1), pos -> named_struct(
          |  'bucket_ts', element_at(ts, pos + 1),
          |  'win', transform(sequence(-$k, $k), j -> element_at(vals,
-         |    (CASE WHEN pos + j < 0 THEN -(pos + j) - 1
-         |          WHEN pos + j >= n THEN 2*n - (pos + j) - 1
-         |          ELSE pos + j END) + 1))))""".stripMargin
+         |    greatest(0, least(n - 1,
+         |      CASE WHEN pos + j < 0 THEN -(pos + j) - 1
+         |           WHEN pos + j >= n THEN 2*n - (pos + j) - 1
+         |           ELSE pos + j END)) + 1))))""".stripMargin
     val modal =
       """aggregate(array_sort(win),
         |  named_struct('best', cast(null as double), 'bc', 0,

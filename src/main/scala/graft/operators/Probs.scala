@@ -96,11 +96,14 @@ object Probs {
     val m = 2 * k + 1
     val hi = math.ceil(fraction * m).toInt
     val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    // reflected index clamped to [0, n-1] (SeriesKernels.mirror semantics);
+    // without the clamp an n ≤ k series indexes past the array bounds
     val mirrored =
       s"""transform(sequence(-$k, $k), j -> element_at(vals,
-         |  (CASE WHEN pos + j < 0 THEN -(pos + j) - 1
-         |        WHEN pos + j >= n THEN 2*n - (pos + j) - 1
-         |        ELSE pos + j END) + 1))""".stripMargin
+         |  greatest(0, least(n - 1,
+         |    CASE WHEN pos + j < 0 THEN -(pos + j) - 1
+         |         WHEN pos + j >= n THEN 2*n - (pos + j) - 1
+         |         ELSE pos + j END)) + 1))""".stripMargin
     series
       .groupBy("conv_id")
       .agg(sort_array(collect_list(struct(col("bucket_ts"), col("logit")))).as("pts"))

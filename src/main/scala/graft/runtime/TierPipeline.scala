@@ -47,7 +47,9 @@ object TierPipeline {
     import scala.jdk.CollectionConverters._
     Files.readAllLines(p).asScala
       .filter(l => l.contains("\"status\":\"committed\"") &&
-        l.contains(s""""snapshotId":$snapshotId"""))
+        // trailing comma included: a bare substring match would let snapshot
+        // 123 falsely match a line for snapshot 1234
+        l.contains(s""""snapshotId":$snapshotId,"""))
       .flatMap { l =>
         """"bucket":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt)
       }.toSet
@@ -77,7 +79,7 @@ object TierPipeline {
     import scala.jdk.CollectionConverters._
     Files.readAllLines(p).asScala
       .filter(l => l.contains("\"status\":\"committed\"") &&
-        l.contains(s""""snapshotId":$snapshotId"""))
+        l.contains(s""""snapshotId":$snapshotId,"""))
       .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
       .distinct.toSeq
   }

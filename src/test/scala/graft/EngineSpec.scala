@@ -169,6 +169,40 @@ class EngineSpec extends AnyFunSuite {
     assert(out.values.toSet == Set(1, 2))
   }
 
+  test("clusterDendro guard rejects cube-scale input (sample-set contract)") {
+    val rows = for (c <- 0 until 6; i <- 0 until 4)
+      yield (s"c$c", i, c.toDouble)
+    val df = rows.toDF("conv_id", "idx", "value")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.ChangeDetect.clusterDendro(spark, df, nClusters = 2,
+        maxSeries = 5)
+    }
+  }
+
+  test("kernel windows on series shorter than the window: clamp matches SeriesKernels.mirror") {
+    // n=1 and n=2 with k=2: the reflected index escapes [0, n-1] after one
+    // reflection (e.g. n=1, j=-2 → 1); the clamp must keep it in range, in
+    // the engine AND (by construction) in the mirrored oracle SQL
+    val t0 = 1735689600000L
+    val pts = Seq(("s1", new java.sql.Timestamp(t0), 5.0),
+      ("s2", new java.sql.Timestamp(t0), 1.0),
+      ("s2", new java.sql.Timestamp(t0 + 60000L), 3.0))
+    val out = graft.operators.KernelWindows(
+      pts.toDF("conv_id", "bucket_ts", "value"), k = 2)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r).toMap
+    // s1 (n=1): every window slot mirrors+clamps to the single value
+    val r1 = out(("s1", t0))
+    assert(r1.getAs[Double]("w_sum") == 25.0 && r1.getAs[Double]("w_mean") == 5.0)
+    assert(r1.getAs[Double]("w_sd") == 0.0 && r1.getAs[Double]("w_modal") == 5.0)
+    // s2 (n=2): kernel-oracle comparison against SeriesKernels.windowed
+    val v = Array(1.0, 3.0)
+    val expMean = SeriesKernels.windowed(v, 2, a => a.sum / a.length)
+    assert(out(("s2", t0)).getAs[Double]("w_mean") ==
+      math.rint((expMean(0) + 1e-9) * 1e4) / 1e4)
+    assert(out(("s2", t0 + 60000L)).getAs[Double]("w_mean") ==
+      math.rint((expMean(1) + 1e-9) * 1e4) / 1e4)
+  }
+
   test("reference timeline rule: max-min..min-max, asserts start<=end") {
     def mkTurn(conv: String, idx: Int, min: Long) =
       graft.model.Turn(conv, idx, "user", s"$conv:$idx:x", null,

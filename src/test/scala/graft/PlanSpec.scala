@@ -42,9 +42,27 @@ class PlanSpec extends AnyFunSuite {
   test("small sides broadcast: densify grid join and base-covariate join") {
     assert(plan("ts_regular_1m").contains("BroadcastHashJoin"))
     assert(plan("ts_base_join").contains("BroadcastHashJoin"))
-    assert(plan("ts_normalize").contains("BroadcastNestedLoopJoin") ||
-      plan("ts_normalize").contains("BroadcastHashJoin") ||
-      plan("ts_normalize").contains("BroadcastExchange"))
+  }
+
+  test("normalize has no single-reducer percentile and no join at all") {
+    // exactQuantiles folds q02/q98 in as literals; the data-side plan must
+    // carry neither a Percentile aggregate (whose final merge buffers every
+    // value on one task) nor any join/single-partition exchange
+    val p = plan("ts_normalize")
+    assert(!p.contains("percentile"), s"percentile agg survived:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition exchange:\n$p")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global window") {
+    val p = plan("ts_topk_uncertain")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+    // the only window runs AFTER the limit over ≤20 rows, partitioned by a
+    // constant — the unbounded relation itself must never hit a
+    // single-partition exchange
+    val beforeLimit = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!beforeLimit.contains("SinglePartition"),
+      s"single-partition exchange below the limit:\n$p")
   }
 
   test("salted rollup really is two aggregation phases keyed by __salt") {

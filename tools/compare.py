@@ -17,6 +17,9 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.sql(f"create view {name} as select * from '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# oracle_sql.json now carries each entry under both `<name>` and
+# `<name>.parquet` (driver key format) — compare each query once
+oracle = {k: v for k, v in oracle.items() if not k.endswith(".parquet")}
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}.parquet"
