@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, ChangeDetect, ChunkStore, Dedup, GapFill, KernelWindows, Merge, Mixture, Multimodal, Predictors, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, GapFill, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -351,6 +351,75 @@ object SparkEntry {
       ChangeDetect.clusterDendro(s,
         ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"),
         nClusters = 5).orderBy("conv_id")),
+    // §2.3 arbitrary ISO period grid (P16D, the reference's MODIS default):
+    // full timeline rule (max-min..min-max extent, snapped origin, buckets
+    // [t_i, t_i+P), cut() drop outside [t_1, t_last+P)) — bucket assignment
+    // is pure arithmetic, no timeline join
+    "ts_rollup_p16d" -> ((s, dir) =>
+      PeriodTiers.rollupPeriod(
+        metrics(s, dir).select(col("conv_id"), col("ts"), col("text_len").as("value")),
+        "P16D").orderBy("conv_id", "bucket_ts")),
+    // §2.5 general sits_apply expression API: new metrics from arbitrary
+    // Catalyst expressions over existing metrics, incl. w_* kernel refs
+    "ts_apply_expr" -> ((s, dir) => {
+      val dm = metrics(s, dir)
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+        .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
+      val withLg = Apply.withMetric(dm, "lg", "round(log(value + 1.0D) + 1e-9, 4)")
+      Apply.withMetric(withLg, "anomaly",
+        "round(value - w_mean(value, 2) + 1e-9, 4)")
+        .select("conv_id", "bucket_ts", "value", "lg", "anomaly")
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.10 .merge_strategy_intersects: interval-overlap matching of a daily
+    // and a 3-daily grid; side 2 re-dated onto side 1's matched instants
+    "ts_merge_intersects" -> ((s, dir) => {
+      val m = metrics(s, dir)
+      val t1 = m.groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+        .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
+      val t2 = m.groupBy(col("conv_id"),
+          PeriodTiers.bucket(col("ts"), java.time.LocalDate.of(2024, 1, 1),
+            PeriodTiers.Period(3, PeriodTiers.Day)).as("bucket_ts"))
+        .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
+      Merge.intersectsAlign(t1, t2)
+        .orderBy("conv_id", "bucket_ts", "src", "value")
+    }),
+    // §2.9 softmax scoring harness (api_classify.R:435-505 shape): batched
+    // mapPartitions linear stub model → stable log-sum-exp softmax → probs
+    // relation consumable by the Probs operator family
+    "ts_softmax" -> ((s, dir) => {
+      Classify.score(s, softmaxFeatures(s, dir), Seq("f1", "f2", "f3"),
+        weights = Array(Array(0.8, -1.2, 0.3), Array(-0.5, 2.0, 0.1),
+          Array(0.2, 0.4, -0.7)),
+        bias = Array(0.1, -0.2, 0.05))
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.2 stratified train/validation split (.tibble_samples_split)
+    "ts_split" -> ((s, dir) =>
+      Select.trainValSplit(transcripts(s, dir), trainPct = 80)
+        .orderBy("conv_id", "turn_idx")),
+    // §2.10 .data_get_ts first-wins dedup: one row per (conv, day) by the
+    // stable preference order (quality, ts, turn_idx)
+    "ts_dedup_first" -> ((s, dir) =>
+      Select.dedupFirst(
+        Regularize.withMetrics(transcripts(s, dir))
+          .withColumn("bucket_ts", date_trunc("day", col("ts"))),
+        keys = Seq("conv_id", "bucket_ts"),
+        order = Seq(col("quality_rank"), col("ts"), col("turn_idx")))
+        .select("conv_id", "bucket_ts", "turn_idx", "text_len")
+        .orderBy("conv_id", "bucket_ts")),
+    // §2.9 area-weighted accuracy (olofsson estimators): mapped areas from
+    // the FULL cell relation, error matrix from a deterministic half-sample
+    "ts_accuracy_area" -> ((s, dir) => {
+      val cells = Probs.reclassify(Probs.label(Probs.roleMix(transcripts(s, dir))), Seq(
+        (col("label") === 3 && col("p3") < 0.5, 2),
+        (col("label") === 1 && col("p1") >= 0.6, 4)))
+        .select(col("bucket_ts"), col("label_new").as("pred"), col("label").as("ref"))
+      val areas = cells.groupBy(col("pred").as("class"))
+        .agg(count(lit(1)).cast("double").as("area"))
+      val samples = cells.filter(dayofmonth(col("bucket_ts")) % 2 === 0)
+      Accuracy.areaAccuracy(samples.select("pred", "ref"), areas).orderBy("class")
+    }),
     // -- training-data pipeline ops over documents/embeddings --
     // exact dedup: hash-groupBy on content, keep smallest id
     "dd_exact" -> ((s, dir) =>
@@ -401,6 +470,16 @@ object SparkEntry {
       Multimodal.decodeStub(s, Multimodal.withPayload(documents(s, dir)))
         .orderBy("doc_id")),
   )
+
+  /** Per-(conv, day) feature vector for the scoring harness — rounded at 4
+    * decimals so both engines feed the softmax identical rationals.
+    */
+  private def softmaxFeatures(s: SparkSession, dir: String): DataFrame =
+    Regularize.withMetrics(transcripts(s, dir))
+      .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+      .agg(round(avg("text_len") / 100.0 + lit(1e-9), 4).as("f1"),
+        round(avg("is_tool") + lit(1e-9), 4).as("f2"),
+        round(count(lit(1)) / 10.0 + lit(1e-9), 4).as("f3"))
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -960,6 +1039,161 @@ private object Oracles {
           |SELECT conv_id, bucket_ts,
           |  round((list_sum(list_transform(w, x -> x * x)) - list_sum(w) * list_sum(w) / 5) / 4 + 1e-9, 4) AS w_var
           |FROM lwin ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_rollup_p16d" ->
+      (cte + metricsCte +
+        """, ext AS (
+          |  SELECT max(mn) AS s0, min(mx) AS e0 FROM
+          |    (SELECT conv_id, min(cast(ts AS date)) AS mn, max(cast(ts AS date)) AS mx
+          |     FROM metrics GROUP BY conv_id)
+          |), tlp AS (
+          |  SELECT s0, s0 + cast(floor(date_diff('day', s0, e0) / 16.0) * 16 AS int) + 16 AS hi FROM ext
+          |)
+          |SELECT conv_id,
+          |  cast(s0 + cast(floor(date_diff('day', s0, cast(ts AS date)) / 16.0) * 16 AS int) AS timestamp) AS bucket_ts,
+          |  count(text_len) AS n,
+          |  round(sum(text_len) + 1e-9, 4) AS sum_v,
+          |  round(avg(text_len) + 1e-9, 4) AS mean_v,
+          |  min(text_len) AS min_v, max(text_len) AS max_v
+          |FROM metrics, tlp
+          |WHERE cast(ts AS date) >= s0 AND cast(ts AS date) < hi
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_apply_expr" ->
+      (cte + metricsCte +
+        """, dm AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |         round(avg(text_len) + 1e-9, 4) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), darr AS (
+          |  SELECT conv_id, list(bucket_ts ORDER BY bucket_ts) AS tsv,
+          |         list(value ORDER BY bucket_ts) AS vals
+          |  FROM dm GROUP BY conv_id
+          |), didx AS (
+          |  SELECT conv_id, tsv, vals, len(vals) AS n,
+          |         unnest(generate_series(1, len(vals))) AS i
+          |  FROM darr
+          |), dwin AS (
+          |  SELECT conv_id, tsv[i] AS bucket_ts, vals[i] AS v0,
+          |    list_transform(generate_series(-2, 2), j ->
+          |      vals[greatest(0, least(n - 1,
+          |           CASE WHEN i - 1 + j < 0 THEN -(i - 1 + j) - 1
+          |                WHEN i - 1 + j >= n THEN 2 * n - (i - 1 + j) - 1
+          |                ELSE i - 1 + j END)) + 1]) AS w
+          |  FROM didx
+          |)
+          |SELECT conv_id, bucket_ts, v0 AS value,
+          |  round(ln(v0 + 1.0) + 1e-9, 4) AS lg,
+          |  round(v0 - round(list_sum(w) / 5 + 1e-9, 4) + 1e-9, 4) AS anomaly
+          |FROM dwin ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_merge_intersects" ->
+      (cte + metricsCte +
+        """, t1g AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS b,
+          |         round(avg(text_len) + 1e-9, 4) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), t2g AS (
+          |  SELECT conv_id,
+          |    cast(DATE '2024-01-01' + cast(floor(date_diff('day', DATE '2024-01-01', cast(ts AS date)) / 3.0) * 3 AS int) AS timestamp) AS b,
+          |    round(avg(text_len) + 1e-9, 4) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), tl1 AS (SELECT DISTINCT b FROM t1g
+          |), tl2 AS (SELECT DISTINCT b FROM t2g
+          |), mp AS (
+          |  SELECT a.b AS t2_ts, min(c.b) AS new_ts
+          |  FROM tl2 a JOIN tl1 c
+          |    ON epoch_ms(c.b) + 86400000 - 1 >= epoch_ms(a.b)
+          |   AND epoch_ms(c.b) <= epoch_ms(a.b) + 259200000 - 1
+          |  GROUP BY 1
+          |)
+          |SELECT conv_id, bucket_ts, value, src FROM (
+          |  SELECT conv_id, b AS bucket_ts, value, 't1' AS src FROM t1g
+          |  WHERE b IN (SELECT new_ts FROM mp)
+          |  UNION ALL
+          |  SELECT t.conv_id, m2.new_ts AS bucket_ts, t.value, 't2' AS src
+          |  FROM t2g t JOIN mp m2 ON t.b = m2.t2_ts)
+          |ORDER BY conv_id, bucket_ts, src, value""".stripMargin),
+    "ts_softmax" ->
+      (cte + metricsCte +
+        """, fx AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |    round(avg(text_len) / 100.0 + 1e-9, 4) AS f1,
+          |    round(avg(is_tool) + 1e-9, 4) AS f2,
+          |    round(count(*) / 10.0 + 1e-9, 4) AS f3
+          |  FROM metrics GROUP BY 1, 2
+          |), sc AS (
+          |  SELECT conv_id, bucket_ts,
+          |    0.1 + 0.8 * f1 + -1.2 * f2 + 0.3 * f3 AS s1,
+          |    -0.2 + -0.5 * f1 + 2.0 * f2 + 0.1 * f3 AS s2,
+          |    0.05 + 0.2 * f1 + 0.4 * f2 + -0.7 * f3 AS s3
+          |  FROM fx
+          |), sm AS (
+          |  SELECT conv_id, bucket_ts, s1, s2, s3,
+          |    greatest(s1, s2, s3)
+          |      + ln(exp(s1 - greatest(s1, s2, s3)) + exp(s2 - greatest(s1, s2, s3))
+          |           + exp(s3 - greatest(s1, s2, s3))) AS scale
+          |  FROM sc
+          |)
+          |SELECT conv_id, bucket_ts,
+          |  round(exp(s1 - scale) + 1e-9, 4) AS p1,
+          |  round(exp(s2 - scale) + 1e-9, 4) AS p2,
+          |  round(exp(s3 - scale) + 1e-9, 4) AS p3
+          |FROM sm ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_split" ->
+      (cte +
+        """
+          |SELECT conv_id, turn_idx, role, text, tool, ts,
+          |  (cast(substring(conv_id, 2, 6) AS bigint) * 48271 + turn_idx) % 100 < 80 AS train
+          |FROM transcripts ORDER BY conv_id, turn_idx""".stripMargin),
+    "ts_dedup_first" ->
+      (cte + metricsCte +
+        """
+          |SELECT conv_id, bucket_ts, turn_idx, text_len FROM (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts, turn_idx, text_len,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('day', ts)
+          |                       ORDER BY quality_rank, ts, turn_idx) AS rn
+          |  FROM metrics) WHERE rn = 1
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_accuracy_area" ->
+      (cte + probsCte +
+        """, cells AS (
+          |  SELECT bucket_ts,
+          |    CASE WHEN lb = 3 AND p3 < 0.5 THEN 2
+          |         WHEN lb = 1 AND p1 >= 0.6 THEN 4
+          |         ELSE lb END AS pred,
+          |    lb AS ref
+          |  FROM (SELECT bucket_ts, p1, p2, p3,
+          |          CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS lb
+          |        FROM probs)
+          |), ar AS (
+          |  SELECT pred AS class, cast(count(*) AS double) AS area FROM cells GROUP BY 1
+          |), at AS (SELECT sum(area) AS a_tot FROM ar
+          |), smp AS (
+          |  SELECT pred, ref FROM cells WHERE day(bucket_ts) % 2 = 0
+          |), cm AS (
+          |  SELECT pred, ref, cast(count(*) AS double) AS n_ij FROM smp GROUP BY 1, 2
+          |), rt AS (
+          |  SELECT pred, sum(n_ij) AS n_i FROM cm GROUP BY 1
+          |), pr AS (
+          |  SELECT cm.pred, cm.ref, ar.area / at.a_tot AS w_i, rt.n_i,
+          |         (ar.area / at.a_tot) * cm.n_ij / rt.n_i AS p_ij
+          |  FROM cm JOIN rt ON cm.pred = rt.pred
+          |  JOIN ar ON ar.class = cm.pred CROSS JOIN at
+          |), br AS (
+          |  SELECT ref AS class, sum(p_ij) AS col_p,
+          |         sum(CASE WHEN pred = ref THEN p_ij ELSE 0 END) AS p_diag,
+          |         sum((w_i * p_ij - p_ij * p_ij) / (n_i - 1)) AS var_p
+          |  FROM pr GROUP BY 1
+          |), bp AS (
+          |  SELECT pred AS class, sum(p_ij) AS row_p FROM pr GROUP BY 1
+          |)
+          |SELECT br.class, ar.area,
+          |  round(col_p * a_tot + 1e-9, 4) AS adj_area,
+          |  round(a_tot * sqrt(var_p) + 1e-9, 4) AS stderr_area,
+          |  round(p_diag / row_p + 1e-9, 4) AS user_acc,
+          |  round(p_diag / col_p + 1e-9, 4) AS prod_acc,
+          |  round(sum(p_diag) OVER () + 1e-9, 4) AS overall_acc
+          |FROM br JOIN bp ON br.class = bp.class
+          |JOIN ar ON ar.class = br.class CROSS JOIN at
+          |ORDER BY br.class""".stripMargin),
     "dd_exact" ->
       (plantedCte +
         """

@@ -16,9 +16,16 @@ object Accuracy {
   /** Confusion matrix with per-cell fraction and overall accuracy repeated
     * per row (single-result-table convention).
     */
+  /** Constant-key "global" window: these windows only ever run over the
+    * confusion/stratum CELLS (bounded by label-set size squared, not data
+    * size), but a non-empty partition spec keeps Spark from logging the
+    * "No Partition Defined" single-partition warning that flags genuinely
+    * unbounded global windows.
+    */
+  private val total = Window.partitionBy(lit(0))
+
   def confusion(df: DataFrame, actual: String, pred: String): DataFrame = {
     val r4 = (c: Column) => round(c + lit(1e-9), 4)
-    val total = Window.partitionBy()
     df.groupBy(col(actual).as("actual"), col(pred).as("pred"))
       .agg(count(lit(1)).as("n"))
       .withColumn("frac", r4(col("n") / sum("n").over(total)))
@@ -35,7 +42,6 @@ object Accuracy {
   def samplingDesign(df: DataFrame, stratum: String, valueCol: String,
       budget: Int): DataFrame = {
     val r4 = (c: Column) => round(c + lit(1e-9), 4)
-    val total = Window.partitionBy()
     df.groupBy(col(stratum).as("stratum"))
       .agg(count(lit(1)).as("n_h"), r4(stddev_samp(col(valueCol))).as("s_h"))
       .withColumn("alloc_prop",
@@ -43,5 +49,45 @@ object Accuracy {
       .withColumn("alloc_neyman",
         r4(lit(budget) * (col("n_h") * col("s_h"))
           / sum(col("n_h") * col("s_h")).over(total)))
+  }
+
+  /** Area-weighted accuracy + unbiased area estimation — the reference's
+    * `method = "olofsson"` (R/sits_accuracy.R:179,253-254; estimators in
+    * R/api_accuracy.R:43-113, eq. 1-7 of Olofsson et al. 2014):
+    * w_i = area_i/Σarea, p_ij = w_i·n_ij/n_i·, adjusted area_j = Σ_i p_ij·Σarea,
+    * SE_j = Σarea·sqrt(Σ_i (w_i·p_ij − p_ij²)/(n_i·−1)),
+    * user_i = p_ii/Σ_j p_ij, producer_j = p_jj/Σ_i p_ij, overall = Σ p_ii.
+    *
+    * `samples` carries one row per validation cell with columns
+    * (`pred`, `ref`); `areas` the mapped area per class (`class`, `area`).
+    * Everything after the first (partially-aggregated) confusion groupBy
+    * operates on label-set-bounded cells — windows and joins there are
+    * broadcast/tiny at any data scale.
+    */
+  def areaAccuracy(samples: DataFrame, areas: DataFrame): DataFrame = {
+    val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    val aTot = areas.agg(sum("area")).head().getDouble(0)
+    val cm = samples.groupBy(col("pred"), col("ref"))
+      .agg(count(lit(1)).cast("double").as("n_ij"))
+    val rowTot = cm.groupBy("pred").agg(sum("n_ij").as("n_i"))
+    val prop = cm.join(rowTot, "pred")
+      .join(broadcast(areas.withColumnRenamed("class", "pred")), "pred")
+      .withColumn("w_i", col("area") / lit(aTot))
+      .withColumn("p_ij", col("w_i") * col("n_ij") / col("n_i"))
+    val byRef = prop.groupBy(col("ref").as("class"))
+      .agg(sum("p_ij").as("col_p"),
+        sum(when(col("pred") === col("ref"), col("p_ij")).otherwise(0.0)).as("p_diag"),
+        sum((col("w_i") * col("p_ij") - col("p_ij") * col("p_ij"))
+          / (col("n_i") - 1)).as("var_p"))
+    val byPred = prop.groupBy(col("pred").as("class")).agg(sum("p_ij").as("row_p"))
+    byRef.join(byPred, "class")
+      .join(broadcast(areas), "class")
+      .withColumn("overall_acc", r4(sum("p_diag").over(total)))
+      .select(col("class"), col("area"),
+        r4(col("col_p") * lit(aTot)).as("adj_area"),
+        r4(lit(aTot) * sqrt(col("var_p"))).as("stderr_area"),
+        r4(col("p_diag") / col("row_p")).as("user_acc"),
+        r4(col("p_diag") / col("col_p")).as("prod_acc"),
+        col("overall_acc"))
   }
 }

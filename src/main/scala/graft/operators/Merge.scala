@@ -33,6 +33,48 @@ object Merge {
     * instant falling inside `[t1_i, t1_{i+1})` — an as-of/interval join
     * realized as lead-window intervals + equi-join on conv + min_by.
     */
+  /** Interval-overlap merge (`.merge_strategy_intersects`,
+    * api_merge.R:226-280): match each instant of timeline 2 (interval
+    * `[t, t+p2)`) to the EARLIEST not-yet-used overlapping instant of
+    * timeline 1 (`[t, t+p1)`), where each period is inferred from the first
+    * two timeline points; keep only matched instants on both sides and
+    * RE-DATE side 2's rows onto the matched timeline-1 instants.
+    *
+    * The timelines themselves are metadata-scale (bounded by the retention
+    * window, like the reference's per-cube date vectors), so the greedy
+    * sequential matching runs on the driver; the data-side work is two
+    * pushed-down IN-filters plus one broadcast-joined re-dating — no
+    * unbounded range join.
+    */
+  def intersectsAlign(t1: DataFrame, t2: DataFrame): DataFrame = {
+    def tl(df: DataFrame): Array[java.sql.Timestamp] =
+      df.select("bucket_ts").distinct().orderBy("bucket_ts")
+        .collect().map(_.getTimestamp(0))
+    val (tl1, tl2) = (tl(t1), tl(t2))
+    require(tl1.length >= 2 && tl2.length >= 2,
+      "intersectsAlign needs ≥2 timeline points per side to infer the period")
+    val p1 = tl1(1).getTime - tl1(0).getTime
+    val p2 = tl2(1).getTime - tl2(0).getTime
+    // greedy over ascending t2 (api_merge.R:247-266): overlap of
+    // [a, a+p2-1] with [b, b+p1-1], setdiff of already-matched t1 dates
+    val used = scala.collection.mutable.Set[Long]()
+    val pairs = tl2.flatMap { a =>
+      val hit = tl1.find(b => a.getTime <= b.getTime + p1 - 1 &&
+        b.getTime <= a.getTime + p2 - 1 && !used.contains(b.getTime))
+      hit.foreach(b => used += b.getTime)
+      hit.map(b => (a, b))
+    }
+    val spark = t1.sparkSession
+    import spark.implicits._
+    val mapping = broadcast(pairs.toSeq.toDF("t2_ts", "new_ts"))
+    val keep1 = t1.filter(col("bucket_ts").isin(pairs.map(_._2): _*))
+      .select(col("conv_id"), col("bucket_ts"), col("value"), lit("t1").as("src"))
+    val redated2 = t2.join(mapping, col("bucket_ts") === col("t2_ts"))
+      .select(col("conv_id"), col("new_ts").as("bucket_ts"), col("value"),
+        lit("t2").as("src"))
+    keep1.unionByName(redated2)
+  }
+
   def zipperAlign(t1: DataFrame, t2: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("ts")
     val intervals = t1

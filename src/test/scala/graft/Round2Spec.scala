@@ -1,0 +1,150 @@
+package graft
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Apply, Classify, Merge, PeriodTiers}
+import graft.operators.PeriodTiers.{Day, Month, Period, Year}
+
+/** Round-2 operator semantics: ISO period grids (snap + calendar stepping),
+  * the general apply expression API, interval-overlap merge (greedy
+  * contention case), the softmax scoring harness, and CSV round-trip.
+  */
+class Round2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("period parse accepts ^P[0-9]+[DMY]$ only (api_period.R:10-52)") {
+    assert(PeriodTiers.parse("P16D") == Period(16, Day))
+    assert(PeriodTiers.parse("P2M") == Period(2, Month))
+    assert(PeriodTiers.parse("P1Y") == Period(1, Year))
+    for (bad <- Seq("P1M10D", "16D", "P-1D", "PD", "p16d"))
+      assertThrows[IllegalArgumentException](PeriodTiers.parse(bad))
+  }
+
+  test("timeline start snapping: month → first of month, year → Jan 1 (api_gdalcubes.R:339-352)") {
+    val d = LocalDate.of(2013, 9, 14) // the reference fixture's MODIS start
+    assert(PeriodTiers.snap(d, Period(16, Day)) == d)
+    assert(PeriodTiers.snap(d, Period(1, Month)) == LocalDate.of(2013, 9, 1))
+    assert(PeriodTiers.snap(d, Period(2, Year)) == LocalDate.of(2013, 1, 1))
+  }
+
+  test("timeline generation steps calendar-aware and stops at end (api_gdalcubes.R:354-361)") {
+    // P16D from the MODIS fixture extent 2013-09-14..2014-08-29
+    val tl = PeriodTiers.timeline(LocalDate.of(2013, 9, 14),
+      LocalDate.of(2014, 8, 29), Period(16, Day))
+    assert(tl.head == LocalDate.of(2013, 9, 14))
+    assert(tl.forall(d => java.time.temporal.ChronoUnit.DAYS.between(tl.head, d) % 16 == 0))
+    assert(!tl.last.isAfter(LocalDate.of(2014, 8, 29)))
+    assert(PeriodTiers.step(tl.last, Period(16, Day)).isAfter(LocalDate.of(2014, 8, 29)))
+    // month stepping with end-of-month rollback (lubridate %m+% semantics)
+    assert(PeriodTiers.step(LocalDate.of(2024, 1, 31), Period(1, Month)) ==
+      LocalDate.of(2024, 2, 29))
+    // month timeline snaps first, so every point is a first-of-month
+    val tlm = PeriodTiers.timeline(LocalDate.of(2013, 9, 14),
+      LocalDate.of(2014, 3, 2), Period(1, Month))
+    assert(tlm == (0 to 6).map(LocalDate.of(2013, 9, 1).plusMonths(_)))
+  }
+
+  test("period bucket expression assigns [t_i, t_i+P) for day and month units") {
+    val o = LocalDate.of(2024, 1, 1)
+    val rows = Seq("2024-01-01 00:00:00", "2024-01-16 23:59:59",
+      "2024-01-17 00:00:00", "2024-02-01 12:00:00", "2024-03-31 00:00:00")
+      .map(s => Tuple1(java.sql.Timestamp.valueOf(s))).toDF("ts")
+    val d16 = rows.select(PeriodTiers.bucket(col("ts"), o, Period(16, Day)).as("b"))
+      .collect().map(_.getTimestamp(0).toString.take(10))
+    // 2024-02-01 is day 31 → floor(31/16)·16 = 16 → Jan 17;
+    // 2024-03-31 is day 90 → floor(90/16)·16 = 80 → Mar 21 (leap Feb)
+    assert(d16.toSeq == Seq("2024-01-01", "2024-01-01", "2024-01-17",
+      "2024-01-17", "2024-03-21"))
+    val m2 = rows.select(PeriodTiers.bucket(col("ts"), o, Period(2, Month)).as("b"))
+      .collect().map(_.getTimestamp(0).toString.take(10))
+    assert(m2.toSeq == Seq("2024-01-01", "2024-01-01", "2024-01-01",
+      "2024-01-01", "2024-03-01"))
+  }
+
+  test("apply expression API: plain expr is a pure column; kernel refs match KernelWindows") {
+    val t0 = 1735689600000L
+    val grid = (0 until 8).map(i =>
+      ("c1", new java.sql.Timestamp(t0 + i * 86400000L), (i * i).toDouble))
+      .toDF("conv_id", "bucket_ts", "value")
+    val plain = Apply.withMetric(grid, "double_v", "value * 2.0")
+    assert(plain.select("double_v").as[Double].collect().sorted.toSeq ==
+      (0 until 8).map(i => i * i * 2.0).sorted)
+    // kernel ref: anomaly = value − w_mean(value, 2), checked against a
+    // direct KernelWindows computation
+    val viaApply = Apply.withMetric(grid, "anom", "value - w_mean(value, 2)")
+      .select("conv_id", "bucket_ts", "anom")
+    val kw = graft.operators.KernelWindows(grid, 2)
+      .select(col("conv_id"), col("bucket_ts"), col("w_mean"))
+    val joined = grid.join(kw, Seq("conv_id", "bucket_ts"))
+      .select(col("conv_id"), col("bucket_ts"),
+        (col("value") - col("w_mean")).as("exp"))
+    val got = viaApply.collect().map(r => r.getTimestamp(1) -> r.getDouble(2)).toMap
+    joined.collect().foreach(r =>
+      assert(got(r.getTimestamp(1)) == r.getDouble(2)))
+    // temp kernel columns must not leak
+    assert(viaApply.columns.toSet == Set("conv_id", "bucket_ts", "anom"))
+  }
+
+  test("intersectsAlign greedy: contended t1 instant goes to the EARLIER t2 instant") {
+    // p2 (30min) < p1 (1h): two consecutive t2 intervals overlap the same t1
+    // hour — api_merge.R's setdiff gives the hour to the first t2, and the
+    // second t2 matches the NEXT hour (a plain per-t2 min would match both
+    // to the same hour)
+    val h = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t1 = Seq(("a", ts(0L), 1.0), ("a", ts(h), 2.0), ("a", ts(2 * h), 3.0))
+      .toDF("conv_id", "bucket_ts", "value")
+    val t2 = Seq(("a", ts(0L), 10.0), ("a", ts(h / 2), 20.0), ("a", ts(h), 30.0))
+      .toDF("conv_id", "bucket_ts", "value")
+    val out = Merge.intersectsAlign(t1, t2)
+      .collect().map(r => (r.getString(3), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .toSet
+    // greedy: t2@0 → t1@0; t2@30m overlaps hour 0 (used) → none left in its
+    // window? [30m, 60m) overlaps only hour 0 → unmatched; t2@1h → t1@1h.
+    assert(out == Set(("t1", 0L, 1.0), ("t1", h, 2.0),
+      ("t2", 0L, 10.0), ("t2", h, 30.0)))
+  }
+
+  test("softmax kernel: stable, sums to 1, matches direct formula; Probs.label consumes score output") {
+    val p = Classify.softmax(Array(1.0, 2.0, 3.0))
+    assert(math.abs(p.sum - 1.0) < 1e-12)
+    val z = math.exp(1.0) + math.exp(2.0) + math.exp(3.0)
+    assert(math.abs(p(2) - math.exp(3.0) / z) < 1e-12)
+    // huge scores: no overflow thanks to max subtraction
+    val q = Classify.softmax(Array(1000.0, 1001.0))
+    assert(!q.exists(_.isNaN) && math.abs(q.sum - 1.0) < 1e-12)
+    // probs relation shape feeds the existing Probs operators unchanged
+    val feats = Seq(("c1", new java.sql.Timestamp(0L), 1.0, 0.5, 2.0))
+      .toDF("conv_id", "bucket_ts", "f1", "f2", "f3")
+    val probs = Classify.score(spark, feats, Seq("f1", "f2", "f3"),
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0)),
+      Array(0.0, 0.0, 0.0))
+    val labeled = graft.operators.Probs.label(probs).collect()
+    assert(labeled.length == 1 && labeled(0).getAs[Int]("label") == 3) // f3 largest
+  }
+
+  test("csv export round-trips a metric grid exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val grid = (0 until 50).map(i =>
+      (f"c$i%03d", new java.sql.Timestamp(1735689600000L + i * 60000L), i / 7.0))
+      .toDF("conv_id", "bucket_ts", "value")
+    graft.sources.Exports.timeseriesToCsv(grid, "text_len", s"$dir/ts.csv")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val back = graft.sources.Exports.readCsv(spark, s"$dir/ts.csv", schema)
+      .orderBy("conv_id").collect()
+    val orig = grid.orderBy("conv_id").collect()
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.getString(0) == o.getString(0))
+      assert(b.getTimestamp(1) == o.getTimestamp(1))
+      assert(b.getString(2) == "text_len")
+      assert(b.getDouble(3) == o.getDouble(2))
+    }
+  }
+}
