@@ -432,9 +432,14 @@ object SparkEntry {
       val d = docsPlanted(s, dir)
       Dedup.ngramJaccard(d, Dedup.minhashPairs(d)).orderBy("id1", "id2")
     }),
-    // SimHash (16-bit, md5-parity votes) near-dup pairs
+    // SimHash (32-bit, md5-parity votes) near-dup pairs, Hamming 0
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
+    // SimHash banded to Hamming ≤ 3 (pigeonhole 4×8-bit segments): catches
+    // the planted near-dups whose few-token tail flips only a few bits
+    "dd_simhash_h3" -> ((s, dir) =>
+      Dedup.simhashBandPairs(docsPlanted(s, dir), maxHamming = 3)
+        .orderBy("id1", "id2")),
     // brute-force cosine top-5 per query vector (deterministic ranking)
     "ann_topk" -> ((s, dir) =>
       Similarity.bruteTopK(embeddings(s, dir), col("vec_id") % 50 === 0, k = 5)
@@ -443,6 +448,11 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 50 === 0,
         col("vec_id") % 97 === 0, k = 3).orderBy("qid", "rn")),
+    // IVF multi-probe (nprobe=2): recall knob — each query scores its two
+    // nearest cells, still a cell equi-join
+    "ann_ivf2" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 50 === 0,
+        col("vec_id") % 97 === 0, k = 3, nprobe = 2).orderBy("qid", "rn")),
     // embedding-cosine near-dup pairs within IVF cells
     "dd_embed_cosine" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -1225,20 +1235,26 @@ private object Oracles {
           |JOIN sizes s2 ON s2.doc_id = p.id2
           |ORDER BY p.id1, p.id2""".stripMargin),
     "dd_simhash" ->
-      (plantedCte +
-        """, tk AS (
-          |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs FROM docs
-          |), sig AS (
-          |  SELECT doc_id, list_sum(list_transform(generate_series(0, 31), j ->
-          |    cast(pow(2, j) AS bigint) * CASE WHEN
-          |      list_sum(list_transform(hs, h ->
-          |        ((strpos('0123456789abcdef', substr(h, cast(j AS int) + 1, 1)) - 1) % 2) * 2 - 1)) > 0
-          |    THEN 1 ELSE 0 END)) AS sig
-          |  FROM tk
-          |)
+      (plantedCte + simhashCtes +
+        """
           |SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig
           |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
           |ORDER BY 1, 2""".stripMargin),
+    "dd_simhash_h3" ->
+      (plantedCte + simhashCtes +
+        """, bb AS (
+          |  SELECT doc_id, sig, unnest(generate_series(0, 3)) AS bidx FROM sig
+          |), bk AS (
+          |  SELECT doc_id, sig, bidx, (sig >> cast(bidx * 8 AS int)) & 255 AS bval FROM bb
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          |         a.sig AS sig1, b.sig AS sig2
+          |  FROM bk a JOIN bk b
+          |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+          |)
+          |SELECT id1, id2, bit_count(xor(sig1, sig2)) AS hamming
+          |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 3
+          |ORDER BY id1, id2""".stripMargin),
     "ann_topk" ->
       (embCtes("embeddings") +
         """, q AS (
@@ -1262,6 +1278,30 @@ private object Oracles {
           |  FROM nrm n JOIN asg a ON a.vec_id = n.vec_id
           |), sc AS (
           |  SELECT q.qid, c2.eid, q.cell,
+          |    round(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c2.ev[i]))
+          |          / (q.qn * c2.en) + 1e-9, 6) AS cos
+          |  FROM q JOIN c2 ON q.cell = c2.cell AND q.qid != c2.eid
+          |)
+          |SELECT qid, eid, cell, cos, rn FROM (
+          |  SELECT qid, eid, cell, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
+          |  FROM sc) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin),
+    "ann_ivf2" ->
+      (embCtes("embeddings") + ivfCtes +
+        """, asg2 AS (
+          |  SELECT vec_id, cell FROM (
+          |    SELECT n.vec_id, c.cid AS cell,
+          |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+          |        round(list_sum(list_transform(generate_series(1, 64), i -> c.cv[i] * n.v[i]))
+          |              / (c.cn * n.nm) + 1e-9, 6) DESC, c.cid) AS rn
+          |    FROM nrm n CROSS JOIN cents c) WHERE rn <= 2
+          |), q AS (
+          |  SELECT n.vec_id AS qid, n.v AS qv, n.nm AS qn, a.cell
+          |  FROM nrm n JOIN asg2 a ON a.vec_id = n.vec_id WHERE n.vec_id % 50 = 0
+          |), c2 AS (
+          |  SELECT n.vec_id AS eid, n.v AS ev, n.nm AS en, a.cell
+          |  FROM nrm n JOIN asg a ON a.vec_id = n.vec_id
+          |), sc AS (
+          |  SELECT q.qid, c2.eid, c2.cell,
           |    round(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c2.ev[i]))
           |          / (q.qn * c2.en) + 1e-9, 6) AS cos
           |  FROM q JOIN c2 ON q.cell = c2.cell AND q.qid != c2.eid
@@ -1353,6 +1393,21 @@ private object Oracles {
           |  byte_len // 100 + 1 AS frames
           |FROM mm ORDER BY doc_id""".stripMargin),
   )
+
+  /** 32-bit SimHash signature CTE (hex-digit parity votes ≙ the typed
+    * kernel's nibble parity), shared by the dd_simhash* oracles.
+    */
+  private lazy val simhashCtes =
+    """, tk AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs FROM docs
+      |), sig AS (
+      |  SELECT doc_id, list_sum(list_transform(generate_series(0, 31), j ->
+      |    cast(pow(2, j) AS bigint) * CASE WHEN
+      |      list_sum(list_transform(hs, h ->
+      |        ((strpos('0123456789abcdef', substr(h, cast(j AS int) + 1, 1)) - 1) % 2) * 2 - 1)) > 0
+      |    THEN 1 ELSE 0 END)) AS sig
+      |  FROM tk
+      |)""".stripMargin
 
   /** Planted-duplicate corpus shared by the dd_* oracles (mirrors
     * SparkEntry.docsPlanted exactly).

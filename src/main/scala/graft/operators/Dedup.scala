@@ -127,8 +127,8 @@ object Dedup {
       }.toDF("doc_id", "sig")
   }
 
-  /** SimHash near-dup pairs: identical signatures (Hamming distance 0 —
-    * the banding generalization would split the bits into key segments).
+  /** SimHash near-dup pairs: identical signatures (Hamming distance 0; see
+    * [[simhashBandPairs]] for the Hamming ≤ k generalization).
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val s = simhash(docs)
@@ -136,5 +136,38 @@ object Dedup {
       .join(s.select(col("sig"), col("doc_id").as("id2")), Seq("sig"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "sig")
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming via banding
+    * (the pigeonhole construction: split the 32 bits into maxHamming+1
+    * segments — two signatures within distance k must agree EXACTLY on at
+    * least one segment). Candidates come from a segment-key equi-join (the
+    * same bucketed shape as MinHash LSH — never a cross join), then the true
+    * Hamming distance `bit_count(sig1 XOR sig2)` filters. maxHamming+1 must
+    * divide 32.
+    */
+  def simhashBandPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(32 % bands == 0, s"maxHamming+1=$bands must divide 32")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val s = simhash(docs)
+    val keyed = s.select(col("doc_id"), col("sig"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  struct(b as idx, shiftright(sig, b * $width) & $mask as bval))""".stripMargin))
+        .as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.idx").as("bidx"), col("band.bval").as("bval"))
+    val a = keyed.select(col("bidx"), col("bval"),
+      col("doc_id").as("id1"), col("sig").as("sig1"))
+    val b = keyed.select(col("bidx"), col("bval"),
+      col("doc_id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("bidx", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

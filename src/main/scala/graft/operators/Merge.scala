@@ -28,11 +28,6 @@ object Merge {
   def unionDedup(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     a.unionByName(b).dropDuplicates(keys)
 
-  /** Temporal zipper alignment (`.merge_zipper_strategy`, api_merge.R:51-83):
-    * for each consecutive pair of t1 instants per conv, admit the MINIMUM t2
-    * instant falling inside `[t1_i, t1_{i+1})` — an as-of/interval join
-    * realized as lead-window intervals + equi-join on conv + min_by.
-    */
   /** Interval-overlap merge (`.merge_strategy_intersects`,
     * api_merge.R:226-280): match each instant of timeline 2 (interval
     * `[t, t+p2)`) to the EARLIEST not-yet-used overlapping instant of
@@ -75,16 +70,35 @@ object Merge {
     keep1.unionByName(redated2)
   }
 
+  /** Temporal zipper alignment (`.merge_zipper_strategy`, api_merge.R:51-83):
+    * for each consecutive pair of t1 instants per conv, admit the MINIMUM t2
+    * instant falling inside `[t1_i, t1_{i+1})`.
+    *
+    * Executed as a sort-merge AS-OF SWEEP: union both sides tagged, one
+    * per-conv ordered running window carries the most recent t1 instant onto
+    * every t2 row, then min-per-interval is a plain aggregate. Work is
+    * O(|t1|+|t2| · log) per conversation — the previous equi-join-on-conv +
+    * interval filter materialized the per-conv intervals×points product,
+    * which a hot conversation pays quadratically. Ties order t1 before t2 so
+    * a t2 instant equal to a boundary lands in the interval that STARTS
+    * there (the reference's `>= lo` / `< hi` bounds).
+    */
   def zipperAlign(t1: DataFrame, t2: DataFrame): DataFrame = {
-    val w = Window.partitionBy("conv_id").orderBy("ts")
-    val intervals = t1
-      .withColumn("ts_hi", lead(col("ts"), 1).over(w))
-      .filter(col("ts_hi").isNotNull)
-      .select(col("conv_id"), col("ts").as("ts_lo"), col("ts_hi"))
-    intervals
-      .join(t2.select(col("conv_id"), col("ts").as("t2_ts")), Seq("conv_id"))
-      .filter(col("t2_ts") >= col("ts_lo") && col("t2_ts") < col("ts_hi"))
-      .groupBy(col("conv_id"), col("ts_lo"))
-      .agg(min(col("t2_ts")).as("matched_ts"))
+    val u = t1.select(col("conv_id"), col("ts"), lit(1).as("is_t1"))
+      .unionByName(t2.select(col("conv_id"), col("ts"), lit(0).as("is_t1")))
+    // running frame (unboundedPreceding..current): one forward pass per
+    // partition — NOT the O(n²) re-scanned following frame
+    val w = Window.partitionBy("conv_id").orderBy(col("ts"), col("is_t1").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("conv_id")
+    u
+      .withColumn("lo",
+        last(when(col("is_t1") === 1, col("ts")), ignoreNulls = true).over(w))
+      // rows at/after the LAST t1 instant have no closing boundary →
+      // excluded (the reference's lead()-IS-NOT-NULL intervals)
+      .withColumn("max_t1", max(when(col("is_t1") === 1, col("ts"))).over(wAll))
+      .filter(col("is_t1") === 0 && col("lo").isNotNull && col("lo") < col("max_t1"))
+      .groupBy(col("conv_id"), col("lo").as("ts_lo"))
+      .agg(min(col("ts")).as("matched_ts"))
   }
 }

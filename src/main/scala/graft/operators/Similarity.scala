@@ -63,21 +63,44 @@ object Similarity {
       .select(col("eid"), col("cid").as("cell"))
   }
 
-  /** IVF top-k: probe only the query's own cell. */
-  def ivfTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
-      centroidPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    val cells = ivfAssign(emb, centroidPred)
-    val e = withNorm(dims(emb, "embedding")).join(cells, col("vec_id") === col("eid")).drop("eid")
-    val q = e.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("norm").as("qn"), col("cell"))
-    val c = e.select(col("vec_id").as("eid"), col("embedding").as("ev"),
-      col("norm").as("en"), col("cell"))
-    val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("eid"))
+  /** Top-n nearest centroid cells per vector (cell rank 1..n) — rank 1 is
+    * the storage assignment, ranks ≤ nprobe are the query probe set.
+    */
+  def ivfAssignN(emb: DataFrame, centroidPred: org.apache.spark.sql.Column,
+      n: Int): DataFrame = {
+    val e = withNorm(dims(emb, "embedding"))
+    val cents = e.filter(centroidPred)
+      .select(col("vec_id").as("cid"), col("embedding").as("qv"), col("norm").as("qn"))
+    val all = e.select(col("vec_id").as("eid"), col("embedding").as("ev"), col("norm").as("en"))
+    val scored = all.join(broadcast(cents), lit(true))
       .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("eid"))
+    val w = Window.partitionBy("eid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
+      .select(col("eid"), col("cid").as("cell"), col("crank"))
+  }
+
+  /** IVF top-k with multi-probe: the corpus lives in its rank-1 cell; each
+    * query probes its `nprobe` nearest cells (recall knob — the standard IVF
+    * trade: nprobe× more candidates scored, still never a cross join; the
+    * probe join stays a cell equi-join).
+    */
+  def ivfTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      centroidPred: org.apache.spark.sql.Column, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val assignN = ivfAssignN(emb, centroidPred, nprobe)
+    val e = withNorm(dims(emb, "embedding"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("norm").as("qn"))
+      .join(assignN, col("qid") === col("eid")).drop("eid", "crank")
+    val c = e.select(col("vec_id").as("eid2"), col("embedding").as("ev"), col("norm").as("en"))
+      .join(assignN.filter(col("crank") === 1), col("eid2") === col("eid"))
+      .drop("eid", "crank")
+    // an eid lives in exactly one cell → no (qid, eid) duplicates across probes
+    val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("eid2"))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("eid2"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("qid", "eid", "cell", "cos", "rn")
+      .select(col("qid"), col("eid2").as("eid"), col("cell"), col("cos"), col("rn"))
   }
 
   /** Embedding-cosine near-duplicate pairs inside IVF cells (cell equi-join,
