@@ -258,17 +258,20 @@ object SparkEntry {
         .orderBy("stratum")),
     // §2.9 uncertainty sampling: global top-20 highest-entropy cells —
     // orderBy().limit() = TakeOrderedAndProject (per-partition top-k +
-    // merge), the scale-safe shape; the rank is assigned AFTER the limit,
-    // over a ≤20-row bounded set (partitionBy(lit(0)) keeps the window spec
-    // non-empty: no "No Partition Defined" single-partition move of the
-    // full relation, which the round-1 global row_number window did)
+    // merge), the scale-safe shape; the rank is assigned AFTER the limit by
+    // a typed index pass over the ≤20-row bounded set (no window at all —
+    // the round-1 global row_number window moved the FULL relation to one
+    // partition)
     "ts_topk_uncertain" -> ((s, dir) => {
+      import s.implicits._
       val u = Probs.uncertainty(Probs.roleMix(transcripts(s, dir)))
       val ord = Seq(col("entropy").desc, col("conv_id").asc, col("bucket_ts").asc)
-      val top = u.orderBy(ord: _*).limit(20)
-      val w = Window.partitionBy(lit(0)).orderBy(ord: _*)
-      top.withColumn("rk", row_number().over(w))
-        .select("rk", "conv_id", "bucket_ts", "entropy")
+      u.orderBy(ord: _*).limit(20)
+        .select(col("conv_id"), col("bucket_ts"), col("entropy"))
+        .coalesce(1).sortWithinPartitions(ord: _*)
+        .as[(String, java.sql.Timestamp, Double)]
+        .mapPartitions(_.zipWithIndex.map { case ((c, t, e), i) => (i + 1, c, t, e) })
+        .toDF("rk", "conv_id", "bucket_ts", "entropy")
         .orderBy("rk")
     }),
     // §2.10 sits_add_base_cube: broadcast-join static per-conv covariates

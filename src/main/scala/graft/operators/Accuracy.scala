@@ -16,22 +16,22 @@ object Accuracy {
   /** Confusion matrix with per-cell fraction and overall accuracy repeated
     * per row (single-result-table convention).
     */
-  /** Constant-key "global" window: these windows only ever run over the
-    * confusion/stratum CELLS (bounded by label-set size squared, not data
-    * size), but a non-empty partition spec keeps Spark from logging the
-    * "No Partition Defined" single-partition warning that flags genuinely
-    * unbounded global windows.
-    */
-  private val total = Window.partitionBy(lit(0))
+  // Totals over the bounded confusion/stratum CELL relations are computed as
+  // a broadcast-joined aggregate, not a global window: a partitionless
+  // WindowExec would move the relation to one partition (and a constant
+  // partition key gets folded away) — the crossJoin(broadcast(agg)) shape is
+  // warning-free and identical in cost for these label-bounded inputs.
 
   def confusion(df: DataFrame, actual: String, pred: String): DataFrame = {
     val r4 = (c: Column) => round(c + lit(1e-9), 4)
-    df.groupBy(col(actual).as("actual"), col(pred).as("pred"))
+    val cm = df.groupBy(col(actual).as("actual"), col(pred).as("pred"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("frac", r4(col("n") / sum("n").over(total)))
-      .withColumn("overall_acc",
-        r4(sum(when(col("actual") === col("pred"), col("n")).otherwise(0L)).over(total)
-          / sum("n").over(total)))
+    val tot = cm.agg(sum("n").as("__tot"),
+      sum(when(col("actual") === col("pred"), col("n")).otherwise(0L)).as("__diag"))
+    cm.crossJoin(broadcast(tot))
+      .withColumn("frac", r4(col("n") / col("__tot")))
+      .withColumn("overall_acc", r4(col("__diag") / col("__tot")))
+      .drop("__tot", "__diag")
   }
 
   /** Stratified sample allocation over a stratum column: proportional and
@@ -42,13 +42,15 @@ object Accuracy {
   def samplingDesign(df: DataFrame, stratum: String, valueCol: String,
       budget: Int): DataFrame = {
     val r4 = (c: Column) => round(c + lit(1e-9), 4)
-    df.groupBy(col(stratum).as("stratum"))
+    val g = df.groupBy(col(stratum).as("stratum"))
       .agg(count(lit(1)).as("n_h"), r4(stddev_samp(col(valueCol))).as("s_h"))
-      .withColumn("alloc_prop",
-        r4(lit(budget) * col("n_h") / sum("n_h").over(total)))
+    val tot = g.agg(sum("n_h").as("__tn"),
+      sum(col("n_h") * col("s_h")).as("__tns"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("alloc_prop", r4(lit(budget) * col("n_h") / col("__tn")))
       .withColumn("alloc_neyman",
-        r4(lit(budget) * (col("n_h") * col("s_h"))
-          / sum(col("n_h") * col("s_h")).over(total)))
+        r4(lit(budget) * (col("n_h") * col("s_h")) / col("__tns")))
+      .drop("__tn", "__tns")
   }
 
   /** Area-weighted accuracy + unbiased area estimation — the reference's
@@ -80,9 +82,11 @@ object Accuracy {
         sum((col("w_i") * col("p_ij") - col("p_ij") * col("p_ij"))
           / (col("n_i") - 1)).as("var_p"))
     val byPred = prop.groupBy(col("pred").as("class")).agg(sum("p_ij").as("row_p"))
+    val ov = byRef.agg(sum("p_diag").as("__ov"))
     byRef.join(byPred, "class")
       .join(broadcast(areas), "class")
-      .withColumn("overall_acc", r4(sum("p_diag").over(total)))
+      .crossJoin(broadcast(ov))
+      .withColumn("overall_acc", r4(col("__ov")))
       .select(col("class"), col("area"),
         r4(col("col_p") * lit(aTot)).as("adj_area"),
         r4(lit(aTot) * sqrt(col("var_p"))).as("stderr_area"),

@@ -40,8 +40,12 @@ object Predictors {
   def exactQuantiles(df: DataFrame, colName: String, ps: Seq[Double]): Seq[Double] = {
     import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.select(col(colName).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+    // cache the value projection BEFORE range partitioning: the range
+    // sampler, the counts job, and the rank-fetch job each read the input —
+    // uncached, that is three recomputations of the whole upstream pipeline
+    val vals = df.select(col(colName).cast("double").as("v"))
+      .filter(col("v").isNotNull).persist()
+    val ranged = vals
       .repartitionByRange(parts, col("v"))
       .withColumn("pid", spark_partition_id())
       .persist()
@@ -72,7 +76,7 @@ object Predictors {
         if (lo == hi) byRank(lo)
         else (hi - q) * byRank(lo) + (q - lo) * byRank(hi)
       }
-    } finally { ranged.unpersist(); () }
+    } finally { ranged.unpersist(); vals.unpersist(); () }
   }
 
   /** Quantile min-max normalization (api_predictors.R:124-132): per-column
@@ -81,8 +85,13 @@ object Predictors {
     * with the stats folded in as literals (no join at all on the data side).
     */
   def normalizeQ(series: DataFrame): DataFrame = {
-    val Seq(q02, q98) = exactQuantiles(series, "value", Seq(0.02, 0.98))
-    series.select(col("conv_id"), col("bucket_ts"),
+    // persist the input: the stats pass (exactQuantiles, eager) and the
+    // returned normalization plan otherwise each recompute the whole
+    // upstream pipeline; the cached grid is timeline-bounded per conv.
+    // The caller may unpersist after consuming the result.
+    val cached = series.persist()
+    val Seq(q02, q98) = exactQuantiles(cached, "value", Seq(0.02, 0.98))
+    cached.select(col("conv_id"), col("bucket_ts"),
       round(greatest(lit(1e-4), least(lit(1.0),
         (col("value") - lit(q02)) / (lit(q98) - lit(q02)))) + lit(1e-9), 4)
         .as("v_norm"))
