@@ -222,7 +222,9 @@ object SparkEntry {
       val series = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
       val labels = series.select("conv_id").distinct()
         .withColumn("label", substring(col("conv_id"), 2, 6).cast("int") % 3 + 1)
-      val pats = ChangeDetect.patterns(series, labels)
+      // lambda > 0: Whittaker-smoothed prototypes (≙ the reference's GAM
+      // penalized-spline fit, sits_patterns.R:38-140)
+      val pats = ChangeDetect.patterns(series, labels, lambda = 1.0)
       ChangeDetect.dtwClassify(s, series, pats)
         .select(col("conv_id"), col("label"),
           round(col("dtw_dist") + lit(1e-9), 4).as("dtw_dist"))
@@ -362,6 +364,23 @@ object SparkEntry {
       PeriodTiers.rollupPeriod(
         metrics(s, dir).select(col("conv_id"), col("ts"), col("text_len").as("value")),
         "P16D").orderBy("conv_id", "bucket_ts")),
+    // §2.3 FULL period regularize: quality-first per P16D bucket + cube-wide
+    // shared-timeline densification — every conv gets exactly |timeline|
+    // slots, empty buckets null (api_regularize.R:90-109 postcondition)
+    "ts_regular_p16d" -> ((s, dir) =>
+      PeriodTiers.regularizeP(
+        Regularize.withMetrics(transcripts(s, dir))
+          .select(col("conv_id"), col("ts"), col("turn_idx"),
+            col("quality_rank"), col("text_len").as("value")),
+        "P16D").orderBy("conv_id", "bucket_ts")),
+    // §2.4 C_mask_na / C_fill_na as dedicated verbs over the pre-gap-fill
+    // regular grid (nulls = empty buckets)
+    "ts_mask_fill" -> ((s, dir) => {
+      val g = Regularize.regularize(transcripts(s, dir), Tier.M1)
+        .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp"))
+      GapFill.fillNa(GapFill.maskNa(g, Seq("value")), Seq("value"), -9999.0)
+        .orderBy("conv_id", "bucket_ts")
+    }),
     // §2.5 general sits_apply expression API: new metrics from arbitrary
     // Catalyst expressions over existing metrics, incl. w_* kernel refs
     "ts_apply_expr" -> ((s, dir) => {
@@ -1070,6 +1089,42 @@ private object Oracles {
           |FROM metrics, tlp
           |WHERE cast(ts AS date) >= s0 AND cast(ts AS date) < hi
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_regular_p16d" ->
+      (cte + metricsCte +
+        """, ext AS (
+          |  SELECT max(mn) AS s0, min(mx) AS e0 FROM
+          |    (SELECT conv_id, min(cast(ts AS date)) AS mn, max(cast(ts AS date)) AS mx
+          |     FROM metrics GROUP BY conv_id)
+          |), tlg AS (
+          |  SELECT s0, unnest(generate_series(0, cast(floor(date_diff('day', s0, e0) / 16.0) AS int))) AS g
+          |  FROM ext
+          |), tl AS (
+          |  SELECT cast(s0 + cast(16 * g AS int) AS timestamp) AS bucket_ts FROM tlg
+          |), fv AS (
+          |  SELECT conv_id, bucket_ts, value FROM (
+          |    SELECT m.conv_id,
+          |      cast(x.s0 + cast(floor(date_diff('day', x.s0, cast(m.ts AS date)) / 16.0) * 16 AS int) AS timestamp) AS bucket_ts,
+          |      m.text_len AS value,
+          |      row_number() OVER (
+          |        PARTITION BY m.conv_id, floor(date_diff('day', x.s0, cast(m.ts AS date)) / 16.0)
+          |        ORDER BY m.quality_rank, m.ts, m.turn_idx) AS rn
+          |    FROM metrics m, ext x
+          |    WHERE cast(m.ts AS date) >= x.s0
+          |      AND cast(m.ts AS date) < x.s0 + cast(floor(date_diff('day', x.s0, x.e0) / 16.0) * 16 + 16 AS int)
+          |  ) WHERE rn = 1
+          |), convs AS (SELECT DISTINCT conv_id FROM metrics)
+          |SELECT c.conv_id, t.bucket_ts, f.value
+          |FROM convs c CROSS JOIN tl t
+          |LEFT JOIN fv f ON f.conv_id = c.conv_id AND f.bucket_ts = t.bucket_ts
+          |ORDER BY c.conv_id, t.bucket_ts""".stripMargin),
+    "ts_mask_fill" ->
+      (cte + regularCte +
+        """
+          |SELECT conv_id, bucket_ts,
+          |  CASE WHEN value IS NULL OR isnan(value) THEN -9999.0 ELSE value END AS value,
+          |  cast(value IS NULL OR isnan(value) AS int) AS na_mask
+          |FROM regular WHERE bucket_ts < timestamp '2024-01-02'
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_apply_expr" ->
       (cte + metricsCte +
         """, dm AS (

@@ -18,15 +18,35 @@ import graft.model.Tier
 object ChangeDetect {
 
   /** Per-label prototype series on the tier grid — the reference fits a GAM
-    * per label and resamples (sits_patterns.R:38-140); on a regular grid the
-    * pointwise mean is the least-squares constant-basis analog, which we use
-    * (documented deviation: no smoothing spline in the sandbox).
+    * `y ~ s(x)` per label and resamples (sits_patterns.R:38-140). Here:
+    * pointwise mean per (label, idx), then — for `lambda > 0` — a Whittaker
+    * pass over each label's mean series. The Whittaker smoother IS the
+    * discrete second-difference penalized spline, i.e. the same
+    * penalized-least-squares family as mgcv's `s(x)`; `lambda = 0` keeps
+    * the raw mean (constant-basis analog). Patterns are |labels|×|timeline|
+    * — the smoothing pass is a tiny mapGroups over label groups.
     * labels: (conv_id, label). Output (label, idx, value).
     */
-  def patterns(series: DataFrame, labels: DataFrame, idxCol: String = "idx"): DataFrame =
-    series.join(labels, "conv_id")
+  def patterns(series: DataFrame, labels: DataFrame, idxCol: String = "idx",
+      lambda: Double = 0.0): DataFrame = {
+    val means = series.join(labels, "conv_id")
       .groupBy(col("label"), col(idxCol))
       .agg(avg("value").as("value"))
+    if (lambda <= 0.0) means
+    else {
+      val spark = means.sparkSession
+      import spark.implicits._
+      means.select(col("label").cast("int"), col(idxCol).cast("int"),
+          col("value").cast("double"))
+        .as[(Int, Int, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (lab, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          val sm = SeriesKernels.whittaker(pts.map(_._3), lambda)
+          pts.indices.iterator.map(i => (lab, pts(i)._2, sm(i)))
+        }.toDF("label", idxCol, "value")
+    }
+  }
 
   /** DTW classification: distance of each conv's series to every label
     * pattern (symmetric-2, p-norm local cost, dtw.cpp:36-105), assign the

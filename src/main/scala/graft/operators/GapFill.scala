@@ -27,6 +27,23 @@ import graft.functions.SeriesKernels
   */
 object GapFill {
 
+  /** `C_mask_na` (src/linear_interp.cpp:92-102): flag rows where ANY of the
+    * given metric columns is missing — the cloud/na mask the classification
+    * pipeline applies before scoring (api_classify.R:459-462). Pure
+    * expression, shuffle-free.
+    */
+  def maskNa(df: DataFrame, metricCols: Seq[String]): DataFrame =
+    df.withColumn("na_mask",
+      metricCols.map(c => col(c).isNull || isnan(col(c))).reduce(_ || _).cast("int"))
+
+  /** `C_fill_na` (src/linear_interp.cpp:105-113): replace missing values in
+    * the given metric columns with a constant. Shuffle-free.
+    */
+  def fillNa(df: DataFrame, metricCols: Seq[String], value: Double): DataFrame =
+    metricCols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNull || isnan(col(c)), lit(value)).otherwise(col(c))))
+
   /** Window-function path. Input: (conv_id, bucket_ts, value) regular grid.
     * Four ignore-nulls running windows per conv; arithmetic written in the
     * exact operand order of linear_interp.cpp:20-22 so doubles match the

@@ -94,6 +94,43 @@ object PeriodTiers {
     }
   }
 
+  /** Full period-grid regularize ≙ `sits_regularize` on an arbitrary period:
+    * quality-ordered first-valid per `[t_i, t_i+P)` bucket, then
+    * densification against the CUBE-WIDE shared timeline — every
+    * conversation gets exactly |timeline| output slots, empty buckets
+    * materialized as null values (the reference's asserted postcondition,
+    * api_regularize.R:90-109: `nrow(assets) == |timeline| × |bands|`).
+    *
+    * Input must carry (conv_id, ts, turn_idx, quality_rank, value). The
+    * timeline is metadata-sized → broadcast cross join builds the grid; the
+    * only data-scale shuffles are the firstValid aggregation (map-side
+    * combined min_by) and the grid left-join.
+    */
+  def regularizeP(m: DataFrame, periodStr: String): DataFrame = {
+    val p = parse(periodStr)
+    val ext = m.groupBy("conv_id")
+      .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+      .agg(max("mn").as("start"), min("mx").as("end")).head()
+    val tl = timeline(ext.getDate(0).toLocalDate, ext.getDate(1).toLocalDate, p)
+    val (lo, hi) = (tl.head, step(tl.last, p))
+    val fv = m
+      .filter(to_date(col("ts")) >= lit(java.sql.Date.valueOf(lo)) &&
+        to_date(col("ts")) < lit(java.sql.Date.valueOf(hi)))
+      .groupBy(col("conv_id"), bucket(col("ts"), lo, p).as("bucket_ts"))
+      .agg(min_by(col("value"),
+        struct(col("quality_rank"), col("ts"), col("turn_idx"))).as("value"))
+    val spark = m.sparkSession
+    import spark.implicits._
+    // epoch-day arithmetic: TZ-independent midnight-UTC construction
+    // (Timestamp.valueOf(LocalDateTime) would apply the JVM default zone)
+    val tlDf = tl.map(d => new java.sql.Timestamp(d.toEpochDay * 86400000L))
+      .toDF("bucket_ts")
+    m.select("conv_id").distinct()
+      .crossJoin(broadcast(tlDf))
+      .join(fv, Seq("conv_id", "bucket_ts"), "left")
+      .select(col("conv_id"), col("bucket_ts"), col("value"))
+  }
+
   /** Period rollup over an irregular metric relation, following the full
     * regularize timeline rule (§2.3): shared extent = [max-min, min-max]
     * dates across conversations, snapped origin, timeline points own

@@ -65,6 +65,21 @@ class PlanSpec extends AnyFunSuite {
       s"single-partition exchange below the limit:\n$p")
   }
 
+  test("period rollup: bucket arithmetic aggregates with partial combine, no timeline join") {
+    val p = plan("ts_rollup_p16d")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), s"no partial agg:\n$p")
+    // bucket assignment is pure arithmetic — the only join anywhere in this
+    // plan would be a timeline join, which must not exist
+    assert(!p.contains("Join"), s"unexpected timeline join:\n$p")
+  }
+
+  test("period regularize: timeline grid joins broadcast, firstValid is partial min_by") {
+    val p = plan("ts_regular_p16d")
+    assert(p.contains("partial_min_by"), s"no partial min_by:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"timeline grid not broadcast:\n$p")
+  }
+
   test("salted rollup really is two aggregation phases keyed by __salt") {
     val p = plan("ts_rollup_salted")
     assert(p.contains("__salt"))

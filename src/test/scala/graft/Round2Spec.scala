@@ -63,6 +63,46 @@ class Round2Spec extends AnyFunSuite {
       "2024-01-01", "2024-03-01"))
   }
 
+  test("regularizeP: every conv gets exactly |timeline| slots, empty buckets null") {
+    // two convs, shared extent [max-min, min-max] = [Jan 10, Feb 20] →
+    // P16D timeline Jan 10, Jan 26, Feb 11 (Feb 27 > end)
+    def row(c: String, day: String, q: Int, v: Double) =
+      (c, java.sql.Timestamp.valueOf(s"2024-$day 12:00:00"), 1, q, v)
+    val m = Seq(
+      row("a", "01-01", 0, 1.0), row("a", "01-10", 0, 2.0),
+      row("a", "01-30", 1, 3.0), row("a", "01-30", 0, 4.0), row("a", "02-20", 0, 5.0),
+      row("b", "01-10", 0, 6.0), row("b", "02-25", 0, 7.0))
+      .toDF("conv_id", "ts", "turn_idx", "quality_rank", "value")
+    val out = PeriodTiers.regularizeP(m, "P16D")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val byConv = out.groupBy(_._1)
+    assert(byConv("a").length == 3 && byConv("b").length == 3) // |timeline| slots each
+    val a = byConv("a").map(t => t._2 -> t._3).toMap
+    // Jan 1 is before the shared start → dropped (cut semantics); Jan 30 has
+    // two observations → quality_rank 0 wins
+    assert(a == Map("2024-01-10" -> Some(2.0), "2024-01-26" -> Some(4.0),
+      "2024-02-11" -> Some(5.0)))
+    val b = byConv("b").map(t => t._2 -> t._3).toMap
+    // Feb 25 falls inside the LAST bucket [Feb 11, Feb 27) even though the
+    // timeline end is Feb 20 — cut() extends the final interval one period
+    assert(b == Map("2024-01-10" -> Some(6.0), "2024-01-26" -> None,
+      "2024-02-11" -> Some(7.0)))
+  }
+
+  test("maskNa flags any-missing rows and fillNa replaces with the constant") {
+    val df = Seq(("a", Some(1.0), Some(2.0)), ("b", None, Some(3.0)),
+      ("c", Some(Double.NaN), Some(4.0)), ("d", Some(5.0), None))
+      .toDF("id", "m1", "m2")
+    val masked = graft.operators.GapFill.maskNa(df, Seq("m1", "m2"))
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("na_mask")).toMap
+    assert(masked == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 1))
+    val filled = graft.operators.GapFill.fillNa(df, Seq("m1", "m2"), -9999.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(filled.toSet == Set(("a", 1.0, 2.0), ("b", -9999.0, 3.0),
+      ("c", -9999.0, 4.0), ("d", 5.0, -9999.0)))
+  }
+
   test("apply expression API: plain expr is a pure column; kernel refs match KernelWindows") {
     val t0 = 1735689600000L
     val grid = (0 until 8).map(i =>
@@ -123,6 +163,22 @@ class Round2Spec extends AnyFunSuite {
       Array(0.0, 0.0, 0.0))
     val labeled = graft.operators.Probs.label(probs).collect()
     assert(labeled.length == 1 && labeled(0).getAs[Int]("label") == 3) // f3 largest
+  }
+
+  test("patterns with lambda > 0 smooth the per-label mean (penalized-spline GAM analog)") {
+    val series = (for (c <- Seq("x", "y"); i <- 0 until 12)
+      yield (c, i, i.toDouble + (if (i % 2 == 0) 2.0 else -2.0)))
+      .toDF("conv_id", "idx", "value")
+    val labels = Seq(("x", 1), ("y", 1)).toDF("conv_id", "label")
+    def roughness(vs: Seq[Double]): Double =
+      vs.sliding(3).map { case Seq(a, b, c) => math.pow(a - 2 * b + c, 2); case _ => 0.0 }.sum
+    val raw = graft.operators.ChangeDetect.patterns(series, labels)
+      .orderBy("idx").select("value").as[Double].collect().toSeq
+    val sm = graft.operators.ChangeDetect.patterns(series, labels, lambda = 5.0)
+      .orderBy("idx").select("value").as[Double].collect().toSeq
+    assert(raw.length == 12 && sm.length == 12)
+    assert(roughness(sm) < roughness(raw) / 10,
+      s"smoothing did not reduce 2nd-difference roughness: ${roughness(sm)} vs ${roughness(raw)}")
   }
 
   test("csv export round-trips a metric grid exactly") {
