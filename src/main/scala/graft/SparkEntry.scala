@@ -495,6 +495,12 @@ object SparkEntry {
     // content fingerprint (normalized md5)
     "txt_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(documents(s, dir)).orderBy("doc_id")),
+    // rolling-hash winnowing fingerprint (k=8 grams, w=4 windows)
+    "txt_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(documents(s, dir)).orderBy("doc_id")),
+    // whitespace + BPE-ish regex token counts
+    "txt_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCountsRegex(documents(s, dir)).orderBy("doc_id")),
     // multimodal: binary payload + batched (stub) decode via mapPartitions —
     // the oracle recomputes the deterministic fake features from the text,
     // proving the binary plumbing end-to-end
@@ -1434,6 +1440,37 @@ private object Oracles {
           |FROM b ORDER BY doc_id""".stripMargin),
     "txt_fingerprint" ->
       ("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin),
+    "txt_winnow" ->
+      ("""WITH t AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents
+          |), ok AS (
+          |  SELECT doc_id, s, length(s) AS n FROM t WHERE length(s) >= 11
+          |), g AS (
+          |  SELECT doc_id,
+          |    list_transform(generate_series(1, n - 7), i ->
+          |      substr(md5(substr(s, cast(i AS int), 8)), 1, 8)) AS hx
+          |  FROM ok
+          |), hh AS (
+          |  SELECT doc_id,
+          |    list_transform(hx, x ->
+          |      list_sum(list_transform(generate_series(1, 8), d ->
+          |        cast(strpos('0123456789abcdef', substr(x, cast(d AS int), 1)) - 1 AS bigint)
+          |          * cast(pow(16, 8 - d) AS bigint)))) AS h
+          |  FROM g
+          |), win AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(generate_series(1, len(h) - 3), i ->
+          |      list_min(h[cast(i AS int):cast(i + 3 AS int)]))) AS fp
+          |  FROM hh
+          |)
+          |SELECT doc_id, len(fp) AS n_fp, list_sum(fp) AS fp_sum,
+          |       list_min(fp) AS fp_min, list_max(fp) AS fp_max
+          |FROM win ORDER BY doc_id""".stripMargin),
+    "txt_tokens" ->
+      ("""SELECT doc_id,
+          |  len(string_split(text, ' ')) AS n_words,
+          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
           |FROM documents ORDER BY doc_id""".stripMargin),
     "mm_features" ->
       // height derives from the FIRST UTF-8 BYTE of the payload (the Spark

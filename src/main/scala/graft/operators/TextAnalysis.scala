@@ -82,4 +82,60 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+
+  /** Token counting by regex classes (the BPE-ish pre-tokenizer pattern:
+    * letter runs, digit runs, single punctuation) alongside plain
+    * whitespace tokens. Non-overlapping left-to-right match counts are
+    * engine-identical for these disjoint classes.
+    */
+  def tokenCountsRegex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe"))
+
+  /** Rolling-hash document fingerprinting by WINNOWING (Schleimer et al.,
+    * SIGMOD'03): hash every k-char gram of the normalized text (first 4
+    * md5 bytes as an unsigned 32-bit value — engine-reproducible), take the
+    * minimum of each w-gram window, and keep the distinct selected hashes —
+    * the local-similarity fingerprint set that survives insertions and
+    * reordering where the whole-document md5 does not. Typed mapPartitions
+    * kernel (per-char HOF expressions interpret ~len×k lambda evals per
+    * doc); the DuckDB oracle recomputes the identical selection from the
+    * same md5 grams. Docs shorter than k+w-1 chars have no window and are
+    * excluded in both engines. Output: per-doc fingerprint-set summary
+    * (count / sum / min / max of the selected hashes).
+    */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("s"))
+      .filter(length(col("s")) >= k + w - 1)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, s) =>
+          val n = s.length - k + 1
+          val h = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val d = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
+            h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            i += 1
+          }
+          val sel = scala.collection.mutable.LinkedHashSet[Long]()
+          i = 0
+          while (i <= n - w) {
+            var m = h(i)
+            var j = i + 1
+            while (j < i + w) { if (h(j) < m) m = h(j); j += 1 }
+            sel += m
+            i += 1
+          }
+          val arr = sel.toArray
+          (id, arr.length, arr.sum, arr.min, arr.max)
+        }
+      }.toDF("doc_id", "n_fp", "fp_sum", "fp_min", "fp_max")
+  }
 }

@@ -181,6 +181,30 @@ class Round2Spec extends AnyFunSuite {
       s"smoothing did not reduce 2nd-difference roughness: ${roughness(sm)} vs ${roughness(raw)}")
   }
 
+  test("winnowing fingerprints are robust to local edits (unlike whole-doc md5)") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val edited = base.replace("jumps", "leaps") // one local edit
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    // recompute the selected sets directly to compare overlap
+    def fpSet(s: String): Set[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val norm = s.toLowerCase.replaceAll("\\s+", " ")
+      val n = norm.length - 8 + 1
+      val h = (0 until n).map { i =>
+        val d = md.digest(norm.substring(i, i + 8).getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      (0 to n - 4).map(i => (i until i + 4).map(h).min).toSet
+    }
+    val (f1, f2) = (fpSet(base), fpSet(edited))
+    val overlap = (f1 & f2).size.toDouble / math.max(f1.size, f2.size)
+    assert(overlap > 0.5, s"local edit destroyed fingerprint overlap: $overlap")
+    // and the operator agrees with the direct computation
+    val out = graft.operators.TextAnalysis.winnow(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == f1.size && out(2L) == f2.size)
+  }
+
   test("csv export round-trips a metric grid exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val grid = (0 until 50).map(i =>
