@@ -381,6 +381,11 @@ object SparkEntry {
       GapFill.fillNa(GapFill.maskNa(g, Seq("value")), Seq("value"), -9999.0)
         .orderBy("conv_id", "bucket_ts")
     }),
+    // §1.1 .tibble_prune: keep only conversations at the median point count
+    "ts_prune" -> ((s, dir) =>
+      Select.pruneMedianLength(metrics(s, dir))
+        .select("conv_id", "turn_idx", "ts", "text_len")
+        .orderBy("conv_id", "turn_idx")),
     // §2.5 general sits_apply expression API: new metrics from arbitrary
     // Catalyst expressions over existing metrics, incl. w_* kernel refs
     "ts_apply_expr" -> ((s, dir) => {
@@ -1131,6 +1136,17 @@ private object Oracles {
           |  cast(value IS NULL OR isnan(value) AS int) AS na_mask
           |FROM regular WHERE bucket_ts < timestamp '2024-01-02'
           |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_prune" ->
+      (cte + metricsCte +
+        """, cnt AS (
+          |  SELECT conv_id, count(*) AS n_pts FROM metrics GROUP BY 1
+          |), med AS (
+          |  SELECT quantile_cont(n_pts, 0.5) AS m FROM cnt
+          |)
+          |SELECT m.conv_id, m.turn_idx, m.ts, m.text_len
+          |FROM metrics m JOIN cnt c ON m.conv_id = c.conv_id CROSS JOIN med
+          |WHERE cast(c.n_pts AS double) = med.m
+          |ORDER BY m.conv_id, m.turn_idx""".stripMargin),
     "ts_apply_expr" ->
       (cte + metricsCte +
         """, dm AS (

@@ -46,6 +46,20 @@ object Select {
     transcripts.withColumn("train",
       (substring(col("conv_id"), 2, 6).cast("long") * 48271L + col("turn_idx")) % 100 < trainPct)
 
+  /** Equal-length enforcement ≙ `.tibble_prune` (api_tibble.R:239-255):
+    * keep only conversations whose point count equals the MEDIAN count
+    * across conversations (R stats::median = type-7 quantile at 0.5 —
+    * computed here via the partition-parallel [[Predictors.exactQuantiles]],
+    * never a single-reducer percentile). A fractional median (even count of
+    * distinct lengths) matches no series, exactly as in R.
+    */
+  def pruneMedianLength(metrics: DataFrame): DataFrame = {
+    val counts = metrics.groupBy("conv_id").agg(count(lit(1)).as("n_pts"))
+    val Seq(med) = Predictors.exactQuantiles(counts, "n_pts", Seq(0.5))
+    val keep = counts.filter(col("n_pts").cast("double") === med).select("conv_id")
+    metrics.join(keep, "conv_id")
+  }
+
   /** First-tile-wins dedup ≙ `.data_get_ts` multi-tile point dedup
     * (api_data.R:214-222): keep one row per identity by stable preference
     * order.
