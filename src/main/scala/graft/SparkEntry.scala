@@ -276,6 +276,11 @@ object SparkEntry {
         .toDF("rk", "conv_id", "bucket_ts", "entropy")
         .orderBy("rk")
     }),
+    // §2.9 sits_confidence_sampling: per-class top-5 most-confident cells
+    // (margin floor, one pick per conversation per class)
+    "ts_topk_confident" -> ((s, dir) =>
+      Probs.confidenceSampling(Probs.roleMix(transcripts(s, dir)),
+        n = 5, minMargin = 0.1).orderBy("label", "rk")),
     // §2.10 sits_add_base_cube: broadcast-join static per-conv covariates
     "ts_base_join" -> ((s, dir) => {
       val t = transcripts(s, dir)
@@ -1045,6 +1050,29 @@ private object Oracles {
           |  SELECT conv_id, bucket_ts, entropy,
           |    row_number() OVER (ORDER BY entropy DESC, conv_id, bucket_ts) AS rk
           |  FROM u) WHERE rk <= 20 ORDER BY rk""".stripMargin),
+    "ts_topk_confident" ->
+      (cte + probsCte +
+        """, lb AS (
+          |  SELECT conv_id, bucket_ts, p1, p2, p3,
+          |    CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS label,
+          |    greatest(p1, p2, p3) AS p_max,
+          |    greatest(p1, p2, p3) - (p1 + p2 + p3 - greatest(p1, p2, p3) - least(p1, p2, p3)) AS margin
+          |  FROM probs
+          |), cand AS (
+          |  SELECT * FROM lb WHERE margin >= 0.1
+          |), pc AS (
+          |  SELECT *, row_number() OVER (PARTITION BY label, conv_id
+          |                              ORDER BY p_max DESC, bucket_ts) AS rc
+          |  FROM cand
+          |), pl AS (
+          |  SELECT *, row_number() OVER (PARTITION BY label
+          |                              ORDER BY p_max DESC, conv_id, bucket_ts) AS rk
+          |  FROM pc WHERE rc = 1
+          |)
+          |SELECT label, rk, conv_id, bucket_ts,
+          |  round(p_max + 1e-9, 4) AS p_max,
+          |  round(margin + 1e-9, 4) AS margin
+          |FROM pl WHERE rk <= 5 ORDER BY label, rk""".stripMargin),
     "ts_base_join" ->
       (cte + metricsCte +
         """, static AS (

@@ -94,6 +94,36 @@ object PeriodTiers {
     }
   }
 
+  /** `.timeline_match` (api_timeline.R:129-190): break a long data timeline
+    * into consecutive non-overlapping model-length windows. Start index:
+    * if the data begins before the model's start date, estimate the model's
+    * (month, day) in the data's first year and snap to the NEAREST timeline
+    * date (first-wins on ties, R which.min); otherwise snap to the nearest
+    * date to the model start. Then chop `[i, i+numSamples-1]` index windows
+    * while complete. Driver-side metadata helper (timelines are tiny).
+    */
+  def timelineMatch(tl: Seq[LocalDate], modelStart: LocalDate,
+      numSamples: Int): Seq[(LocalDate, LocalDate)] = {
+    require(tl.nonEmpty && numSamples > 0)
+    val est =
+      if (tl.head.isBefore(modelStart)) {
+        val lastDay = java.time.YearMonth.of(tl.head.getYear,
+          modelStart.getMonthValue).lengthOfMonth
+        LocalDate.of(tl.head.getYear, modelStart.getMonthValue,
+          math.min(modelStart.getDayOfMonth, lastDay))
+      } else modelStart
+    var idx = tl.indices.minBy(i => math.abs(
+      java.time.temporal.ChronoUnit.DAYS.between(est, tl(i))))
+    val out = scala.collection.mutable.ArrayBuffer[(LocalDate, LocalDate)]()
+    while (idx + numSamples - 1 < tl.length) {
+      out += ((tl(idx), tl(idx + numSamples - 1)))
+      idx += numSamples
+    }
+    require(out.nonEmpty,
+      s"timeline (${tl.length} dates) shorter than one model window ($numSamples)")
+    out.toSeq
+  }
+
   /** Full period-grid regularize ≙ `sits_regularize` on an arbitrary period:
     * quality-ordered first-valid per `[t_i, t_i+P)` bucket, then
     * densification against the CUBE-WIDE shared timeline — every

@@ -84,6 +84,39 @@ object Probs {
         when(cond, lit(to)).otherwise(els)
       })
 
+  /** `sits_confidence_sampling` (sits_sample_functions.R:119, 51-128): per
+    * class, suggest the top-n cells where the model is MOST confident in
+    * that class — cells whose argmax is the class, whose top1−top2 margin
+    * meets `minMargin`, ranked by the class probability. The reference's
+    * sampling-window autocorrelation guard (one pick per spatial window)
+    * becomes one pick per conversation in our 1-D domain.
+    *
+    * Scale shape: margin filter + per-(label, conv) dedup are fully
+    * partitioned; the final per-label rank window is partitioned by label
+    * (parallelism bounded by |labels| — at cube scale pre-filter candidates
+    * with a per-label probability threshold before ranking).
+    */
+  def confidenceSampling(probs: DataFrame, n: Int,
+      minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    val mx = greatest(col("p1"), col("p2"), col("p3"))
+    val mn = least(col("p1"), col("p2"), col("p3"))
+    val margin = mx - (col("p1") + col("p2") + col("p3") - mx - mn)
+    val cand = label(probs)
+      .withColumn("p_max", mx).withColumn("margin", margin)
+      .filter(col("margin") >= minMargin)
+    val perConv = Window.partitionBy("label", "conv_id")
+      .orderBy(col("p_max").desc, col("bucket_ts"))
+    val perLabel = Window.partitionBy("label")
+      .orderBy(col("p_max").desc, col("conv_id"), col("bucket_ts"))
+    cand
+      .withColumn("__rc", row_number().over(perConv)).filter(col("__rc") === 1)
+      .withColumn("rk", row_number().over(perLabel)).filter(col("rk") <= n)
+      .select(col("label"), col("rk"), col("conv_id"), col("bucket_ts"),
+        r4(col("p_max")).as("p_max"), r4(col("margin")).as("margin"))
+  }
+
   /** 1-D Bayesian smoothing of a per-conv logit series
     * (src/smooth_bayes.cpp:20-78 on our series domain): mirrored window of
     * half-width k over the day grid; neighbors sorted DESC, top

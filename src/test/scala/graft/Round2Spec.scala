@@ -103,6 +103,26 @@ class Round2Spec extends AnyFunSuite {
       ("c", -9999.0, 4.0), ("d", 5.0, -9999.0)))
   }
 
+  test("timelineMatch chops model-length windows with the reference's start estimation") {
+    import java.time.LocalDate
+    // data timeline: P16D from 2013-09-14, 69 dates (~3 years)
+    val tl = (0 until 69).map(i => LocalDate.of(2013, 9, 14).plusDays(16L * i))
+    // model year starts 2013-09-14 with 23 samples → 3 exact windows
+    val w = PeriodTiers.timelineMatch(tl, LocalDate.of(2013, 9, 14), 23)
+    assert(w.length == 3)
+    assert(w.head == (tl(0), tl(22)))
+    assert(w(1) == (tl(23), tl(45)))
+    assert(w(2) == (tl(46), tl(68)))
+    // data starting BEFORE the model start: model (month, day) is projected
+    // into the data's first year, nearest timeline date wins
+    val w2 = PeriodTiers.timelineMatch(tl, LocalDate.of(2014, 9, 14), 23)
+    assert(w2.head._1 == tl(0)) // est 2013-09-14 == tl(0) exactly
+    // incomplete tail window is dropped
+    assert(PeriodTiers.timelineMatch(tl, LocalDate.of(2013, 9, 14), 40).length == 1)
+    assertThrows[IllegalArgumentException](
+      PeriodTiers.timelineMatch(tl.take(5), LocalDate.of(2013, 9, 14), 23))
+  }
+
   test("apply expression API: plain expr is a pure column; kernel refs match KernelWindows") {
     val t0 = 1735689600000L
     val grid = (0 until 8).map(i =>
