@@ -517,6 +517,24 @@ object SparkEntry {
     "mm_features" -> ((s, dir) =>
       Multimodal.decodeStub(s, Multimodal.withPayload(documents(s, dir)))
         .orderBy("doc_id")),
+    // multimodal frame sampling: every 3rd frame index per decoded media row
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.decodeStub(s, Multimodal.withPayload(documents(s, dir))),
+        stride = 3).orderBy("doc_id", "k")),
+    // §3.2 full classification lifecycle in one chain: feature extraction →
+    // batched mapPartitions scoring → softmax probs → label + uncertainty
+    // (the reference's classify → label_classification consumer pipeline)
+    "ts_classify_e2e" -> ((s, dir) => {
+      val probs = Classify.score(s, softmaxFeatures(s, dir), Seq("f1", "f2", "f3"),
+        weights = Array(Array(0.8, -1.2, 0.3), Array(-0.5, 2.0, 0.1),
+          Array(0.2, 0.4, -0.7)),
+        bias = Array(0.1, -0.2, 0.05))
+      Probs.label(probs).join(Probs.uncertainty(probs), Seq("conv_id", "bucket_ts"))
+        .select(col("conv_id"), col("bucket_ts"), col("p1"), col("p2"), col("p3"),
+          col("label"), col("entropy"), col("margin"), col("least"))
+        .orderBy("conv_id", "bucket_ts")
+    }),
   )
 
   /** Per-(conv, day) feature vector for the scoring harness — rounded at 4
@@ -1312,6 +1330,47 @@ private object Oracles {
           |FROM br JOIN bp ON br.class = bp.class
           |JOIN ar ON ar.class = br.class CROSS JOIN at
           |ORDER BY br.class""".stripMargin),
+    "mm_frames" ->
+      ("""WITH mm AS (
+          |  SELECT doc_id, octet_length(cast(text AS BLOB)) // 100 + 1 AS frames
+          |  FROM documents
+          |)
+          |SELECT doc_id, cast(f AS int) // 3 AS k, f AS frame_idx
+          |FROM (SELECT doc_id, unnest(generate_series(0, frames - 1, 3)) AS f FROM mm)
+          |ORDER BY doc_id, k""".stripMargin),
+    "ts_classify_e2e" ->
+      (cte + metricsCte +
+        """, fx AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |    round(avg(text_len) / 100.0 + 1e-9, 4) AS f1,
+          |    round(avg(is_tool) + 1e-9, 4) AS f2,
+          |    round(count(*) / 10.0 + 1e-9, 4) AS f3
+          |  FROM metrics GROUP BY 1, 2
+          |), sc AS (
+          |  SELECT conv_id, bucket_ts,
+          |    0.1 + 0.8 * f1 + -1.2 * f2 + 0.3 * f3 AS s1,
+          |    -0.2 + -0.5 * f1 + 2.0 * f2 + 0.1 * f3 AS s2,
+          |    0.05 + 0.2 * f1 + 0.4 * f2 + -0.7 * f3 AS s3
+          |  FROM fx
+          |), sm AS (
+          |  SELECT conv_id, bucket_ts, s1, s2, s3,
+          |    greatest(s1, s2, s3)
+          |      + ln(exp(s1 - greatest(s1, s2, s3)) + exp(s2 - greatest(s1, s2, s3))
+          |           + exp(s3 - greatest(s1, s2, s3))) AS scale
+          |  FROM sc
+          |), pr AS (
+          |  SELECT conv_id, bucket_ts,
+          |    round(exp(s1 - scale) + 1e-9, 4) AS p1,
+          |    round(exp(s2 - scale) + 1e-9, 4) AS p2,
+          |    round(exp(s3 - scale) + 1e-9, 4) AS p3
+          |  FROM sm
+          |)
+          |SELECT conv_id, bucket_ts, p1, p2, p3,
+          |  CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS label,
+          |  round(-(p1 * ln(p1) + p2 * ln(p2) + p3 * ln(p3)) / ln(3.0) + 1e-9, 4) AS entropy,
+          |  round(1.0 - (greatest(p1, p2, p3) - (p1 + p2 + p3 - greatest(p1, p2, p3) - least(p1, p2, p3))) + 1e-9, 4) AS margin,
+          |  round(1.0 - greatest(p1, p2, p3) + 1e-9, 4) AS least
+          |FROM pr ORDER BY conv_id, bucket_ts""".stripMargin),
     "dd_exact" ->
       (plantedCte +
         """
