@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer first-touch costs would
+    // otherwise land entirely on whichever query the Map yields first
+    try SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
