@@ -123,6 +123,41 @@ class Round2Spec extends AnyFunSuite {
       PeriodTiers.timelineMatch(tl.take(5), LocalDate.of(2013, 9, 14), 23))
   }
 
+  test("exactQuantiles equals Spark's percentile bit-for-bit on random and degenerate data") {
+    import graft.operators.Predictors
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq(
+      Seq.fill(997)(rnd.nextDouble() * 1000 - 500),          // continuous
+      Seq.fill(500)(rnd.nextInt(7).toDouble),                // heavy duplicates
+      Seq(3.14),                                             // n = 1
+      Seq(2.0, 1.0),                                         // n = 2
+      (1 to 64).map(_.toDouble))                             // exact grid
+    val ps = Seq(0.0, 0.02, 0.25, 0.5, 0.75, 0.98, 1.0)
+    shapes.foreach { vs =>
+      val df = vs.map(Tuple1(_)).toDF("value")
+      val got = Predictors.exactQuantiles(df, "value", ps)
+      val want = df.agg(percentile(col("value"), typedLit(ps))).head()
+        .getSeq[Double](0)
+      assert(got == want, s"n=${vs.length}: $got != $want")
+    }
+  }
+
+  test("period bucket totality: every ts inside [t1, tlast+P) maps onto a timeline point") {
+    import java.time.LocalDate
+    val p = Period(16, Day)
+    val tl = PeriodTiers.timeline(LocalDate.of(2024, 1, 3), LocalDate.of(2024, 4, 20), p)
+    val tlSet = tl.map(_.toString).toSet
+    val rnd = new scala.util.Random(7)
+    val lo = LocalDate.of(2024, 1, 3).toEpochDay * 86400000L
+    val hi = PeriodTiers.step(tl.last, p).toEpochDay * 86400000L
+    val ts = Seq.fill(300)(lo + (rnd.nextDouble() * (hi - lo)).toLong)
+      .map(ms => Tuple1(new java.sql.Timestamp(ms))).toDF("ts")
+    val buckets = ts.select(
+        PeriodTiers.bucket(col("ts"), LocalDate.of(2024, 1, 3), p).as("b"))
+      .collect().map(_.getTimestamp(0).toString.take(10))
+    buckets.foreach(b => assert(tlSet.contains(b), s"bucket $b not a timeline point"))
+  }
+
   test("apply expression API: plain expr is a pure column; kernel refs match KernelWindows") {
     val t0 = 1735689600000L
     val grid = (0 until 8).map(i =>
