@@ -43,6 +43,16 @@ object StreamingRollup {
       .select(col("conv_id"), col("window.start").as("bucket_ts"),
         col("value"), col("n_turns"))
 
+  /** Streaming exact dedup on the natural key — the at-least-once-delivery
+    * guard every streaming ingest needs (duplicate redelivery of the same
+    * (conv_id, turn_idx) is dropped; state holds one row per key only
+    * within the watermark horizon, so it is bounded). Batch analog:
+    * `dropDuplicates` / [[graft.operators.Dedup.exact]].
+    */
+  def dedupTurns(turns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    turns.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   final case class ConvState(nTurns: Long, lastLen: Double, maxGapSec: Long,
       lastTsMs: Long)
   final case class ConvUpdate(conv_id: String, n_turns: Long, last_len: Double,

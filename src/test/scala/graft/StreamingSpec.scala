@@ -55,6 +55,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops redelivered turns within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamingRollup.dedupTurns(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq(turn("a", 0, "user", 5, 3), turn("a", 1, "tool", 20, 4))
+      // batch 2 redelivers (a, 0) — at-least-once duplicate — plus one new turn
+      val b2 = Seq(turn("a", 0, "user", 5, 3), turn("b", 0, "user", 30, 2))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT conv_id, turn_idx FROM dedup ORDER BY conv_id, turn_idx")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      val batch = (b1 ++ b2).toDS().dropDuplicates("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+        .collect().map(t => (t.conv_id, t.turn_idx)).toSeq
+      assert(streamed == batch)
+      assert(streamed == Seq(("a", 0), ("a", 1), ("b", 0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries per-conv running state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
