@@ -190,6 +190,18 @@ object TierPipeline {
         runTier(spark, outRoot, "1d-state", snap, nBuckets, st1d, limitBuckets)
       }
 
-    Seq(r1, r2, r3)
+    // tier 1mo (calendar month ≙ the reference's P1M period): cascaded from
+    // committed 1d state under the same full-lower-tier gate
+    val r4 =
+      if (committedBuckets(outRoot, "1d-state", snap).size < nBuckets)
+        TierRun("1mo-state", Nil, Nil, 0, 0)
+      else {
+        val st1dStored = readTier(spark, outRoot, "1d-state", snap)
+        val stMo = Rollup.cascade(st1dStored.drop("bucket"), Tier.Mo1)
+          .withColumn("bucket", b)
+        runTier(spark, outRoot, "1mo-state", snap, nBuckets, stMo, limitBuckets)
+      }
+
+    Seq(r1, r2, r3, r4)
   }
 }

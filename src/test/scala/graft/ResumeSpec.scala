@@ -33,27 +33,30 @@ class ResumeSpec extends AnyFunSuite {
     // uninterrupted reference run
     val full = freshDir("full")
     val runsA = TierPipeline.runAll(spark, tr, input, full, nBuckets)
-    assert(runsA.map(_.processed.size) == Seq(nBuckets, nBuckets, nBuckets))
+    assert(runsA.map(_.processed.size) == Seq(nBuckets, nBuckets, nBuckets, nBuckets))
     assert(runsA.forall(_.rowsOut > 0))
 
-    // interrupted: each tier only commits 2 of 4 buckets; 1d must refuse to
-    // run on the incomplete 1h tier
+    // interrupted: each tier only commits 2 of 4 buckets; 1d and 1mo must
+    // refuse to run on an incomplete lower tier
     val part = freshDir("part")
     val runsB1 = TierPipeline.runAll(spark, tr, input, part, nBuckets, Some(2))
     assert(runsB1.take(2).map(_.processed.size) == Seq(2, 2))
     assert(runsB1(2).processed.isEmpty, "1d must be gated on complete 1h")
+    assert(runsB1(3).processed.isEmpty, "1mo must be gated on complete 1d")
 
     // resume: only the missing buckets run, then everything matches
     val runsB2 = TierPipeline.runAll(spark, tr, input, part, nBuckets)
     assert(runsB2.take(2).map(_.processed.size) == Seq(2, 2))
     assert(runsB2.take(2).map(_.skipped.size) == Seq(2, 2))
     assert(runsB2(2).processed.size == nBuckets)
+    assert(runsB2(3).processed.size == nBuckets)
 
     val snap = TierPipeline.snapshotId(input)
+    val stateCols = Seq("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v")
     for ((tier, cols) <- Seq(
         "1m-chunks" -> Seq("conv_id", "tier", "n", "codec"),
-        "1h-state" -> Seq("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v"),
-        "1d-state" -> Seq("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v"))) {
+        "1h-state" -> stateCols, "1d-state" -> stateCols,
+        "1mo-state" -> stateCols)) {
       assert(sortedRows(full, tier, snap, cols) == sortedRows(part, tier, snap, cols),
         s"tier $tier differs after resume")
     }
@@ -61,7 +64,7 @@ class ResumeSpec extends AnyFunSuite {
     // third run: everything already committed → all skipped, nothing re-runs
     val runsB3 = TierPipeline.runAll(spark, tr, input, part, nBuckets)
     assert(runsB3.forall(_.processed.isEmpty))
-    assert(runsB3.map(_.skipped.size) == Seq(nBuckets, nBuckets, nBuckets))
+    assert(runsB3.map(_.skipped.size) == Seq(nBuckets, nBuckets, nBuckets, nBuckets))
   }
 
   test("changed input snapshot invalidates resume") {
