@@ -378,6 +378,12 @@ object SparkEntry {
           .select(col("conv_id"), col("ts"), col("turn_idx"),
             col("quality_rank"), col("text_len").as("value")),
         "P16D").orderBy("conv_id", "bucket_ts")),
+    // §2.3 multi-band regularize: both metrics quality-first aggregated in
+    // ONE pass over the raw turns (one shuffle for all bands, as the
+    // reference's per-image read serves every band)
+    "ts_regular_multi" -> ((s, dir) =>
+      Regularize.firstValidAll(transcripts(s, dir), Tier.H1,
+        Seq("text_len", "is_tool")).orderBy("conv_id", "bucket_ts")),
     // §2.4 C_mask_na / C_fill_na as dedicated verbs over the pre-gap-fill
     // regular grid (nulls = empty buckets)
     "ts_mask_fill" -> ((s, dir) => {
@@ -1174,6 +1180,15 @@ private object Oracles {
           |FROM convs c CROSS JOIN tl t
           |LEFT JOIN fv f ON f.conv_id = c.conv_id AND f.bucket_ts = t.bucket_ts
           |ORDER BY c.conv_id, t.bucket_ts""".stripMargin),
+    "ts_regular_multi" ->
+      (cte + metricsCte +
+        """
+          |SELECT conv_id, bucket_ts, text_len, is_tool FROM (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, text_len, is_tool,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          |                       ORDER BY quality_rank, ts, turn_idx) AS rn
+          |  FROM metrics) WHERE rn = 1
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_mask_fill" ->
       (cte + regularCte +
         """

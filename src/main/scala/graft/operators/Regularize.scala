@@ -47,6 +47,22 @@ object Regularize {
       .agg(min_by(col(metric),
         struct(col("quality_rank"), col("ts"), col("turn_idx"))).as("value"))
 
+  /** Multi-band first-valid: ALL metric columns aggregated in ONE pass —
+    * the reference regularizes every band of a cube in one job
+    * (api_gdalcubes.R:506-513 job list is tile×band×time but each image
+    * read serves all bands); two separate [[firstValid]] calls would scan
+    * and shuffle the raw turns once per metric. Same quality-first
+    * semantics per metric, one shuffle total.
+    */
+  def firstValidAll(transcripts: DataFrame, tier: Tier,
+      metrics: Seq[String]): DataFrame = {
+    val key = struct(col("quality_rank"), col("ts"), col("turn_idx"))
+    withMetrics(transcripts)
+      .groupBy(col("conv_id"), bucket(tier, col("ts")).as("bucket_ts"))
+      .agg(min_by(col(metrics.head), key).as(metrics.head),
+        metrics.tail.map(m => min_by(col(m), key).as(m)): _*)
+  }
+
   /** Materialize empty buckets: per-conv regular grid from its min to max
     * bucket, null value where no observation fell. The grid size is bounded
     * by the retention window (timeline length), NOT by turn count, so the

@@ -67,6 +67,17 @@ class ResumeSpec extends AnyFunSuite {
     assert(runsB3.map(_.skipped.size) == Seq(nBuckets, nBuckets, nBuckets, nBuckets))
   }
 
+  test("snapshot id matching is exact, not prefix (123 must not match 1234)") {
+    val out = freshDir("snap")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/1h-state.manifest.jsonl"),
+      """{"jobId":"j","tier":"1h-state","bucket":0,"snapshotId":1234,"path":"/x","rowsIn":1,"rowsOut":1,"wallMs":1,"status":"committed"}""" + "\n")
+    assert(TierPipeline.committedBuckets(out, "1h-state", 1234L) == Set(0))
+    assert(TierPipeline.committedBuckets(out, "1h-state", 123L).isEmpty,
+      "decimal-prefix snapshot id wrongly matched")
+    assert(TierPipeline.committedPaths(out, "1h-state", 123L).isEmpty)
+  }
+
   test("changed input snapshot invalidates resume") {
     val input = freshDir("in2")
     Transcripts.synthetic(spark, nConv = 10).write.mode("overwrite")
