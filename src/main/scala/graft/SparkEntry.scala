@@ -491,6 +491,11 @@ object SparkEntry {
     "ann_ivf2" -> ((s, dir) =>
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 50 === 0,
         col("vec_id") % 97 === 0, k = 3, nprobe = 2).orderBy("qid", "rn")),
+    // int8 scalar quantization of embeddings (4× ANN storage cut): per-vec
+    // scale + quantized-vector fingerprint aggregates
+    "emb_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(embeddings(s, dir)).drop("qvec")
+        .orderBy("vec_id")),
     // embedding-cosine near-dup pairs within IVF cells
     "dd_embed_cosine" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -1491,6 +1496,23 @@ private object Oracles {
           |SELECT qid, eid, cell, cos, rn FROM (
           |  SELECT qid, eid, cell, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
           |  FROM sc) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin),
+    "emb_quant" ->
+      ("""WITH e AS (
+          |  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+          |), sc AS (
+          |  SELECT vec_id, v,
+          |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+          |  FROM e
+          |), q AS (
+          |  SELECT vec_id, scale,
+          |    list_transform(v, x -> cast(round(x / scale) AS int)) AS qvec
+          |  FROM sc
+          |)
+          |SELECT vec_id, round(scale + 1e-12, 9) AS scale,
+          |  list_sum(qvec) AS q_sum,
+          |  list_min(qvec) AS q_min, list_max(qvec) AS q_max,
+          |  len(list_filter(qvec, x -> abs(x) = 127)) AS n_sat
+          |FROM q ORDER BY vec_id""".stripMargin),
     "dd_embed_cosine" ->
       ("""WITH emb2 AS (
           |  SELECT vec_id, embedding FROM embeddings

@@ -103,6 +103,24 @@ object Similarity {
       .select(col("qid"), col("eid2").as("eid"), col("cell"), col("cos"), col("rn"))
   }
 
+  /** Scalar int8 quantization of embeddings for storage: per-vector max-abs
+    * scale, each component rounded to round(v/scale·127) ∈ [-127, 127] —
+    * the standard 4× storage cut for ANN corpora at 100 TB scale (cosine
+    * ranking degrades only marginally; dot products run on integers).
+    * Deterministic HALF_UP rounding so the oracle reproduces every byte.
+    * Output: (vec_id, scale, qvec: array<int>).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    dims(emb, "embedding")
+      .withColumn("scale",
+        expr("aggregate(embedding, cast(0 as double), (m, x) -> greatest(m, abs(x)))") / 127.0)
+      .withColumn("qvec", expr("transform(embedding, x -> cast(round(x / scale) as int))"))
+      .select(col("vec_id"), round(col("scale") + lit(1e-12), 9).as("scale"),
+        col("qvec"),
+        expr("aggregate(qvec, 0L, (s, x) -> s + x)").as("q_sum"),
+        array_min(col("qvec")).as("q_min"), array_max(col("qvec")).as("q_max"),
+        expr("size(filter(qvec, x -> abs(x) = 127))").as("n_sat"))
+
   /** Embedding-cosine near-duplicate pairs inside IVF cells (cell equi-join,
     * never a corpus cross join) above a threshold.
     */

@@ -260,6 +260,34 @@ class Round2Spec extends AnyFunSuite {
     assert(out(1L) == f1.size && out(2L) == f2.size)
   }
 
+  test("int8 quantization: round-trip error bounded by scale/2, top-1 neighbor preserved") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = graft.operators.Similarity.quantizeInt8(df)
+      .select("vec_id", "scale", "qvec")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.foreach { case (id, v) =>
+      val (scale, qv) = q(id)
+      // reconstruction error per component ≤ scale/2 (+ the 9-dp display round)
+      v.map(_.toDouble).zip(qv.map(_ * scale)).foreach { case (orig, rec) =>
+        assert(math.abs(orig - rec) <= scale / 2 + 1e-6) }
+      assert(qv.forall(x => x >= -127 && x <= 127))
+    }
+    // top-1 cosine neighbor of vec 0 is preserved under quantization
+    val base = vecs.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def top1(space: Map[Long, Array[Double]]): Long =
+      space.filter(_._1 != 0L).maxBy { case (_, v) => cos(base(0L), v) }._1
+    val qSpace = q.map { case (id, (s, qv)) => id -> qv.map(_ * s) }
+    assert(top1(base) == top1(qSpace))
+  }
+
   test("csv export round-trips a metric grid exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val grid = (0 until 50).map(i =>
@@ -271,6 +299,10 @@ class Round2Spec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    // metadata export verb writes and is re-readable too
+    graft.sources.Exports.toCsv(
+      grid.select(col("conv_id"), col("value")), s"$dir/meta.csv", single = true)
+    assert(spark.read.option("header", "true").csv(s"$dir/meta.csv").count() == 50)
     val back = graft.sources.Exports.readCsv(spark, s"$dir/ts.csv", schema)
       .orderBy("conv_id").collect()
     val orig = grid.orderBy("conv_id").collect()
