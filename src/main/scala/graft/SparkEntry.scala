@@ -392,6 +392,12 @@ object SparkEntry {
       GapFill.fillNa(GapFill.maskNa(g, Seq("value")), Seq("value"), -9999.0)
         .orderBy("conv_id", "bucket_ts")
     }),
+    // §2.2 .ts_select_interval on the NESTED series column: array filter in
+    // place (no explode), summaries recomputed from the filtered array
+    "ts_select_nested" -> ((s, dir) =>
+      Select.tsSelectNested(
+        Transcripts.assembleSeries(metrics(s, dir), "text_len"),
+        "2024-01-03", "2024-01-10").orderBy("conv_id")),
     // §1.1 .tibble_prune: keep only conversations at the median point count
     "ts_prune" -> ((s, dir) =>
       Select.pruneMedianLength(metrics(s, dir))
@@ -1202,6 +1208,22 @@ private object Oracles {
           |  cast(value IS NULL OR isnan(value) AS int) AS na_mask
           |FROM regular WHERE bucket_ts < timestamp '2024-01-02'
           |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_select_nested" ->
+      (cte + metricsCte +
+        """, fr AS (
+          |  SELECT conv_id, ts, text_len AS v FROM metrics
+          |  WHERE ts >= timestamp '2024-01-03' AND ts < timestamp '2024-01-10'
+          |), srt AS (
+          |  SELECT conv_id, ts, v,
+          |    row_number() OVER (PARTITION BY conv_id ORDER BY ts, v) AS rn,
+          |    count(*) OVER (PARTITION BY conv_id) AS nn
+          |  FROM fr
+          |)
+          |SELECT conv_id, max(nn) AS n_points, min(ts) AS start_ts, max(ts) AS end_ts,
+          |  max(CASE WHEN rn = 1 THEN v END) AS first_v,
+          |  max(CASE WHEN rn = nn THEN v END) AS last_v,
+          |  round(sum(v) + 1e-9, 4) AS sum_v
+          |FROM srt GROUP BY conv_id ORDER BY conv_id""".stripMargin),
     "ts_prune" ->
       (cte + metricsCte +
         """, cnt AS (

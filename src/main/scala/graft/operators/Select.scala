@@ -46,6 +46,31 @@ object Select {
     transcripts.withColumn("train",
       (substring(col("conv_id"), 2, 6).cast("long") * 48271L + col("turn_idx")) % 100 < trainPct)
 
+  /** Interval selection ON THE NESTED series column ≙ `.ts_select_interval`
+    * (api_ts.R:94-178, which filters rows of the nested time_series tibble
+    * in place): a Catalyst `filter` over the array — no explode, the
+    * |series|-element array is touched once inside its own row — with the
+    * summary columns recomputed from the filtered array. Conversations left
+    * empty by the interval are dropped (a sits tibble row without
+    * time_series rows is pruned).
+    */
+  def tsSelectNested(assembled: DataFrame, fromTs: String, toTs: String): DataFrame = {
+    val f = lit(fromTs).cast("timestamp")
+    val t = lit(toTs).cast("timestamp")
+    assembled
+      .withColumn("series", filter(col("series"),
+        p => p.getField("ts") >= f && p.getField("ts") < t))
+      .filter(size(col("series")) > 0)
+      .select(col("conv_id"),
+        size(col("series")).as("n_points"),
+        col("series")(0).getField("ts").as("start_ts"),
+        element_at(col("series"), -1).getField("ts").as("end_ts"),
+        col("series")(0).getField("v").as("first_v"),
+        element_at(col("series"), -1).getField("v").as("last_v"),
+        round(expr("aggregate(series, cast(0 as double), (s, p) -> s + p.v)")
+          + lit(1e-9), 4).as("sum_v"))
+  }
+
   /** Equal-length enforcement ≙ `.tibble_prune` (api_tibble.R:239-255):
     * keep only conversations whose point count equals the MEDIAN count
     * across conversations (R stats::median = type-7 quantile at 0.5 —

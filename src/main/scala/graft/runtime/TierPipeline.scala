@@ -84,6 +84,20 @@ object TierPipeline {
       .distinct.toSeq
   }
 
+  /** The tier's file_info relation ≙ the reference's per-cube `file_info`
+    * tibble (api_file_info.R:67-85 — the queryable table of data files):
+    * one row per committed manifest entry for the snapshot, with lineage
+    * stats (bucket, path, rows in/out, wall ms). Reads the jsonl manifest
+    * directly — the manifest IS the catalog.
+    */
+  def fileInfo(spark: SparkSession, outRoot: String, tier: String,
+      snapshotId: Long): DataFrame = {
+    val p = manifestPath(outRoot, tier)
+    require(Files.exists(p), s"tier $tier has no manifest at $p")
+    spark.read.json(p.toString)
+      .filter(col("status") === "committed" && col("snapshotId") === snapshotId)
+  }
+
   /** Read a tier as of a snapshot: only manifest-committed batches. */
   def readTier(spark: SparkSession, outRoot: String, tier: String,
       snapshotId: Long): DataFrame = {

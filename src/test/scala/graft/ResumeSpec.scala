@@ -65,6 +65,12 @@ class ResumeSpec extends AnyFunSuite {
     val runsB3 = TierPipeline.runAll(spark, tr, input, part, nBuckets)
     assert(runsB3.forall(_.processed.isEmpty))
     assert(runsB3.map(_.skipped.size) == Seq(nBuckets, nBuckets, nBuckets, nBuckets))
+
+    // file_info relation: the manifest is queryable as a catalog table —
+    // every bucket appears committed with real lineage stats
+    val fi = TierPipeline.fileInfo(spark, part, "1h-state", snap)
+    assert(fi.select("bucket").distinct().count() == nBuckets)
+    assert(fi.agg(min("rowsOut")).head().getLong(0) > 0)
   }
 
   test("snapshot id matching is exact, not prefix (123 must not match 1234)") {
