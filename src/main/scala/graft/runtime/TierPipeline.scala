@@ -106,6 +106,32 @@ object TierPipeline {
     spark.read.parquet(paths: _*)
   }
 
+  /** Materialize a committed tier into a new root ≙ `sits_cube_copy`
+    * (sits_cube_copy.R:89: copy a cube's assets to a local dir and return a
+    * re-rooted cube) / CTAS: reads ONLY manifest-committed batches of the
+    * snapshot, writes them as one batch under the destination, and commits
+    * a manifest there — so the copy is itself resumable/readable through
+    * the same catalog contract.
+    */
+  def copyTier(spark: SparkSession, srcRoot: String, tier: String,
+      snapshotId: Long, dstRoot: String, nBuckets: Int): TierRun = {
+    val done = committedBuckets(dstRoot, tier, snapshotId)
+    val wanted = (0 until nBuckets).filterNot(done.contains)
+    if (wanted.isEmpty) return TierRun(tier, Nil, done.toSeq.sorted, 0, 0)
+    val t0 = System.nanoTime()
+    val src = readTier(spark, srcRoot, tier, snapshotId)
+    val batchDir = s"$dstRoot/$tier/copy_${snapshotId}_${wanted.min}_${wanted.size}"
+    val obs = org.apache.spark.sql.Observation(s"copy-$tier")
+    src.filter(col("bucket").isin(wanted: _*))
+      .observe(obs, count(lit(1)).as("out"))
+      .write.mode(SaveMode.Overwrite).parquet(batchDir)
+    val rows = obs.get("out").asInstanceOf[Long]
+    appendManifests(dstRoot, tier, s"copy-$tier-$snapshotId", snapshotId,
+      wanted, batchDir, rowsIn = rows, rowsOut = rows,
+      wallMs = (System.nanoTime() - t0) / 1000000)
+    TierRun(tier, wanted, done.toSeq.sorted, rows, rows)
+  }
+
   /** Deterministic input-snapshot identity (Iceberg snapshot-id stand-in):
     * sum of (size, mtime) over the input files.
     */

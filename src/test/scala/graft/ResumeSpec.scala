@@ -71,6 +71,17 @@ class ResumeSpec extends AnyFunSuite {
     val fi = TierPipeline.fileInfo(spark, part, "1h-state", snap)
     assert(fi.select("bucket").distinct().count() == nBuckets)
     assert(fi.agg(min("rowsOut")).head().getLong(0) > 0)
+
+    // cube_copy / CTAS: materialize the committed tier elsewhere; the copy
+    // reads back identically through the same manifest contract, and a
+    // second copy is a no-op (resumable)
+    val copied = freshDir("copy")
+    val cr = TierPipeline.copyTier(spark, part, "1h-state", snap, copied, nBuckets)
+    assert(cr.processed.size == nBuckets)
+    assert(sortedRows(copied, "1h-state", snap, stateCols) ==
+      sortedRows(part, "1h-state", snap, stateCols))
+    assert(TierPipeline.copyTier(spark, part, "1h-state", snap, copied, nBuckets)
+      .processed.isEmpty)
   }
 
   test("snapshot id matching is exact, not prefix (123 must not match 1234)") {
