@@ -276,6 +276,11 @@ object SparkEntry {
         .toDF("rk", "conv_id", "bucket_ts", "entropy")
         .orderBy("rk")
     }),
+    // §2.9 sits_uncertainty_sampling with the sampling-window constraint:
+    // per-(conv, 7-day block) argmax, then global top-15
+    "ts_uncert_sampling" -> ((s, dir) =>
+      Probs.uncertaintySampling(Probs.roleMix(transcripts(s, dir)),
+        n = 15, windowDays = 7).orderBy("rk")),
     // §2.9 sits_confidence_sampling: per-class top-5 most-confident cells
     // (margin floor, one pick per conversation per class)
     "ts_topk_confident" -> ((s, dir) =>
@@ -1085,6 +1090,24 @@ private object Oracles {
           |  SELECT conv_id, bucket_ts, entropy,
           |    row_number() OVER (ORDER BY entropy DESC, conv_id, bucket_ts) AS rk
           |  FROM u) WHERE rk <= 20 ORDER BY rk""".stripMargin),
+    "ts_uncert_sampling" ->
+      (cte + probsCte +
+        """, u AS (
+          |  SELECT conv_id, bucket_ts,
+          |    round(-(p1 * ln(p1) + p2 * ln(p2) + p3 * ln(p3)) / ln(3.0) + 1e-9, 4) AS entropy,
+          |    floor(date_diff('day', DATE '1970-01-01', cast(bucket_ts AS date)) / 7) AS blk
+          |  FROM probs
+          |), bst AS (
+          |  SELECT conv_id, bucket_ts, entropy FROM (
+          |    SELECT conv_id, bucket_ts, entropy,
+          |      row_number() OVER (PARTITION BY conv_id, blk
+          |                         ORDER BY entropy DESC, bucket_ts) AS r
+          |    FROM u) WHERE r = 1
+          |)
+          |SELECT rk, conv_id, bucket_ts, entropy FROM (
+          |  SELECT conv_id, bucket_ts, entropy,
+          |    row_number() OVER (ORDER BY entropy DESC, conv_id, bucket_ts) AS rk
+          |  FROM bst) WHERE rk <= 15 ORDER BY rk""".stripMargin),
     "ts_topk_confident" ->
       (cte + probsCte +
         """, lb AS (

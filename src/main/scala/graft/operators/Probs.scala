@@ -84,6 +84,36 @@ object Probs {
         when(cond, lit(to)).otherwise(els)
       })
 
+  /** `sits_uncertainty_sampling` with the reference's sampling-window
+    * constraint (sits_uncertainty.R:208-279; kernel
+    * src/sampling_window.cpp:7-37 `C_max_sampling`): the raster is tiled
+    * into non-overlapping window_size blocks and only each block's
+    * maximum-uncertainty cell survives before the global top-n — that IS
+    * the "minimum distance between selected samples" rule. 1-D analog:
+    * fixed `windowDays` time blocks per conversation (epoch-anchored, so
+    * blocks need no origin scan). Fully relational: per-block argmax is a
+    * partitioned rank-1 window (plans as partial+final WindowGroupLimit),
+    * the global top-n is TakeOrderedAndProject, and the final rank is a
+    * typed index pass over the n bounded survivors.
+    */
+  def uncertaintySampling(probs: DataFrame, n: Int, windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = uncertainty(probs).withColumn("blk",
+      floor(datediff(col("bucket_ts"), lit("1970-01-01").cast("date")) / windowDays))
+    val w = Window.partitionBy("conv_id", "blk")
+      .orderBy(col("entropy").desc, col("bucket_ts"))
+    val best = u.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+    val ord = Seq(col("entropy").desc, col("conv_id").asc, col("bucket_ts").asc)
+    val spark = probs.sparkSession
+    import spark.implicits._
+    best.orderBy(ord: _*).limit(n)
+      .select(col("conv_id"), col("bucket_ts"), col("entropy"))
+      .coalesce(1).sortWithinPartitions(ord: _*)
+      .as[(String, java.sql.Timestamp, Double)]
+      .mapPartitions(_.zipWithIndex.map { case ((c, t, e), i) => (i + 1, c, t, e) })
+      .toDF("rk", "conv_id", "bucket_ts", "entropy")
+  }
+
   /** `sits_confidence_sampling` (sits_sample_functions.R:119, 51-128): per
     * class, suggest the top-n cells where the model is MOST confident in
     * that class — cells whose argmax is the class, whose top1−top2 margin
