@@ -1546,7 +1546,7 @@ private object Oracles {
           |  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
           |), sc AS (
           |  SELECT vec_id, v,
-          |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+          |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) / 127.0 AS scale
           |  FROM e
           |), q AS (
           |  SELECT vec_id, scale,

@@ -112,8 +112,11 @@ object Similarity {
     */
   def quantizeInt8(emb: DataFrame): DataFrame =
     dims(emb, "embedding")
+      // floor guards the all-zero vector: x/0 would be NaN and its int cast
+      // throws under ANSI mode; 1e-30 quantizes a zero vector to all zeros
       .withColumn("scale",
-        expr("aggregate(embedding, cast(0 as double), (m, x) -> greatest(m, abs(x)))") / 127.0)
+        greatest(expr("aggregate(embedding, cast(0 as double), (m, x) -> greatest(m, abs(x)))"),
+          lit(1e-30)) / 127.0)
       .withColumn("qvec", expr("transform(embedding, x -> cast(round(x / scale) as int))"))
       .select(col("vec_id"), round(col("scale") + lit(1e-12), 9).as("scale"),
         col("qvec"),

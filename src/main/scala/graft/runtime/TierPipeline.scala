@@ -115,6 +115,12 @@ object TierPipeline {
     */
   def copyTier(spark: SparkSession, srcRoot: String, tier: String,
       snapshotId: Long, dstRoot: String, nBuckets: Int): TierRun = {
+    // a partially-committed source would let the copy claim buckets it
+    // never saw rows for — refuse, like the cascade's full-lower-tier gate
+    val srcDone = committedBuckets(srcRoot, tier, snapshotId)
+    require((0 until nBuckets).forall(srcDone.contains),
+      s"copyTier: source tier $tier is not fully committed for snapshot " +
+        s"$snapshotId (${srcDone.size}/$nBuckets buckets)")
     val done = committedBuckets(dstRoot, tier, snapshotId)
     val wanted = (0 until nBuckets).filterNot(done.contains)
     if (wanted.isEmpty) return TierRun(tier, Nil, done.toSeq.sorted, 0, 0)
