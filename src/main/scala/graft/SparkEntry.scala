@@ -404,10 +404,19 @@ object SparkEntry {
         Transcripts.assembleSeries(metrics(s, dir), "text_len"),
         "2024-01-03", "2024-01-10").orderBy("conv_id")),
     // §1.1 .tibble_prune: keep only conversations at the median point count
-    "ts_prune" -> ((s, dir) =>
-      Select.pruneMedianLength(metrics(s, dir))
+    "ts_prune" -> ((s, dir) => {
+      // Odd-cardinality cohort: with an even number of conversations the
+      // type-7 median of counts is fractional and prune is vacuously empty
+      // (faithful to R, kept as a ScalaTest case) — drop the max conv_id so
+      // the median is an actual count and the query exercises the keep path.
+      val m = metrics(s, dir)
+      val par = m.groupBy("conv_id").agg(count(lit(1)).as("n_pts"))
+        .agg(count(lit(1)).as("nc"), max("conv_id").as("mx")).head
+      val base = if (par.getLong(0) % 2 == 0) m.filter(col("conv_id") =!= lit(par.get(1))) else m
+      Select.pruneMedianLength(base)
         .select("conv_id", "turn_idx", "ts", "text_len")
-        .orderBy("conv_id", "turn_idx")),
+        .orderBy("conv_id", "turn_idx")
+    }),
     // §2.5 general sits_apply expression API: new metrics from arbitrary
     // Catalyst expressions over existing metrics, incl. w_* kernel refs
     "ts_apply_expr" -> ((s, dir) => {
@@ -1249,8 +1258,13 @@ private object Oracles {
           |FROM srt GROUP BY conv_id ORDER BY conv_id""".stripMargin),
     "ts_prune" ->
       (cte + metricsCte +
-        """, cnt AS (
+        """, cnt0 AS (
           |  SELECT conv_id, count(*) AS n_pts FROM metrics GROUP BY 1
+          |), par AS (
+          |  SELECT count(*) AS nc, max(conv_id) AS mx FROM cnt0
+          |), cnt AS (
+          |  SELECT c.conv_id, c.n_pts FROM cnt0 c CROSS JOIN par p
+          |  WHERE p.nc % 2 = 1 OR c.conv_id <> p.mx
           |), med AS (
           |  SELECT quantile_cont(n_pts, 0.5) AS m FROM cnt
           |)
@@ -1469,7 +1483,7 @@ private object Oracles {
     "dd_simhash" ->
       (plantedCte + simhashCtes +
         """
-          |SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig
+          |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(a.sig AS BIGINT) AS sig
           |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
           |ORDER BY 1, 2""".stripMargin),
     "dd_simhash_h3" ->
@@ -1554,7 +1568,7 @@ private object Oracles {
           |  FROM sc
           |)
           |SELECT vec_id, round(scale + 1e-12, 9) AS scale,
-          |  list_sum(qvec) AS q_sum,
+          |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
           |  list_min(qvec) AS q_min, list_max(qvec) AS q_max,
           |  len(list_filter(qvec, x -> abs(x) = 127)) AS n_sat
           |FROM q ORDER BY vec_id""".stripMargin),
@@ -1611,7 +1625,7 @@ private object Oracles {
           |    cast(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS double) / len(toks) AS stop_ratio,
           |    cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS double) / length(text) AS digit_ratio,
           |    len(toks) AS n_words,
-          |    list_sum(list_transform(toks, x -> cast(ceil(length(x) / 4.0) AS int))) AS n_subwords
+          |    CAST(list_sum(list_transform(toks, x -> cast(ceil(length(x) / 4.0) AS int))) AS BIGINT) AS n_subwords
           |  FROM t
           |)
           |SELECT doc_id, n_tok,
@@ -1649,7 +1663,7 @@ private object Oracles {
           |      list_min(h[cast(i AS int):cast(i + 3 AS int)]))) AS fp
           |  FROM hh
           |)
-          |SELECT doc_id, len(fp) AS n_fp, list_sum(fp) AS fp_sum,
+          |SELECT doc_id, len(fp) AS n_fp, CAST(list_sum(fp) AS BIGINT) AS fp_sum,
           |       list_min(fp) AS fp_min, list_max(fp) AS fp_max
           |FROM win ORDER BY doc_id""".stripMargin),
     "txt_tokens" ->

@@ -36,15 +36,22 @@ object ChangeDetect {
     else {
       val spark = means.sparkSession
       import spark.implicits._
-      means.select(col("label").cast("int"), col(idxCol).cast("int"),
-          col("value").cast("double"))
-        .as[(Int, Int, Double)]
+      // Key by the label's STRING form (labels may be any type — an int cast
+      // would null non-integer labels and silently collapse them into one
+      // group), then re-attach the original-typed label via the tiny distinct
+      // label relation (broadcast join).
+      val smoothed = means.select(col("label").cast("string").as("label_s"),
+          col(idxCol).cast("int"), col("value").cast("double"))
+        .as[(String, Int, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (lab, it) =>
           val pts = it.toArray.sortBy(_._2)
           val sm = SeriesKernels.whittaker(pts.map(_._3), lambda)
           pts.indices.iterator.map(i => (lab, pts(i)._2, sm(i)))
-        }.toDF("label", idxCol, "value")
+        }.toDF("label_s", idxCol, "value")
+      smoothed.join(broadcast(means.select(col("label")).distinct()),
+          col("label").cast("string") === col("label_s"))
+        .select(col("label"), col(idxCol), col("value"))
     }
   }
 
@@ -117,12 +124,16 @@ object ChangeDetect {
     * Returns (conv_id, cluster) with clusters numbered by smallest member.
     */
   def clusterDendro(spark: SparkSession, series: DataFrame, nClusters: Int,
-      p: Double = 2.0, maxSeries: Int = 100000): DataFrame = {
+      p: Double = 2.0, maxSeries: Int = 4000): DataFrame = {
     import spark.implicits._
     // SAMPLE-SET contract (matches the reference, which clusters sample
     // tibbles, sits_cluster.R:59): the series set is collected to the driver
     // and the distance matrix is O(k²). Guard so a user cannot point this at
     // a full cube — at cube scale, sample first (ts_sample_strat / sampleBy).
+    // The default ceiling (4000) matches the reference's sample-tibble sizes;
+    // at k=4000 each TASK holds at most its local triangle slice, and the
+    // DRIVER collects only the filtered MST-candidate edges (≤ P·(k−1), see
+    // below), never the full k(k−1)/2 triangle.
     val nSeries = series.select("conv_id").distinct().count()
     require(nSeries <= maxSeries,
       s"clusterDendro is a sample-set operator: got $nSeries series > " +
@@ -135,19 +146,18 @@ object ChangeDetect {
       .sortBy(_._1)
     val k = arrs.length
     val bc = spark.sparkContext.broadcast(arrs.map(_._2))
-    // distributed pairwise DTW (upper triangle)
-    val dists = spark.range(0, k.toLong, 1, math.min(k, 64)).as[Long]
-      .flatMap { i =>
-        val vi = bc.value(i.toInt)
-        (i.toInt + 1 until bc.value.length).iterator.map { j =>
-          (i.toInt, j, SeriesKernels.dtw(vi, bc.value(j), p))
-        }
-      }.collect()
+    // Single-linkage merges are exactly the global-MST edges in increasing
+    // order (Gower & Ross 1969). By the cycle property, any edge NOT in the
+    // local MST of the subgraph a partition saw cannot be in the global MST,
+    // so each task Kruskal-filters its own triangle slice down to ≤ k−1
+    // edges before the driver ever sees them: driver memory is O(P·k), not
+    // O(k²) — the round-2 scale flaw.
+    val candidates = distributedMstCandidates(spark, bc, k, p)
     // driver-side single-linkage agglomeration down to nClusters
     val parent = Array.tabulate(k)(identity)
     def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
     var groups = k
-    dists.sortBy(_._3).foreach { case (i, j, _) =>
+    candidates.sortBy(e => (e._3, e._1, e._2)).foreach { case (i, j, _) =>
       if (groups > nClusters) {
         val (ri, rj) = (find(i), find(j))
         if (ri != rj) { parent(math.max(ri, rj)) = math.min(ri, rj); groups -= 1 }
@@ -157,6 +167,44 @@ object ChangeDetect {
     val renumber = roots.distinct.sorted.zipWithIndex.toMap
     arrs.indices.map(i => (arrs(i)._1, renumber(roots(i)) + 1))
       .toDF("conv_id", "cluster")
+  }
+
+  /** Distributed pairwise-DTW upper triangle, Kruskal-filtered per task to
+    * local-MST edges (≤ k−1 each) before collection. Exposed for the
+    * bounded-driver-memory test.
+    */
+  private[graft] def distributedMstCandidates(spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      k: Int, p: Double): Array[(Int, Int, Double)] = {
+    import spark.implicits._
+    spark.range(0, k.toLong, 1, math.min(math.max(k / 8, 1), 64)).as[Long]
+      .mapPartitions { it =>
+        val vs = bc.value
+        val edges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+        it.foreach { i =>
+          val vi = vs(i.toInt)
+          var j = i.toInt + 1
+          while (j < vs.length) {
+            edges += ((i.toInt, j, SeriesKernels.dtw(vi, vs(j), p))); j += 1
+          }
+        }
+        localMst(edges.toArray, vs.length).iterator
+      }.collect()
+  }
+
+  /** Kruskal over one task's edge slice: returns only the edges in the local
+    * MST/forest (cycle-property filter — a superset of the global MST's
+    * intersection with this slice). Deterministic (dist, i, j) tie-break.
+    */
+  private def localMst(edges: Array[(Int, Int, Double)], k: Int): Array[(Int, Int, Double)] = {
+    val parent = Array.tabulate(k)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    edges.sortBy(e => (e._3, e._1, e._2)).foreach { e =>
+      val (ri, rj) = (find(e._1), find(e._2))
+      if (ri != rj) { parent(math.max(ri, rj)) = math.min(ri, rj); kept += e }
+    }
+    kept.toArray
   }
 
   /** Day-index series of a metric (shared input shape for this module). */

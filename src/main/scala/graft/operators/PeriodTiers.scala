@@ -151,10 +151,12 @@ object PeriodTiers {
         struct(col("quality_rank"), col("ts"), col("turn_idx"))).as("value"))
     val spark = m.sparkSession
     import spark.implicits._
-    // epoch-day arithmetic: TZ-independent midnight-UTC construction
-    // (Timestamp.valueOf(LocalDateTime) would apply the JVM default zone)
-    val tlDf = tl.map(d => new java.sql.Timestamp(d.toEpochDay * 86400000L))
-      .toDF("bucket_ts")
+    // SAME cast path as bucket(): DATE literal → timestamp cast (session-TZ
+    // midnight), so the densify left-join matches in ANY session timezone —
+    // epoch-day arithmetic would pin UTC midnight and miss every bucket in a
+    // non-UTC session
+    val tlDf = tl.map(java.sql.Date.valueOf).toDF("bucket_d")
+      .select(col("bucket_d").cast("timestamp").as("bucket_ts"))
     m.select("conv_id").distinct()
       .crossJoin(broadcast(tlDf))
       .join(fv, Seq("conv_id", "bucket_ts"), "left")

@@ -85,13 +85,12 @@ object Predictors {
     * with the stats folded in as literals (no join at all on the data side).
     */
   def normalizeQ(series: DataFrame): DataFrame = {
-    // persist the input: the stats pass (exactQuantiles, eager) and the
-    // returned normalization plan otherwise each recompute the whole
-    // upstream pipeline; the cached grid is timeline-bounded per conv.
-    // The caller may unpersist after consuming the result.
-    val cached = series.persist()
-    val Seq(q02, q98) = exactQuantiles(cached, "value", Seq(0.02, 0.98))
-    cached.select(col("conv_id"), col("bucket_ts"),
+    // exactQuantiles persists its own 1-column projection for the duration
+    // of the stats pass (and releases it), so the stats jobs read upstream
+    // once; the returned plan reads the ORIGINAL series — no cache handle
+    // escapes this function, so repeated invocations leak nothing.
+    val Seq(q02, q98) = exactQuantiles(series, "value", Seq(0.02, 0.98))
+    series.select(col("conv_id"), col("bucket_ts"),
       round(greatest(lit(1e-4), least(lit(1.0),
         (col("value") - lit(q02)) / (lit(q98) - lit(q02)))) + lit(1e-9), 4)
         .as("v_norm"))

@@ -73,7 +73,7 @@ object TextAnalysis {
     docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         size(col("toks")).as("n_words"),
-        expr("aggregate(toks, 0, (s, t) -> s + cast(ceil(length(t) / 4.0) as int))")
+        expr("aggregate(toks, 0L, (s, t) -> s + cast(ceil(length(t) / 4.0) as bigint))")
           .as("n_subwords"))
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text —

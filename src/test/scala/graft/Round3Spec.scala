@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.SeriesKernels
+import graft.operators.{ChangeDetect, Select}
+
+/** Round-3 fixes: bounded-driver-memory MST filtering for clusterDendro,
+  * non-vacuous tibble_prune semantics, and pattern grouping on arbitrary
+  * (non-integer) label types.
+  */
+class Round3Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("clusterDendro MST filter: driver collects ≤ P·(k−1) edges, result equals brute-force single linkage") {
+    val rnd = new scala.util.Random(7)
+    val k = 40
+    // 4 well-separated families with in-family jitter
+    val vecs = Array.tabulate(k)(i =>
+      Array.tabulate(6)(_ => rnd.nextDouble() * 5 + (i % 4) * 100.0))
+    val bc = spark.sparkContext.broadcast(vecs)
+    val cand = ChangeDetect.distributedMstCandidates(spark, bc, k, 2.0)
+    val parts = math.min(math.max(k / 8, 1), 64)
+    assert(cand.length <= parts * (k - 1),
+      s"driver collected ${cand.length} edges > P*(k-1) = ${parts * (k - 1)}")
+    assert(cand.length < k * (k - 1) / 2, "no filtering happened — full triangle collected")
+
+    // brute-force single linkage over the full triangle (the round-2 shape)
+    val nClusters = 4
+    val edges = for { i <- 0 until k; j <- i + 1 until k }
+      yield (i, j, SeriesKernels.dtw(vecs(i), vecs(j), 2.0))
+    val parent = Array.tabulate(k)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    var groups = k
+    edges.sortBy(e => (e._3, e._1, e._2)).foreach { case (i, j, _) =>
+      if (groups > nClusters) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) { parent(math.max(ri, rj)) = math.min(ri, rj); groups -= 1 }
+      }
+    }
+    val expected = (0 until k).groupBy(find).values.map(_.toSet).toSet
+
+    val series = (for (i <- 0 until k; x <- vecs(i).indices)
+      yield (f"c$i%03d", x, vecs(i)(x))).toDF("conv_id", "idx", "value")
+    val got = ChangeDetect.clusterDendro(spark, series, nClusters)
+      .collect().map(r => r.getString(0).drop(1).toInt -> r.getInt(1))
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(got == expected)
+  }
+
+  test("tibble_prune: fractional median → empty (R parity); integral median keeps the cohort") {
+    // 4 convs with counts 3,4,5,6 → type-7 median 4.5 → nothing matches
+    val even = (for ((c, n) <- Seq("a" -> 3, "b" -> 4, "c" -> 5, "d" -> 6); i <- 0 until n)
+      yield (c, i, 1.0)).toDF("conv_id", "turn_idx", "value")
+    assert(Select.pruneMedianLength(even).count() == 0)
+    // 5 convs with counts 3,4,5,6,7 → median 5 → exactly conv "c"'s 5 rows
+    val odd = (for ((c, n) <- Seq("a" -> 3, "b" -> 4, "c" -> 5, "d" -> 6, "e" -> 7); i <- 0 until n)
+      yield (c, i, 1.0)).toDF("conv_id", "turn_idx", "value")
+    val kept = Select.pruneMedianLength(odd)
+    assert(kept.count() == 5)
+    assert(kept.select("conv_id").distinct().as[String].collect().toSeq == Seq("c"))
+  }
+
+  test("patterns smoothing groups on the label VALUE, not an int cast (string labels stay separate)") {
+    val series = (for (c <- Seq("x", "y"); i <- 0 until 8)
+      yield (c, i, if (c == "x") 1.0 else 100.0)).toDF("conv_id", "idx", "value")
+    val labels = Seq(("x", "low"), ("y", "high")).toDF("conv_id", "label")
+    val out = ChangeDetect.patterns(series, labels, lambda = 2.0)
+    val byLabel = out.groupBy("label").agg(avg("value").as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(byLabel.keySet == Set("low", "high"),
+      s"labels collapsed: ${byLabel.keySet}")
+    // Whittaker of a constant series is the constant — per-label identity kept
+    assert(math.abs(byLabel("low")._1 - 1.0) < 1e-9 && byLabel("low")._2 == 8)
+    assert(math.abs(byLabel("high")._1 - 100.0) < 1e-9 && byLabel("high")._2 == 8)
+  }
+}
