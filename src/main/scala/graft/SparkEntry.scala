@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, GapFill, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, TextAnalysis}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, Summary, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -566,7 +566,55 @@ object SparkEntry {
           col("label"), col("entropy"), col("margin"), col("least"))
         .orderBy("conv_id", "bucket_ts")
     }),
+    // §2.1 sits_get_probs: probability vector at each ground-truth sample
+    // point (pixel variant, api_data.R:373-393) — broadcast sample join
+    "ts_get_probs" -> ((s, dir) =>
+      Extract.getProbs(Probs.roleMix(transcripts(s, dir)), samplePoints(s, dir))
+        .orderBy("sample_id", "bucket_ts")),
+    // §2.1 sits_get_probs window variant: ±2-bucket neighborhood summary
+    "ts_get_probs_win" -> ((s, dir) =>
+      Extract.getProbsWindow(Probs.roleMix(transcripts(s, dir)),
+        samplePoints(s, dir), windowSize = 5).orderBy("sample_id")),
+    // §2.1 sits_get_class: class label at each sample point
+    "ts_get_class" -> ((s, dir) =>
+      Extract.getClassAt(Probs.label(Probs.roleMix(transcripts(s, dir))),
+        samplePoints(s, dir)).orderBy("sample_id", "bucket_ts")),
+    // §2.1 summary() verb: per-metric n/mean/min/Q1/median/Q3/max
+    // (exact parallel quantiles — no single-reducer percentile)
+    "ts_summary" -> ((s, dir) =>
+      Summary.summarize(
+        Regularize.withMetrics(transcripts(s, dir)).select("text_len", "is_tool"),
+        Seq("text_len", "is_tool")).orderBy("metric")),
+    // §2.1 hist() verb: 20 fixed bins over the global text_len range
+    "ts_histogram" -> ((s, dir) =>
+      Summary.histogram(metrics(s, dir), "text_len", nBins = 20).orderBy("bin")),
+    // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
+    // + per-fold holdout accuracy of the stub-model predictions against the
+    // role-mix argmax reference labels
+    "ts_kfold" -> ((s, dir) => {
+      val probs = Classify.score(s, softmaxFeatures(s, dir), Seq("f1", "f2", "f3"),
+        weights = Array(Array(0.8, -1.2, 0.3), Array(-0.5, 2.0, 0.1),
+          Array(0.2, 0.4, -0.7)),
+        bias = Array(0.1, -0.2, 0.05))
+      val pred = Probs.label(probs)
+        .select(col("conv_id"), col("bucket_ts"), col("label").as("pred"))
+      val act = Probs.label(Probs.roleMix(transcripts(s, dir)))
+        .select(col("conv_id"), col("bucket_ts"), col("label").as("actual"))
+      Accuracy.kfoldValidate(pred.join(act, Seq("conv_id", "bucket_ts")),
+        "actual", "pred", k = 5).orderBy("fold")
+    }),
   )
+
+  /** Ground-truth sample points for the sits_get_* family: turn 3 of every
+    * 7th conversation — deterministic, tiny (≙ the reference's CSV sample
+    * set, always broadcast).
+    */
+  private def samplePoints(s: SparkSession, dir: String): DataFrame =
+    transcripts(s, dir)
+      .filter(col("turn_idx") === 3 &&
+        substring(col("conv_id"), 2, 6).cast("long") % 7 === 0)
+      .select(col("conv_id").as("sample_id"), col("conv_id"),
+        col("ts").as("sample_ts"))
 
   /** Per-(conv, day) feature vector for the scoring harness — rounded at 4
     * decimals so both engines feed the softmax identical rationals.
@@ -1450,6 +1498,88 @@ private object Oracles {
           |  round(1.0 - (greatest(p1, p2, p3) - (p1 + p2 + p3 - greatest(p1, p2, p3) - least(p1, p2, p3))) + 1e-9, 4) AS margin,
           |  round(1.0 - greatest(p1, p2, p3) + 1e-9, 4) AS least
           |FROM pr ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_get_probs" ->
+      (cte + probsCte + samplesCte +
+        """
+          |SELECT s.sample_id, s.conv_id, p.bucket_ts, p.p1, p.p2, p.p3
+          |FROM samples s JOIN probs p
+          |  ON p.conv_id = s.conv_id AND p.bucket_ts = date_trunc('day', s.sample_ts)
+          |ORDER BY s.sample_id, p.bucket_ts""".stripMargin),
+    "ts_get_probs_win" ->
+      (cte + probsCte + samplesCte +
+        """
+          |SELECT s.sample_id, s.conv_id, count(*) AS n_nb,
+          |  round(avg(p.p1) + 1e-9, 4) AS m1,
+          |  round(avg(p.p2) + 1e-9, 4) AS m2,
+          |  round(avg(p.p3) + 1e-9, 4) AS m3
+          |FROM samples s JOIN probs p
+          |  ON p.conv_id = s.conv_id
+          |  AND datediff('day', date_trunc('day', s.sample_ts), p.bucket_ts) BETWEEN -2 AND 2
+          |GROUP BY 1, 2 ORDER BY s.sample_id""".stripMargin),
+    "ts_get_class" ->
+      (cte + probsCte + samplesCte +
+        """
+          |SELECT s.sample_id, s.conv_id, p.bucket_ts,
+          |  CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS label
+          |FROM samples s JOIN probs p
+          |  ON p.conv_id = s.conv_id AND p.bucket_ts = date_trunc('day', s.sample_ts)
+          |ORDER BY s.sample_id, p.bucket_ts""".stripMargin),
+    "ts_summary" ->
+      (cte + metricsCte +
+        """
+          |SELECT 'is_tool' AS metric, count(is_tool) AS n,
+          |  round(avg(is_tool) + 1e-9, 4) AS mean_v,
+          |  cast(min(is_tool) AS double) AS min_v,
+          |  round(quantile_cont(is_tool, 0.25) + 1e-9, 4) AS q1,
+          |  round(quantile_cont(is_tool, 0.5) + 1e-9, 4) AS median,
+          |  round(quantile_cont(is_tool, 0.75) + 1e-9, 4) AS q3,
+          |  cast(max(is_tool) AS double) AS max_v
+          |FROM metrics
+          |UNION ALL
+          |SELECT 'text_len' AS metric, count(text_len) AS n,
+          |  round(avg(text_len) + 1e-9, 4) AS mean_v,
+          |  cast(min(text_len) AS double) AS min_v,
+          |  round(quantile_cont(text_len, 0.25) + 1e-9, 4) AS q1,
+          |  round(quantile_cont(text_len, 0.5) + 1e-9, 4) AS median,
+          |  round(quantile_cont(text_len, 0.75) + 1e-9, 4) AS q3,
+          |  cast(max(text_len) AS double) AS max_v
+          |FROM metrics
+          |ORDER BY metric""".stripMargin),
+    "ts_histogram" ->
+      (cte + metricsCte +
+        """, mm AS (
+          |  SELECT min(text_len) AS mn, max(text_len) AS mx FROM metrics
+          |), binned AS (
+          |  SELECT cast(least(floor((text_len - mn) / (mx - mn) * 20), 19) AS int) AS bin,
+          |         mn, mx
+          |  FROM metrics CROSS JOIN mm WHERE text_len IS NOT NULL
+          |)
+          |SELECT bin,
+          |  round(mn + bin * (mx - mn) / 20 + 1e-9, 4) AS lo,
+          |  round(mn + (bin + 1) * (mx - mn) / 20 + 1e-9, 4) AS hi,
+          |  count(*) AS cnt
+          |FROM binned GROUP BY bin, mn, mx ORDER BY bin""".stripMargin),
+    "ts_kfold" ->
+      (cte + metricsCte + probsCte + classifyPrCtes +
+        """, joined AS (
+          |  SELECT pr.conv_id,
+          |    CASE WHEN pr.p1 >= pr.p2 AND pr.p1 >= pr.p3 THEN 1
+          |         WHEN pr.p2 >= pr.p3 THEN 2 ELSE 3 END AS pred,
+          |    CASE WHEN pb.p1 >= pb.p2 AND pb.p1 >= pb.p3 THEN 1
+          |         WHEN pb.p2 >= pb.p3 THEN 2 ELSE 3 END AS actual
+          |  FROM pr JOIN probs pb
+          |    ON pb.conv_id = pr.conv_id AND pb.bucket_ts = pr.bucket_ts
+          |), folded AS (
+          |  SELECT cast(CAST(list_sum(list_transform(generate_series(1, 8), d ->
+          |      cast(strpos('0123456789abcdef', substr(md5(conv_id), cast(d AS int), 1)) - 1 AS bigint)
+          |        * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) % 5 AS int) AS fold,
+          |    pred, actual
+          |  FROM joined
+          |)
+          |SELECT fold, count(*) AS n,
+          |  CAST(sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+          |  round(cast(sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS double) / count(*) + 1e-9, 4) AS acc
+          |FROM folded GROUP BY fold ORDER BY fold""".stripMargin),
     "dd_exact" ->
       (plantedCte +
         """
@@ -1687,6 +1817,46 @@ private object Oracles {
           |  byte_len // 100 + 1 AS frames
           |FROM mm ORDER BY doc_id""".stripMargin),
   )
+
+  /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every
+    * 7th conversation — mirrors [[samplePoints]].
+    */
+  private lazy val samplesCte =
+    """, samples AS (
+      |  SELECT conv_id AS sample_id, conv_id, ts AS sample_ts FROM transcripts
+      |  WHERE turn_idx = 3 AND cast(substr(conv_id, 2, 6) AS bigint) % 7 = 0
+      |)""".stripMargin
+
+  /** Stub-linear-model probability chain (the ts_softmax / ts_classify_e2e
+    * feature→score→softmax derivation), ending in
+    * `pr(conv_id, bucket_ts, p1, p2, p3)`. Requires metricsCte.
+    */
+  private lazy val classifyPrCtes =
+    """, fx AS (
+      |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+      |    round(avg(text_len) / 100.0 + 1e-9, 4) AS f1,
+      |    round(avg(is_tool) + 1e-9, 4) AS f2,
+      |    round(count(*) / 10.0 + 1e-9, 4) AS f3
+      |  FROM metrics GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT conv_id, bucket_ts,
+      |    0.1 + 0.8 * f1 + -1.2 * f2 + 0.3 * f3 AS s1,
+      |    -0.2 + -0.5 * f1 + 2.0 * f2 + 0.1 * f3 AS s2,
+      |    0.05 + 0.2 * f1 + 0.4 * f2 + -0.7 * f3 AS s3
+      |  FROM fx
+      |), sm AS (
+      |  SELECT conv_id, bucket_ts, s1, s2, s3,
+      |    greatest(s1, s2, s3)
+      |      + ln(exp(s1 - greatest(s1, s2, s3)) + exp(s2 - greatest(s1, s2, s3))
+      |           + exp(s3 - greatest(s1, s2, s3))) AS scale
+      |  FROM sc
+      |), pr AS (
+      |  SELECT conv_id, bucket_ts,
+      |    round(exp(s1 - scale) + 1e-9, 4) AS p1,
+      |    round(exp(s2 - scale) + 1e-9, 4) AS p2,
+      |    round(exp(s3 - scale) + 1e-9, 4) AS p3
+      |  FROM sm
+      |)""".stripMargin
 
   /** 32-bit SimHash signature CTE (hex-digit parity votes ≙ the typed
     * kernel's nibble parity), shared by the dd_simhash* oracles.

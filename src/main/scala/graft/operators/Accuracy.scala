@@ -53,6 +53,34 @@ object Accuracy {
       .drop("__tn", "__tns")
   }
 
+  /** Deterministic k-fold assignment by content hash of the sample key —
+    * engine-reproducible (md5 is identical in Spark and DuckDB; first 8 hex
+    * chars → uint32 → mod k), unlike R's RNG-based `createFolds`
+    * (R/sits_validate.R:68 delegates fold creation to caret). The grouping
+    * UNIT is the conversation, matching the reference's rule that a sample's
+    * time series never straddles folds.
+    */
+  def kfoldAssign(key: Column, k: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(k.toLong)).cast("int")
+
+  /** `sits_kfold_validate` evaluation half (R/sits_validate.R:68,
+    * api_validate.R): fold assignment + per-fold holdout confusion of a
+    * supplied prediction relation (model training is out of scope per
+    * SURVEY §2.9 — the caller scores with [[Classify.score]] or an external
+    * model over the predictors matrix). Output: one row per fold with
+    * holdout size, correct count, and accuracy.
+    */
+  def kfoldValidate(df: DataFrame, actual: String, pred: String,
+      k: Int, keyCol: String = "conv_id"): DataFrame = {
+    val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    df.withColumn("fold", kfoldAssign(col(keyCol), k))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(actual) === col(pred), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc", r4(col("n_correct").cast("double") / col("n")))
+  }
+
   /** Area-weighted accuracy + unbiased area estimation — the reference's
     * `method = "olofsson"` (R/sits_accuracy.R:179,253-254; estimators in
     * R/api_accuracy.R:43-113, eq. 1-7 of Olofsson et al. 2014):

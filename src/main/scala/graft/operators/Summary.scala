@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sanity-check verbs ≙ the reference's `summary()` methods and
+  * `hist.raster_cube` (/root/reference/R/sits_summary.R:139 raster summary,
+  * :231-254 derived-cube `summary()` = min/Q1/median/mean/Q3/max per band,
+  * R/sits_histogram.R:59+ fixed-bin band histogram).
+  *
+  * Scale shape: `summarize` is one combined aggregate pass (count/mean/
+  * min/max for every metric at once) plus [[Predictors.exactQuantiles]]
+  * per metric — the partition-parallel exact quantile, never a
+  * single-reducer percentile. The result relation is |metrics| rows,
+  * assembled on the driver from those scalars (a stats verb IS a driver
+  * action, like the reference printing `summary(rast)`). `histogram` is a
+  * scalar min/max job plus one partially-aggregated groupBy on the bin id.
+  */
+object Summary {
+
+  private def r4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** R `summary()` per metric column: n (non-null), mean, min, Q1, median,
+    * Q3, max — quantiles type-7 (R default), matching DuckDB
+    * `quantile_cont` exactly. One row per metric.
+    */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summarize: no metric columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      avg(col(c)).as(s"mean_$c"),
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val out = cols.map { c =>
+      val Seq(q1, med, q3) = Predictors.exactQuantiles(df, c, Seq(0.25, 0.5, 0.75))
+      (c, row.getAs[Long](s"n_$c"), r4(row.getAs[Double](s"mean_$c")),
+        row.getAs[Double](s"min_$c"), r4(q1), r4(med), r4(q3),
+        row.getAs[Double](s"max_$c"))
+    }
+    out.toDF("metric", "n", "mean_v", "min_v", "q1", "median", "q3", "max_v")
+  }
+
+  /** Fixed-bin histogram of one metric over its global [min, max] range
+    * (hist.raster_cube semantics, exact over the relation rather than the
+    * reference's 100k-cell sample). Empty bins are absent (groupBy), the
+    * max value lands in the last bin. Bin arithmetic is plain IEEE double
+    * ops in both engines — oracle-identical.
+    */
+  def histogram(df: DataFrame, colName: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "histogram: nBins must be positive")
+    val v = col(colName).cast("double")
+    val mm = df.select(v.as("v")).filter(col("v").isNotNull)
+      .agg(min("v"), max("v")).head
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    require(mx > mn, s"histogram($colName): degenerate range [$mn, $mx]")
+    val rb = (c: Column) => round(c + lit(1e-9), 4)
+    df.select(v.as("v")).filter(col("v").isNotNull)
+      .groupBy(least(floor((col("v") - lit(mn)) / (lit(mx) - lit(mn)) * nBins),
+        lit(nBins - 1)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        rb(lit(mn) + col("bin") * (lit(mx) - lit(mn)) / nBins).as("lo"),
+        rb(lit(mn) + (col("bin") + 1) * (lit(mx) - lit(mn)) / nBins).as("hi"),
+        col("cnt"))
+  }
+}
