@@ -138,11 +138,27 @@ object SparkEntry {
         .orderBy("conv_id", "bucket_ts")),
     // §2.4 Whittaker smoother (pentadiagonal solve — not SQL-expressible;
     // correctness locked by the dense-solve kernel oracle in ScalaTest)
-    "ts_whittaker" -> ((s, dir) =>
-      Smooth.whittaker(s, day1(s, dir), lambda = 2.0)
-        .select(col("conv_id"), col("bucket_ts"),
-          round(col("value") + lit(1e-9), 4).as("wh_v"))
-        .orderBy("conv_id", "bucket_ts")),
+    // §2.4 Whittaker — verified through the OPTIMALITY-CONDITION residual:
+    // the smoother's output z is the unique solution of (I + λD″ᵀD″)z = y,
+    // so r = y − z − λ(D″ᵀD″z) is ≈0 iff z is correct; the query emits y
+    // (oracle-recomputable) and r (oracle asserts the constant 0.0), which
+    // pins z without DuckDB having to solve the pentadiagonal system. The
+    // smoothed VALUES are covered by the dense-solve ScalaTest oracle.
+    "ts_whittaker" -> ((s, dir) => {
+      val g = day1(s, dir)
+      val lambda = 2.0
+      val resid = Smooth.perSeries(s, g) { vs =>
+        val z = graft.functions.SeriesKernels.whittaker(vs, lambda)
+        val n = vs.length
+        val d = Array.tabulate(math.max(n - 2, 0))(j => z(j) - 2 * z(j + 1) + z(j + 2))
+        def dd(j: Int) = if (j >= 0 && j < d.length) d(j) else 0.0
+        Array.tabulate(n)(i => vs(i) - z(i) - lambda * (dd(i - 2) - 2 * dd(i - 1) + dd(i)))
+      }.withColumnRenamed("value", "resid")
+      g.join(resid, Seq("conv_id", "bucket_ts"))
+        .select(col("conv_id"), col("bucket_ts"), col("value"),
+          round(col("resid") + lit(1e-9), 4).as("resid"))
+        .orderBy("conv_id", "bucket_ts")
+    }),
     // §2.7 label classification (first-max argmax) + uncertainty measures
     // (entropy/margin/least) over per-(conv,day) role-mix probabilities
     "ts_probs_label" -> ((s, dir) => {
@@ -347,6 +363,11 @@ object SparkEntry {
     // §2.7 sits_mixture_model: NNLS unmixing of per-(conv,day) feature
     // vectors against 3 endmember archetypes (Lawson-Hanson — not
     // SQL-expressible; KKT/brute-force oracle in ScalaTest; rows-only here)
+    // verified through the NNLS KKT CERTIFICATE: kkt_w/kkt_comp/x_neg are
+    // ≈0 iff the emitted-internally fractions are THE unique NNLS solution
+    // for the (oracle-recomputable) feature vector — the oracle asserts the
+    // constants without re-solving. Fraction VALUES are covered by the KKT
+    // ScalaTest oracle.
     "ts_mixture" -> ((s, dir) => {
       val feats = Regularize.withMetrics(transcripts(s, dir))
         .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
@@ -356,7 +377,13 @@ object SparkEntry {
       Mixture.unmix(s, feats, Seq("f_len", "f_tool", "f_rate"), Seq(
         "chatty" -> Array(2.0, 0.1, 1.5),
         "tooly" -> Array(0.8, 0.9, 0.8),
-        "terse" -> Array(0.3, 0.0, 0.2)))
+        "terse" -> Array(0.3, 0.0, 0.2)), emitKkt = true)
+        .join(feats, Seq("conv_id", "bucket_ts"))
+        .select(col("conv_id"), col("bucket_ts"),
+          round(col("f_len") + lit(1e-9), 4).as("f_len"),
+          round(col("f_tool") + lit(1e-9), 4).as("f_tool"),
+          round(col("f_rate") + lit(1e-9), 4).as("f_rate"),
+          col("kkt_w"), col("kkt_comp"), col("x_neg"))
         .orderBy("conv_id", "bucket_ts")
     }),
     // §2.8 sits_cluster_dendro: single-linkage clustering over pairwise DTW
@@ -884,6 +911,16 @@ private object Oracles {
            |SELECT conv_id, tsv[i] AS bucket_ts,
            |  round(($sgCase) + 1e-9, 4) AS sg_v
            |FROM idx ORDER BY conv_id, bucket_ts""".stripMargin),
+    // Whittaker optimality-condition oracle: the query emits y (= the
+    // gap-filled grid, recomputed here) and r = y − z − λ(D″ᵀD″z), which is
+    // identically 0 iff z solves (I + λD″ᵀD″)z = y — so asserting the
+    // constant 0.0 pins the smoother without DuckDB solving the system.
+    "ts_whittaker" ->
+      (cte + gapfilledCte +
+        """
+          |SELECT conv_id, bucket_ts, value, cast(0.0 AS double) AS resid
+          |FROM gapfilled WHERE bucket_ts < timestamp '2024-01-02'
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_probs_label" ->
       (cte + probsCte +
         """
@@ -1347,6 +1384,23 @@ private object Oracles {
           |  round(ln(v0 + 1.0) + 1e-9, 4) AS lg,
           |  round(v0 - round(list_sum(w) / 5 + 1e-9, 4) + 1e-9, 4) AS anomaly
           |FROM dwin ORDER BY conv_id, bucket_ts""".stripMargin),
+    // NNLS KKT-certificate oracle: features are recomputed relationally;
+    // kkt_w (dual feasibility), kkt_comp (complementary slackness) and
+    // x_neg (primal feasibility) are ≈0 exactly when the kernel's fractions
+    // are THE unique NNLS solution — asserted as constants without DuckDB
+    // re-running Lawson-Hanson.
+    "ts_mixture" ->
+      (cte + metricsCte +
+        """
+          |SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+          |  round(avg(text_len) / 100.0 + 1e-9, 4) AS f_len,
+          |  round(avg(is_tool) + 1e-9, 4) AS f_tool,
+          |  round(cast(count(*) AS double) / 10.0 + 1e-9, 4) AS f_rate,
+          |  cast(0.0 AS double) AS kkt_w,
+          |  cast(0.0 AS double) AS kkt_comp,
+          |  cast(0.0 AS double) AS x_neg
+          |FROM metrics GROUP BY 1, 2
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_merge_intersects" ->
       (cte + metricsCte +
         """, t1g AS (
