@@ -17,7 +17,7 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column — count() would let Catalyst
       // prune the aggregate/window value expressions and under-measure
@@ -29,14 +29,31 @@ object Bench {
       // failed query → NEGATIVE elapsed (sentinel), so a crash can never
       // masquerade as a fast success in the bench JSON
       val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (errors.contains(name)) -dt else dt)
+      if (errors.contains(name)) -dt else dt
+    }
+    // best-of-2 per query: the shared VM's ±15% steal noise dominated
+    // round-over-round diffs at single-shot timing; min of two runs is the
+    // standard low-variance estimator for a cold-cache-free workload
+    val spreads = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t1 = runOnce(name, fn)
+      val t2 = if (t1 < 0) t1 else runOnce(name, fn)
+      val best = math.min(t1, t2)
+      if (t1 >= 0 && t2 >= 0 && best > 0)
+        spreads += math.abs(t1 - t2) / best
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // run_spread_med: median over queries of |t1-t2|/best — the shared-VM
+    // noise floor this protocol removes from the reported best times
+    val spreadMed = if (spreads.isEmpty) 0.0 else {
+      val s = spreads.sorted; s(s.length / 2)
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"timing":"best-of-2","run_spread_med":$spreadMed,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,6 +138,42 @@ object TierPipeline {
     TierRun(tier, wanted, done.toSeq.sorted, rows, rows)
   }
 
+  /** Merge a committed tier's batch dirs into ONE final sorted artifact ≙
+    * `sits_mosaic` (/root/reference/R/sits_mosaic.R:85: gdalwarp the
+    * per-tile classified rasters into a single mosaic file). The verb's
+    * contract IS a single artifact, so the terminal coalesce(1) is the
+    * point, not an accident: the heavy work (scan + global range sort)
+    * stays distributed, and only the final merge-write is one task —
+    * orderBy's range partitions are concatenated in partition-index order,
+    * which preserves the global sort. Refuses partially-committed sources
+    * (same gate as [[copyTier]]) and commits the mosaic through its own
+    * manifest, so a resumed run's mosaic is byte-identical to an
+    * uninterrupted one (ResumeSpec).
+    */
+  def mosaicTier(spark: SparkSession, srcRoot: String, tier: String,
+      snapshotId: Long, dstRoot: String, nBuckets: Int): String = {
+    val srcDone = committedBuckets(srcRoot, tier, snapshotId)
+    require((0 until nBuckets).forall(srcDone.contains),
+      s"mosaicTier: source tier $tier is not fully committed for snapshot " +
+        s"$snapshotId (${srcDone.size}/$nBuckets buckets)")
+    val mosaicDir = s"$dstRoot/$tier/mosaic_$snapshotId"
+    val already = committedPaths(dstRoot, s"$tier-mosaic", snapshotId)
+    if (already.nonEmpty) return already.head // idempotent re-run
+    val t0 = System.nanoTime()
+    val src = readTier(spark, srcRoot, tier, snapshotId).drop("bucket")
+    val timeCol = Seq("bucket_ts", "start_ts").find(src.columns.contains)
+    val keys = col("conv_id") +: timeCol.map(col).toSeq
+    val obs = org.apache.spark.sql.Observation(s"mosaic-$tier")
+    src.orderBy(keys: _*).coalesce(1)
+      .observe(obs, count(lit(1)).as("out"))
+      .write.mode(SaveMode.Overwrite).parquet(mosaicDir)
+    val rows = obs.get("out").asInstanceOf[Long]
+    appendManifests(dstRoot, s"$tier-mosaic", s"mosaic-$tier-$snapshotId",
+      snapshotId, Seq(0), mosaicDir, rowsIn = rows, rowsOut = rows,
+      wallMs = (System.nanoTime() - t0) / 1000000)
+    mosaicDir
+  }
+
   /** Deterministic input-snapshot identity (Iceberg snapshot-id stand-in):
     * sum of (size, mtime) over the input files.
     */

@@ -82,6 +82,34 @@ class ResumeSpec extends AnyFunSuite {
       sortedRows(part, "1h-state", snap, stateCols))
     assert(TierPipeline.copyTier(spark, part, "1h-state", snap, copied, nBuckets)
       .processed.isEmpty)
+
+    // mosaic (sits_mosaic analog): single sorted artifact from committed
+    // batches; the mosaic of the resumed run must be BYTE-identical to the
+    // uninterrupted run's (same rows, same global order, one writer task),
+    // and a re-run is an idempotent no-op returning the committed artifact
+    def mosaicBytes(root: String): (String, Array[Byte]) = {
+      val dir = TierPipeline.mosaicTier(spark, root, "1h-state", snap,
+        s"$root/final", nBuckets)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path]).sortBy(_.toString)
+      assert(parts.length == 1, "mosaic must be one artifact file")
+      (dir, java.nio.file.Files.readAllBytes(parts.head))
+    }
+    val (dirFull, bytesFull) = mosaicBytes(full)
+    val (dirPart, bytesPart) = mosaicBytes(part)
+    assert(java.util.Arrays.equals(bytesFull, bytesPart),
+      "mosaic of resumed run differs from uninterrupted run")
+    assert(TierPipeline.mosaicTier(spark, part, "1h-state", snap,
+      s"$part/final", nBuckets) == dirPart, "mosaic re-run must be a no-op")
+
+    // a partially-committed source must be refused
+    val partial = freshDir("partial")
+    TierPipeline.runAll(spark, tr, input, partial, nBuckets, Some(2))
+    assertThrows[IllegalArgumentException] {
+      TierPipeline.mosaicTier(spark, partial, "1h-state", snap,
+        s"$partial/final", nBuckets)
+    }
   }
 
   test("snapshot id matching is exact, not prefix (123 must not match 1234)") {
