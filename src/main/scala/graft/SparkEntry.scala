@@ -770,6 +770,82 @@ private object Oracles {
       |  FROM arr
       |)""".stripMargin
 
+  // ---- bayts oracle builders (mirror SeriesKernels.baytsNf/baytsDetect
+  // with SQL NULL playing the kernel's NaN: comparisons with NULL are falsy
+  // in CASE exactly as NaN comparisons are false in Scala, and
+  // pbayes(NULL, x) is NULL as pbayes(NaN, x) is NaN) ----
+  private def dnormSql(x: String, m: String, s: String): String =
+    s"exp(-0.5 * (($x - $m) / $s) * (($x - $m) / $s)) / ($s * sqrt(2 * pi()))"
+  // per-band conditional NF-probability: dnorm ratio, <1e-5 zeroing (which
+  // the [0.1,0.9] clamp then lifts to 0.1), clamp — bayts_fns.cpp:43-122
+  private def pbandSql(x: String, mF: String, sF: String, mNF: String,
+      sNF: String): String = {
+    val pf = dnormSql(x, mF, sF)
+    val pnfRaw = dnormSql(x, mNF, sNF)
+    s"""CASE WHEN $x IS NULL THEN NULL
+       |         WHEN $pnfRaw < 0.00001 THEN 0.1
+       |         ELSE least(greatest(($pnfRaw) / (($pnfRaw) + ($pf)), 0.1), 0.9) END""".stripMargin
+  }
+  // reference pbayes incl. the 1e15 floor truncation (bayts_fns.cpp:28-31)
+  private def pbayesSql(a: String, b: String): String =
+    s"floor((($a) * ($b)) / ((($a) * ($b)) + ((1.0 - ($a)) * (1.0 - ($b)))) * 1.0e15) / 1.0e15"
+  private lazy val baytsSql: String = {
+    val p0 = pbandSql("d.va", "130.0", "40.0", "210.0", "40.0")
+    val p1 = pbandSql("d.vb", "0.2", "0.2", "0.8", "0.2")
+    val cur = "ps[t + 1]"
+    val prev = "ps[t]"
+    val pbUpd = pbayesSql("pchange", cur)
+    val pbFlag = pbayesSql(prev, cur)
+    // one detect step (bayts_fns.cpp:245-290 as coded): flag on p>thr with
+    // pchange=pbayes(prev,cur); else Bayes-update, reject run when <0.5;
+    // confirm when flagged && pchange>=chi && cur>=0.5 (same-step check)
+    val flaggedNew =
+      s"CASE WHEN NOT flagged THEN coalesce($cur > 0.5, false) " +
+        s"ELSE NOT coalesce(($pbUpd) < 0.5, false) END"
+    val pchangeNew =
+      s"CASE WHEN NOT flagged THEN (CASE WHEN coalesce($cur > 0.5, false) THEN $pbFlag END) " +
+        s"ELSE (CASE WHEN coalesce(($pbUpd) < 0.5, false) THEN NULL ELSE $pbUpd END) END"
+    val confNew =
+      s"CASE WHEN ($flaggedNew) AND coalesce(($pchangeNew) >= 0.9, false) " +
+        s"AND coalesce($cur >= 0.5, false) THEN t ELSE -1 END"
+    cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+      s""", days AS (
+         |  SELECT conv_id,
+         |         date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+         |         avg(text_len) AS va, avg(is_tool) AS vb
+         |  FROM metrics GROUP BY 1, 2
+         |), nper AS (
+         |  SELECT conv_id, max(idx) + 1 AS n FROM days GROUP BY 1
+         |), bgrid AS (
+         |  SELECT conv_id, n, unnest(generate_series(0, n - 1)) AS idx FROM nper
+         |), pnf AS (
+         |  SELECT g.conv_id, g.n, g.idx,
+         |    $p0 AS p0,
+         |    $p1 AS p1
+         |  FROM bgrid g LEFT JOIN days d USING (conv_id, idx)
+         |), fusedp AS (
+         |  SELECT conv_id, n, idx,
+         |    CASE WHEN p1 IS NOT NULL AND p0 IS NOT NULL THEN ${pbayesSql("p1", "p0")}
+         |         WHEN p1 IS NULL THEN p0 ELSE p1 END AS p
+         |  FROM pnf
+         |), parr AS (
+         |  SELECT conv_id, max(n) AS n, list(p ORDER BY idx) AS ps FROM fusedp GROUP BY 1
+         |), det AS (
+         |  SELECT conv_id, ps, n, 1 AS t, false AS flagged,
+         |         cast(NULL AS double) AS pchange, -1 AS confirmed
+         |  FROM parr
+         |  UNION ALL
+         |  SELECT conv_id, ps, n, t + 1,
+         |    $flaggedNew,
+         |    $pchangeNew,
+         |    $confNew
+         |  FROM det WHERE t < n AND confirmed < 0
+         |)
+         |SELECT conv_id, max_by(confirmed, t) AS change_idx,
+         |       max_by(confirmed, t) >= 0 AS changed
+         |FROM det GROUP BY 1 ORDER BY conv_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1401,6 +1477,9 @@ private object Oracles {
           |  cast(0.0 AS double) AS x_neg
           |FROM metrics GROUP BY 1, 2
           |ORDER BY conv_id, bucket_ts""".stripMargin),
+    // full sequential-detect replay as a recursive CTE (state machine per
+    // conv: one row per step, stops on confirm) — see baytsSql builders
+    "ts_bayts" -> baytsSql,
     "ts_merge_intersects" ->
       (cte + metricsCte +
         """, t1g AS (
