@@ -246,6 +246,21 @@ object SparkEntry {
           round(col("dtw_dist") + lit(1e-9), 4).as("dtw_dist"))
         .orderBy("conv_id")
     }),
+    // §2.8 DTW with PLAIN-MEAN patterns (lambda=0) — the DP itself is
+    // oracle-replayed in DuckDB as an anti-diagonal wavefront recursion
+    // (pure abs/min/+ arithmetic, bit-identical across engines), so the
+    // symmetric-2 kernel is driver-verified end-to-end; ts_dtw above keeps
+    // the smoothed-prototype (GAM-analog) variant
+    "ts_dtw_mean" -> ((s, dir) => {
+      val series = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+      val labels = series.select("conv_id").distinct()
+        .withColumn("label", substring(col("conv_id"), 2, 6).cast("int") % 3 + 1)
+      val pats = ChangeDetect.patterns(series, labels, lambda = 0.0)
+      ChangeDetect.dtwClassify(s, series, pats)
+        .select(col("conv_id"), col("label"),
+          round(col("dtw_dist") + lit(1e-9), 4).as("dtw_dist"))
+        .orderBy("conv_id")
+    }),
     // §2.8 bayts online change detection over two fused metric bands
     "ts_bayts" -> ((s, dir) => {
       val a = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
@@ -844,6 +859,63 @@ private object Oracles {
          |SELECT conv_id, max_by(confirmed, t) AS change_idx,
          |       max_by(confirmed, t) >= 0 AS changed
          |FROM det GROUP BY 1 ORDER BY conv_id""".stripMargin
+  }
+
+  // ---- DTW oracle: symmetric-2 DP (dtw.cpp:36-105 as coded in
+  // SeriesKernels.dtw) replayed as an ANTI-DIAGONAL wavefront recursion —
+  // every cell on diagonal k depends only on diagonals k-1 and k-2, so one
+  // recursion step computes a whole diagonal with list_transform. All local
+  // arithmetic is abs/*/+/min (exact-rounding IEEE ops, bit-identical to the
+  // JVM kernel; Math.pow(x,2)=x*x and pow(s,0.5)=sqrt(s) per fdlibm special
+  // cases), so the distance matches to the last ulp before rounding. ----
+  private lazy val dtwSql: String = {
+    // cell (ii=i-1, j=k+2-i) on diagonal knew=k+1; diag lists are length n,
+    // position p holds D(p-1, knew-(p-1)); d1 = diag knew-1, d2 = diag knew-2
+    val c = "(abs(sa[i] - sb[k + 3 - i]) * abs(sa[i] - sb[k + 3 - i]))"
+    val cell =
+      s"""CASE WHEN k + 2 - i < 0 OR k + 2 - i >= m THEN NULL
+         |           WHEN i = 1 AND k + 2 - i = 0 THEN $c
+         |           WHEN i = 1 THEN d1[1] + $c
+         |           WHEN k + 2 - i = 0 THEN d1[i - 1] + $c
+         |           ELSE least(least(d1[i - 1] + $c, d1[i] + $c), d2[i - 1] + 2 * $c) END""".stripMargin
+    cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+      s""", days AS (
+         |  SELECT conv_id,
+         |         date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+         |         avg(text_len) AS value
+         |  FROM metrics GROUP BY 1, 2
+         |), sarr AS (
+         |  SELECT conv_id, list(value ORDER BY idx) AS sa, count(*) AS n FROM days GROUP BY 1
+         |), labs AS (
+         |  SELECT conv_id, cast(substring(conv_id, 2, 6) AS int) % 3 + 1 AS label
+         |  FROM (SELECT DISTINCT conv_id FROM days)
+         |), pmeans AS (
+         |  SELECT l.label, d.idx, avg(d.value) AS value
+         |  FROM days d JOIN labs l USING (conv_id) GROUP BY 1, 2
+         |), parr AS (
+         |  SELECT label, list(value ORDER BY idx) AS sb, count(*) AS m FROM pmeans GROUP BY 1
+         |), pairs AS (
+         |  SELECT s.conv_id, p.label, s.sa, s.n, p.sb, p.m FROM sarr s CROSS JOIN parr p
+         |), dp AS (
+         |  SELECT conv_id, label, sa, n, sb, m, -1 AS k,
+         |         cast(NULL AS double[]) AS d1, cast(NULL AS double[]) AS d2
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT conv_id, label, sa, n, sb, m, k + 1,
+         |    list_transform(generate_series(1, cast(n AS int)), i ->
+         |      $cell),
+         |    d1
+         |  FROM dp WHERE k < n + m - 2
+         |), dists AS (
+         |  SELECT conv_id, label, sqrt(d1[cast(n AS int)]) AS dist
+         |  FROM dp WHERE k = n + m - 2
+         |), ranked AS (
+         |  SELECT conv_id, label, dist,
+         |         row_number() OVER (PARTITION BY conv_id ORDER BY dist, label) AS rn
+         |  FROM dists
+         |)
+         |SELECT conv_id, label, round(dist + 1e-9, 4) AS dtw_dist
+         |FROM ranked WHERE rn = 1 ORDER BY conv_id""".stripMargin
   }
 
   val all: Map[String, String] = Map(
@@ -1480,6 +1552,8 @@ private object Oracles {
     // full sequential-detect replay as a recursive CTE (state machine per
     // conv: one row per step, stops on confirm) — see baytsSql builders
     "ts_bayts" -> baytsSql,
+    // anti-diagonal wavefront DP replay — see dtwSql builders
+    "ts_dtw_mean" -> dtwSql,
     "ts_merge_intersects" ->
       (cte + metricsCte +
         """, t1g AS (
