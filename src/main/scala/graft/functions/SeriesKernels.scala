@@ -208,6 +208,47 @@ object SeriesKernels {
     z
   }
 
+  /** GCV-selected Whittaker smoothing (Eilers, "A perfect smoother", Anal.
+    * Chem. 75(14):3631-3636, 2003): GCV(λ) = (RSS/n) / (1 − tr(H)/n)² with
+    * H = (I + λD″ᵀD″)⁻¹; pick the grid λ minimizing it. tr(H) = Σ_j H_jj is
+    * computed with one banded solve per basis vector — H_jj is exactly
+    * `whittaker(e_j, λ)(j)` — so this reuses the LDLᵀ kernel unchanged
+    * (O(n²) per λ; prototype series are label means, n ≲ a few hundred).
+    * Closes the reference's smoothing-parameter selection (mgcv's GCV
+    * default behind sits_patterns.R:38-140) for the 1-D prototype fits.
+    * Returns (chosen λ, smoothed series).
+    */
+  def whittakerGcv(y: Array[Double],
+      lambdas: Seq[Double] = Seq(0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 25.0, 100.0))
+      : (Double, Array[Double]) = {
+    require(lambdas.nonEmpty, "whittakerGcv needs a non-empty lambda grid")
+    val n = y.length
+    if (n < 3) return (lambdas.head, y.clone())
+    var bestLam = lambdas.head
+    var bestGcv = Double.PositiveInfinity
+    var bestZ: Array[Double] = null
+    for (lam <- lambdas) {
+      val z = whittaker(y, lam)
+      var rss = 0.0
+      var i = 0
+      while (i < n) { val e = y(i) - z(i); rss += e * e; i += 1 }
+      var trH = 0.0
+      var j = 0
+      while (j < n) {
+        val ej = new Array[Double](n)
+        ej(j) = 1.0
+        trH += whittaker(ej, lam)(j)
+        j += 1
+      }
+      val denom = 1.0 - trH / n
+      val gcv = (rss / n) / (denom * denom)
+      // NaN (0/0 at λ→0 on interpolating fits) never wins the comparison
+      if (gcv < bestGcv) { bestGcv = gcv; bestLam = lam; bestZ = z }
+    }
+    if (bestZ == null) (lambdas.head, whittaker(y, lambdas.head))
+    else (bestLam, bestZ)
+  }
+
   /** exact D2'D2 diagonal for tiny n (n=3,4) */
   private def d2d2Diag(n: Int, i: Int): Double = {
     // row i of D2ᵀD2 where D2 is (n-2)×n second-difference matrix

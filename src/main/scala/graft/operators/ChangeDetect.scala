@@ -33,26 +33,45 @@ object ChangeDetect {
       .groupBy(col("label"), col(idxCol))
       .agg(avg("value").as("value"))
     if (lambda <= 0.0) means
-    else {
-      val spark = means.sparkSession
-      import spark.implicits._
-      // Key by the label's STRING form (labels may be any type — an int cast
-      // would null non-integer labels and silently collapse them into one
-      // group), then re-attach the original-typed label via the tiny distinct
-      // label relation (broadcast join).
-      val smoothed = means.select(col("label").cast("string").as("label_s"),
-          col(idxCol).cast("int"), col("value").cast("double"))
-        .as[(String, Int, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (lab, it) =>
-          val pts = it.toArray.sortBy(_._2)
-          val sm = SeriesKernels.whittaker(pts.map(_._3), lambda)
-          pts.indices.iterator.map(i => (lab, pts(i)._2, sm(i)))
-        }.toDF("label_s", idxCol, "value")
-      smoothed.join(broadcast(means.select(col("label")).distinct()),
-          col("label").cast("string") === col("label_s"))
-        .select(col("label"), col(idxCol), col("value"))
-    }
+    else smoothMeans(means, idxCol)(SeriesKernels.whittaker(_, lambda))
+  }
+
+  /** [[patterns]] with the smoothing parameter chosen per label by
+    * generalized cross-validation (SeriesKernels.whittakerGcv) instead of a
+    * fixed λ — the analog of the reference's mgcv-GCV default when fitting
+    * GAM prototypes (sits_patterns.R:38-140).
+    */
+  def patternsGcv(series: DataFrame, labels: DataFrame, idxCol: String = "idx",
+      lambdas: Seq[Double] = Seq(0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 25.0, 100.0))
+      : DataFrame = {
+    val means = series.join(labels, "conv_id")
+      .groupBy(col("label"), col(idxCol))
+      .agg(avg("value").as("value"))
+    smoothMeans(means, idxCol)(SeriesKernels.whittakerGcv(_, lambdas)._2)
+  }
+
+  /** Per-label smoothing of the (label, idx, value) means relation. Keys by
+    * the label's STRING form (labels may be any type — an int cast would
+    * null non-integer labels and silently collapse them into one group),
+    * then re-attaches the original-typed label via the tiny distinct label
+    * relation (broadcast join).
+    */
+  private def smoothMeans(means: DataFrame, idxCol: String)(
+      fit: Array[Double] => Array[Double]): DataFrame = {
+    val spark = means.sparkSession
+    import spark.implicits._
+    val smoothed = means.select(col("label").cast("string").as("label_s"),
+        col(idxCol).cast("int"), col("value").cast("double"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lab, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        val sm = fit(pts.map(_._3))
+        pts.indices.iterator.map(i => (lab, pts(i)._2, sm(i)))
+      }.toDF("label_s", idxCol, "value")
+    smoothed.join(broadcast(means.select(col("label")).distinct()),
+        col("label").cast("string") === col("label_s"))
+      .select(col("label"), col(idxCol), col("value"))
   }
 
   /** DTW classification: distance of each conv's series to every label

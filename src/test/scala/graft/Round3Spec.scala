@@ -75,4 +75,61 @@ class Round3Spec extends AnyFunSuite {
     assert(math.abs(byLabel("low")._1 - 1.0) < 1e-9 && byLabel("low")._2 == 8)
     assert(math.abs(byLabel("high")._1 - 100.0) < 1e-9 && byLabel("high")._2 == 8)
   }
+
+  test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
+    val n = 60
+    val truth = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
+    // deterministic pseudo-noise, zero-ish mean, sd ~6
+    val noisy = Array.tabulate(n)(i =>
+      truth(i) + 6.0 * math.sin(i * 12.9898 + 4.1414) * math.cos(i * 78.233))
+    val (lam, z) = SeriesKernels.whittakerGcv(noisy)
+    def mse(a: Array[Double]) =
+      a.indices.map(i => (a(i) - truth(i)) * (a(i) - truth(i))).sum / n
+    assert(lam > 0.0)
+    assert(mse(z) < mse(noisy),
+      s"GCV fit (λ=$lam) mse ${mse(z)} not below raw mse ${mse(noisy)}")
+    // H_jj = whittaker(e_j)(j): each leverage in (0,1], trace in (0,n)
+    val hjj = (0 until n).map { j =>
+      val e = new Array[Double](n); e(j) = 1.0
+      SeriesKernels.whittaker(e, lam)(j)
+    }
+    assert(hjj.forall(h => h > 0.0 && h <= 1.0 + 1e-12))
+    val tr = hjj.sum
+    assert(tr > 0.0 && tr < n)
+  }
+
+  test("whittakerGcv: noisier series selects λ at least as large as a smooth one") {
+    val n = 60
+    val base = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
+    val noisy = Array.tabulate(n)(i =>
+      base(i) + 12.0 * math.sin(i * 12.9898 + 4.1414) * math.cos(i * 78.233))
+    val lamSmooth = SeriesKernels.whittakerGcv(base)._1
+    val lamNoisy = SeriesKernels.whittakerGcv(noisy)._1
+    assert(lamNoisy >= lamSmooth,
+      s"noisy λ=$lamNoisy < smooth λ=$lamSmooth")
+  }
+
+  test("patternsGcv: schema/grouping as patterns, values equal the per-label GCV fit") {
+    val series = (for (c <- Seq("a", "b", "c", "d"); i <- 0 until 20) yield {
+      val lab = if (c <= "b") 1 else 2
+      (c, i, lab * 40.0 + 10.0 * math.sin(i / 2.0) +
+        3.0 * math.sin(i * 7.77 + c.hashCode))
+    }).toDF("conv_id", "idx", "value")
+    val labels = Seq(("a", 1), ("b", 1), ("c", 2), ("d", 2)).toDF("conv_id", "label")
+    val out = ChangeDetect.patternsGcv(series, labels).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // recompute expected per label by hand
+    val means = series.join(labels, "conv_id").groupBy("label", "idx")
+      .agg(avg("value").as("v")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .groupBy(_._1._1)
+    for ((lab, rows) <- means) {
+      val pts = rows.toArray.sortBy(_._1._2)
+      val fit = SeriesKernels.whittakerGcv(pts.map(_._2))._2
+      pts.indices.foreach { i =>
+        assert(math.abs(out((lab, pts(i)._1._2)) - fit(i)) < 1e-12,
+          s"label $lab idx ${pts(i)._1._2}")
+      }
+    }
+  }
 }
