@@ -532,6 +532,12 @@ object SparkEntry {
       val d = docsPlanted(s, dir)
       Dedup.ngramJaccard(d, Dedup.minhashPairs(d)).orderBy("id1", "id2")
     }),
+    // duplicate GROUPS: connected components over the LSH pairs with
+    // canonical-doc selection (min-label propagation; oracle = recursive-CTE
+    // transitive closure over the same pairs)
+    "dd_components" -> ((s, dir) =>
+      Dedup.components(Dedup.minhashPairs(docsPlanted(s, dir)))
+        .orderBy("doc_id")),
     // SimHash (32-bit, md5-parity votes) near-dup pairs, Hamming 0
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
@@ -1796,6 +1802,25 @@ private object Oracles {
       (plantedCte + shingleCtes + bandCtes +
         """
           |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin),
+    // transitive closure of the pair graph (UNION-dedup recursion; verify-
+    // scale components are tiny) → min reachable id = the component label
+    "dd_components" ->
+      (plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleCtes + bandCtes +
+        """, esym AS (
+          |  SELECT id1 AS x, id2 AS y FROM pairs
+          |  UNION
+          |  SELECT id2 AS x, id1 AS y FROM pairs
+          |), reach AS (
+          |  SELECT x, y FROM (SELECT x, y FROM esym UNION SELECT x, x AS y FROM esym)
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN esym e ON r.y = e.x
+          |), comp AS (
+          |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+          |), csz AS (
+          |  SELECT component, count(*) AS group_sz FROM comp GROUP BY 1
+          |)
+          |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical, s.group_sz
+          |FROM comp c JOIN csz s USING (component) ORDER BY doc_id""".stripMargin),
     "dd_ngram_jaccard" ->
       (plantedCte + shingleCtes + bandCtes +
         """, shx AS (

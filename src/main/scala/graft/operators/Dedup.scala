@@ -64,6 +64,66 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Connected components over near-dup pairs → duplicate GROUPS with a
+    * canonical doc each: iterative min-label propagation (every round each
+    * node takes the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds — near-dup components are star-like, so a
+    * handful). Per-round cost is one shuffle of the symmetrized edge list,
+    * the standard Spark CC shape; at extreme scale the same contract is
+    * served by alternating large-star/small-star (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"), which bounds rounds by
+    * O(log n) on high-diameter graphs. Throws if maxIter rounds don't
+    * converge (never silently returns partial labels).
+    *
+    * Returns (doc_id, component, is_canonical, group_sz) where component =
+    * min doc_id of the group and is_canonical marks the doc a dedup pass
+    * keeps.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("x"), col("id2").as("y"))
+      .union(pairs.select(col("id2").as("x"), col("id1").as("y")))
+      .distinct().persist()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    labels.count()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "y")
+          .withColumnRenamed("comp", "ycomp"), "y")
+        .groupBy(col("x").as("node"))
+        .agg(min("ycomp").as("nbrmin"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbrmin"), col("comp"))).as("comp"))
+        .persist()
+      next.count() // materialize before dropping the parent cache
+      done = next.withColumnRenamed("comp", "newc")
+        .join(labels, "node")
+        .filter(col("newc") =!= col("comp")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    require(done, s"components: no convergence after $maxIter rounds " +
+      "(component diameter exceeds the round budget)")
+    // eager localCheckpoint truncates the O(rounds) iterative lineage and
+    // lets the loop cache be released here — no persist handle escapes this
+    // function (checkpoint blocks are reclaimed by the ContextCleaner when
+    // the result is dropped; a long-lived cluster job would use reliable
+    // checkpointing instead)
+    val settled = labels.localCheckpoint(true)
+    labels.unpersist()
+    val comp = settled.select(col("node").as("doc_id"), col("comp").as("component"))
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("group_sz"))
+    comp.join(sizes, "component")
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"), col("group_sz"))
+  }
+
   /** n-gram Jaccard similarity for given candidate pairs, computed from the
     * distinct 3-shingle sets (|A∩B| / (|A|+|B|−|A∩B|)) via an exploded
     * shingle join — no arrays shipped through the pair join.

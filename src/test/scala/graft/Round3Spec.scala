@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.SeriesKernels
-import graft.operators.{ChangeDetect, Select}
+import graft.operators.{ChangeDetect, Dedup, Select}
 
 /** Round-3 fixes: bounded-driver-memory MST filtering for clusterDendro,
   * non-vacuous tibble_prune semantics, and pattern grouping on arbitrary
@@ -74,6 +74,25 @@ class Round3Spec extends AnyFunSuite {
     // Whittaker of a constant series is the constant — per-label identity kept
     assert(math.abs(byLabel("low")._1 - 1.0) < 1e-9 && byLabel("low")._2 == 8)
     assert(math.abs(byLabel("high")._1 - 100.0) < 1e-9 && byLabel("high")._2 == 8)
+  }
+
+  test("dedup components: chains, stars, and disjoint pairs resolve to min-id groups") {
+    // chain 1-2-3-4 (diameter 3 — needs >1 propagation round), star around
+    // 10, and an isolated pair; canonical = min id of each group
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("id1", "id2")
+    val out = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(out.size == 10)
+    Seq(1L, 2L, 3L, 4L).foreach(d => assert(out(d) == ((1L, d == 1L, 4L)), s"doc $d"))
+    Seq(10L, 11L, 12L, 13L).foreach(d => assert(out(d) == ((10L, d == 10L, 4L)), s"doc $d"))
+    Seq(20L, 21L).foreach(d => assert(out(d) == ((20L, d == 20L, 2L)), s"doc $d"))
+    // a round budget smaller than the diameter must fail loudly, not return
+    // partial labels
+    assertThrows[IllegalArgumentException] {
+      Dedup.components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+        .toDF("id1", "id2"), maxIter = 1)
+    }
   }
 
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
