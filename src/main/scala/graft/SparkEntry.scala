@@ -559,6 +559,14 @@ object SparkEntry {
     "ann_ivf2" -> ((s, dir) =>
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 50 === 0,
         col("vec_id") % 97 === 0, k = 3, nprobe = 2).orderBy("qid", "rn")),
+    // spherical k-means (Lloyd, 2 quantized iterations from the %97 seeds)
+    // trains the IVF centroids; output = final full-corpus assignment. The
+    // oracle replays training exactly (quantized-iteration contract).
+    "ann_kmeans" -> ((s, dir) => {
+      val cents = Similarity.kmeansCentroids(embeddings(s, dir),
+        col("vec_id") % 97 === 0, iters = 2)
+      Similarity.ivfAssignTo(embeddings(s, dir), cents).orderBy("vec_id")
+    }),
     // int8 scalar quantization of embeddings (4× ANN storage cut): per-vec
     // scale + quantized-vector fingerprint aggregates
     "emb_quant" -> ((s, dir) =>
@@ -1876,6 +1884,8 @@ private object Oracles {
           |SELECT qid, eid, cos, rn FROM (
           |  SELECT qid, eid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
           |  FROM sc) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    // exact replay of quantized-Lloyd training + final assignment
+    "ann_kmeans" -> kmeansSql,
     "ann_ivf" ->
       (embCtes("embeddings") + ivfCtes +
         """, q AS (
@@ -2150,6 +2160,43 @@ private object Oracles {
        |), nrm AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM e
        |)""".stripMargin
+
+  // k-means oracle: unrolled Lloyd iterations. The 4-decimal quantization of
+  // each centroid update makes the per-iteration state identical across
+  // engines (summation-order float drift ~1e-14 is absorbed by the round),
+  // so the replay is exact without DuckDB matching Spark's partitioning.
+  private def kmCos(c: String): String =
+    s"round(list_sum(list_transform(generate_series(1, 64), i -> $c.cv[i] * n.v[i]))" +
+      s" / (sqrt(list_sum(list_transform($c.cv, x -> x * x))) * n.nm) + 1e-9, 6)"
+  private def kmAsg(j: Int, centsRel: String): String =
+    s""", asg$j AS (
+       |  SELECT vec_id, cell, cos FROM (
+       |    SELECT n.vec_id, c.cid AS cell, ${kmCos("c")} AS cos,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |                         ORDER BY ${kmCos("c")} DESC, c.cid) AS rn
+       |    FROM nrm n CROSS JOIN $centsRel c) WHERE rn = 1
+       |)""".stripMargin
+  private def kmUpdate(j: Int): String =
+    s""", cm$j AS (
+       |  SELECT a.cell, d.i AS dim, round(avg(n.v[d.i]) + 1e-9, 4) AS mv
+       |  FROM asg$j a JOIN nrm n USING (vec_id)
+       |       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+       |  GROUP BY 1, 2
+       |), cents$j AS (
+       |  SELECT cell AS cid, list(mv ORDER BY dim) AS cv FROM cm$j GROUP BY 1
+       |)""".stripMargin
+  private lazy val kmeansSql: String = {
+    val iters = 2
+    val steps = (1 to iters).map(j =>
+      kmAsg(j, if (j == 1) "cents0" else s"cents${j - 1}") + kmUpdate(j)).mkString
+    embCtes("embeddings") +
+      """, cents0 AS (
+        |  SELECT vec_id AS cid, v AS cv FROM nrm WHERE vec_id % 97 = 0
+        |)""".stripMargin +
+      steps + kmAsg(iters + 1, s"cents$iters") +
+      s"""
+         |SELECT vec_id, cell, cos FROM asg${iters + 1} ORDER BY vec_id""".stripMargin
+  }
 
   private lazy val ivfCtes =
     """, cents AS (

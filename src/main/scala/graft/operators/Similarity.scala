@@ -63,6 +63,56 @@ object Similarity {
       .select(col("eid"), col("cid").as("cell"))
   }
 
+  /** Assign every vector to the nearest centroid of an EXPLICIT centroid
+    * relation (cid, cv) — broadcast centroids, rounded-cosine argmax with
+    * cid tie-break (same determinism contract as [[ivfAssign]]). Emits
+    * (vec_id, cell, cos).
+    */
+  def ivfAssignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val e = withNorm(dims(emb, "embedding"))
+      .select(col("vec_id").as("eid"), col("embedding").as("ev"), col("norm").as("en"))
+    val c = dims(cents, "cv").select(col("cid"), col("cv").as("qv"),
+      sqrt(expr("aggregate(cv, cast(0 as double), (s, x) -> s + x * x)")).as("qn"))
+    val scored = e.join(broadcast(c), lit(true))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+    val w = Window.partitionBy("eid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("eid").as("vec_id"), col("cid").as("cell"), col("cos"))
+  }
+
+  /** Spherical k-means (Lloyd) training of IVF centroids. Each iteration:
+    * (1) assign every vector by rounded cosine ([[ivfAssignTo]] contract);
+    * (2) new centroid = per-dim MEAN of its members, QUANTIZED to 4 decimals
+    * — the quantization makes each iteration a deterministic function of the
+    * assignment alone (invariant to float summation order across engines and
+    * partitionings), which is what lets the DuckDB oracle replay training
+    * exactly. Cells that lose all members are dropped (documented; faiss
+    * would re-split — irrelevant at the small k used for IVF).
+    *
+    * Scale shape: assignment is a broadcast-centroid scan (k ≲ thousands);
+    * the update is one partial-aggregable groupBy over (cell, dim) exploded
+    * rows. Train on a SAMPLE (the standard ~points-per-centroid budget —
+    * this relation IS the sample), then assign the full corpus once with
+    * [[ivfAssignTo]].
+    */
+  def kmeansCentroids(emb: DataFrame, seedPred: org.apache.spark.sql.Column,
+      iters: Int): DataFrame = {
+    val e = dims(emb, "embedding")
+    var cents = e.filter(seedPred)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+    for (_ <- 1 to iters) {
+      val asg = ivfAssignTo(emb, cents).select(col("vec_id"), col("cell"))
+      val cm = asg.join(e, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), (col("pos") + 1).as("dim"))
+        .agg(round(avg("v") + lit(1e-9), 4).as("mv"))
+      cents = cm.groupBy(col("cell").as("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)")
+          .as("cv"))
+    }
+    cents
+  }
+
   /** Top-n nearest centroid cells per vector (cell rank 1..n) — rank 1 is
     * the storage assignment, ranks ≤ nprobe are the query probe set.
     */

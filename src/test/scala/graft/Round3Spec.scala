@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.SeriesKernels
-import graft.operators.{ChangeDetect, Dedup, Select}
+import graft.operators.{ChangeDetect, Dedup, Select, Similarity}
 
 /** Round-3 fixes: bounded-driver-memory MST filtering for clusterDendro,
   * non-vacuous tibble_prune semantics, and pattern grouping on arbitrary
@@ -93,6 +93,29 @@ class Round3Spec extends AnyFunSuite {
       Dedup.components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
         .toDF("id1", "id2"), maxIter = 1)
     }
+  }
+
+  test("kmeansCentroids: quantized Lloyd on separable blobs recovers the blob structure") {
+    // 3 well-separated cone-shaped blobs in 64-dim; one seed lands in each
+    val vecs = (0 until 30).map { i =>
+      val blob = i % 3
+      val v = Array.tabulate(64) { d =>
+        (if (d == blob * 20) 10.0 else 0.0) +
+          0.3 * math.sin(i * 7.0 + d * 1.3) // deterministic jitter
+      }
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, col("vec_id") < 3, iters = 3)
+    assert(cents.count() == 3, "a blob seed collapsed")
+    val asg = Similarity.ivfAssignTo(emb, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member of a blob must share its blob-mates' cell
+    for (b <- 0 until 3) {
+      val cells = (0 until 30).filter(_ % 3 == b).map(i => asg(i.toLong)).distinct
+      assert(cells.size == 1, s"blob $b split across cells $cells")
+    }
+    assert(asg.values.toSet.size == 3, "blobs merged into one cell")
   }
 
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
