@@ -53,6 +53,66 @@ object StreamingRollup {
     turns.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
+  final case class BaytsObs(conv_id: String, idx: Int, va: Double, vb: Double)
+  final case class BaytsState(lastIdx: Int, prevP: Double, flagged: Boolean,
+      pchange: Double, confirmed: Int)
+  final case class BaytsUpdate(conv_id: String, change_idx: Int, changed: Boolean)
+
+  /** ONLINE bayts change detection — the batch kernel
+    * ([[graft.operators.ChangeDetect.bayts]]) is a sequential per-conv scan,
+    * which is exactly the flatMapGroupsWithState primitive, so the streaming
+    * form carries the same state the C loop keeps (bayts_fns.cpp:245-290:
+    * flagged / pchange / last index / previous fused probability) and emits
+    * the current verdict per conv on every batch. Grid slots with no
+    * observation step the machine with NaN (identical to the batch dense
+    * array); observations at or below the last processed index are dropped
+    * (at-least-once redelivery guard). Once confirmed, the verdict is frozen
+    * — as the batch kernel returns at first confirmation. State is O(1) per
+    * conversation.
+    */
+  def baytsOnline(spark: SparkSession, obs: Dataset[BaytsObs],
+      stats: Array[(Double, Double, Double, Double)],
+      threshold: Double = 0.5, chi: Double = 0.9): Dataset[BaytsUpdate] = {
+    import spark.implicits._
+    import graft.functions.SeriesKernels
+    val meanF = stats.map(_._1); val sdF = stats.map(_._2)
+    val meanNF = stats.map(_._3); val sdNF = stats.map(_._4)
+    def step(st: BaytsState, t: Int, p: Double): BaytsState = {
+      if (st.confirmed >= 0) return st
+      if (t == 0) return BaytsState(0, p, st.flagged, st.pchange, -1)
+      var flagged = st.flagged
+      var pchange = st.pchange
+      if (!flagged) {
+        if (p > threshold) {
+          pchange = SeriesKernels.pbayes(st.prevP, p); flagged = true
+        }
+      } else {
+        pchange = SeriesKernels.pbayes(pchange, p)
+        if (pchange < 0.5) { flagged = false; pchange = Double.NaN }
+      }
+      val confirmed = if (flagged && pchange >= chi && p >= 0.5) t else -1
+      BaytsState(t, p, flagged, pchange, confirmed)
+    }
+    obs.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[BaytsState, BaytsUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (conv: String, it: Iterator[BaytsObs], state: GroupState[BaytsState]) =>
+          var st = state.getOption.getOrElse(
+            BaytsState(-1, Double.NaN, flagged = false, Double.NaN, -1))
+          it.toArray.sortBy(_.idx).foreach { o =>
+            if (st.confirmed < 0 && o.idx > st.lastIdx) {
+              val p = SeriesKernels.baytsNf(
+                Array(Array(o.va), Array(o.vb)), meanF, sdF, meanNF, sdNF)(0)
+              var j = st.lastIdx + 1
+              while (j < o.idx) { st = step(st, j, Double.NaN); j += 1 }
+              st = step(st, o.idx, p)
+            }
+          }
+          state.update(st)
+          Iterator.single(BaytsUpdate(conv, st.confirmed, st.confirmed >= 0))
+      }
+  }
+
   final case class ConvState(nTurns: Long, lastLen: Double, maxGapSec: Long,
       lastTsMs: Long)
   final case class ConvUpdate(conv_id: String, n_turns: Long, last_len: Double,

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.model.{Tier, Turn}
-import graft.operators.Regularize
+import graft.operators.{ChangeDetect, Regularize}
 import graft.streaming.StreamingRollup
 
 /** Streaming ≡ batch: the incremental 1m rollup over a stream (including a
@@ -96,6 +96,43 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       // batch1 emit: 2 turns, max gap 100; batch2 emit: 3 turns, gap 300
       assert(rows == Seq((2L, 100L), (3L, 300L)))
+    } finally q.stop()
+  }
+
+  test("online bayts stream == batch kernel (incl. gap slots and mid-series split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stats = Array((130.0, 40.0, 210.0, 40.0), (0.2, 0.2, 0.8, 0.2))
+    // conv "chg": forest-like regime then a change at idx 5; idx 7 missing
+    // (NaN step). conv "no": stable regime throughout.
+    def obs(c: String, i: Int, va: Double, vb: Double) =
+      StreamingRollup.BaytsObs(c, i, va, vb)
+    val series = (0 to 9).filter(_ != 7).map { i =>
+      obs("chg", i, if (i < 5) 130.0 else 210.0, if (i < 5) 0.2 else 0.8)
+    } ++ (0 to 9).map(i => obs("no", i, 131.0, 0.21))
+    val (b1, b2) = series.partition(_.idx < 6) // split mid-detection-run
+
+    val mem = MemoryStream[StreamingRollup.BaytsObs]
+    val q = StreamingRollup.baytsOnline(spark, mem.toDS(), stats)
+      .writeStream.format("memory").queryName("bayts_live")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // last emitted verdict per conv (memory sink accumulates per-batch rows)
+      val streamed = spark.sql("SELECT conv_id, change_idx, changed FROM bayts_live")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+        .zipWithIndex.groupBy(_._1._1).map { case (c, rs) => c -> rs.maxBy(_._2)._1 }
+      val a = series.map(o => (o.conv_id, o.idx, o.va)).toDF("conv_id", "idx", "value")
+      val b = series.map(o => (o.conv_id, o.idx, o.vb)).toDF("conv_id", "idx", "value")
+      val batch = ChangeDetect.bayts(spark, a, b, stats)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+        .map(t => t._1 -> t).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (c, v) => assert(v == batch(c), s"conv $c") }
+      // the changed conv must actually confirm
+      assert(streamed("chg")._3, "change not confirmed")
+      assert(!streamed("no")._3, "false positive on stable conv")
     } finally q.stop()
   }
 }
