@@ -29,59 +29,81 @@ import org.apache.spark.sql.functions._
   */
 object KernelWindows {
 
-  /** grid (conv_id, bucket_ts, value non-null) → per-point window stats. */
+  /** grid (conv_id, bucket_ts, value non-null) → per-point window stats.
+    *
+    * Execution: TYPED primitive-array kernel (one groupByKey shuffle, same
+    * topology as the former groupBy+collect_list). The per-point window
+    * math ran as array-expression HOF lambdas (`transform`/`aggregate`)
+    * through round 2 — those lambdas are INTERPRETED per element, which made
+    * this the hot spot of the bench; the kernel keeps every float operation
+    * in the same order (sequential window-order folds for s1/s2, ascending
+    * sort for median/modal, strict-> first-longest-run modal, mirrored-and-
+    * clamped edge indices), so outputs are bit-identical to the expression
+    * path and the DuckDB oracles are unchanged. Rounding stays at the
+    * DataFrame boundary (same round(+1e-9, 4) columns as before).
+    */
   def apply(grid: DataFrame, k: Int): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
     val m = 2 * k + 1
     val r4 = (c: org.apache.spark.sql.Column) => round(c + lit(1e-9), 4)
-    // first-longest-run over the ascending sorted window = modal value with
-    // smallest-value tie-break (strict > keeps the earliest maximal run)
-    // the reflected index is clamped to [0, n-1] exactly like
-    // SeriesKernels.mirror — for n ≤ k a single reflection still lands
-    // out of range (e.g. n=1, j=-2 → reflect 1 ≥ n) and unclamped
-    // element_at would throw under ANSI mode
-    val perPoint =
-      s"""transform(sequence(0, n - 1), pos -> named_struct(
-         |  'bucket_ts', element_at(ts, pos + 1),
-         |  'win', transform(sequence(-$k, $k), j -> element_at(vals,
-         |    greatest(0, least(n - 1,
-         |      CASE WHEN pos + j < 0 THEN -(pos + j) - 1
-         |           WHEN pos + j >= n THEN 2*n - (pos + j) - 1
-         |           ELSE pos + j END)) + 1))))""".stripMargin
-    val modal =
-      """aggregate(array_sort(win),
-        |  named_struct('best', cast(null as double), 'bc', 0,
-        |               'cur', cast(null as double), 'cc', 0),
-        |  (s, x) -> CASE WHEN s.cur IS NOT NULL AND x = s.cur THEN
-        |      named_struct('best', IF(s.cc + 1 > s.bc, x, s.best),
-        |                   'bc', IF(s.cc + 1 > s.bc, s.cc + 1, s.bc),
-        |                   'cur', x, 'cc', s.cc + 1)
-        |    ELSE
-        |      named_struct('best', IF(1 > s.bc, x, s.best),
-        |                   'bc', IF(1 > s.bc, 1, s.bc),
-        |                   'cur', x, 'cc', 1) END,
-        |  s -> s.best)""".stripMargin
-    grid
-      .groupBy("conv_id")
-      .agg(sort_array(collect_list(struct(col("bucket_ts"), col("value")))).as("pts"))
-      .select(col("conv_id"),
-        expr("transform(pts, p -> p.bucket_ts)").as("ts"),
-        expr("transform(pts, p -> cast(p.value as double))").as("vals"))
-      .withColumn("n", size(col("vals")))
-      .select(col("conv_id"), explode(expr(perPoint)).as("pt"))
-      .select(col("conv_id"), col("pt.bucket_ts").as("bucket_ts"),
-        col("pt.win").as("win"))
-      .withColumn("s1", expr("aggregate(win, cast(0 as double), (a, x) -> a + x)"))
-      .withColumn("s2", expr("aggregate(win, cast(0 as double), (a, x) -> a + x * x)"))
-      .select(
-        col("conv_id"), col("bucket_ts"),
-        r4(col("s1")).as("w_sum"),
-        r4(col("s1") / lit(m)).as("w_mean"),
-        expr(s"element_at(array_sort(win), ${k + 1})").as("w_median"),
-        array_min(col("win")).as("w_min"),
-        array_max(col("win")).as("w_max"),
-        r4(sqrt(greatest(lit(0.0),
-          (col("s2") - col("s1") * col("s1") / lit(m)) / lit(m - 1)))).as("w_sd"),
-        r4((col("s2") - col("s1") * col("s1") / lit(m)) / lit(m - 1)).as("w_var"),
-        expr(modal).as("w_modal"))
+    val raw = grid
+      .select(col("conv_id"), unix_millis(col("bucket_ts")).as("t"),
+        col("value").cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        // (t, v) sort matches the former sort_array over struct(ts, value)
+        val pts = it.toArray.sortBy(p => (p._2, p._3))
+        val n = pts.length
+        val vals = new Array[Double](n)
+        var i = 0
+        while (i < n) { vals(i) = pts(i)._3; i += 1 }
+        val win = new Array[Double](m)
+        val sortedWin = new Array[Double](m)
+        Iterator.tabulate(n) { pos =>
+          var s1 = 0.0
+          var s2 = 0.0
+          var j = -k
+          var idx = 0
+          while (j <= k) {
+            val p = pos + j
+            // locus_mirror with the [0, n-1] clamp (kernel.cpp:8-19; for
+            // n ≤ k a single reflection can still land out of range)
+            val q = if (p < 0) -p - 1 else if (p >= n) 2 * n - p - 1 else p
+            val x = vals(math.min(math.max(q, 0), n - 1))
+            win(idx) = x
+            s1 += x
+            s2 += x * x
+            idx += 1
+            j += 1
+          }
+          System.arraycopy(win, 0, sortedWin, 0, m)
+          java.util.Arrays.sort(sortedWin)
+          // first longest run over the ascending sort = modal with
+          // smallest-value tie-break (strict > keeps the earliest max run)
+          var best = sortedWin(0); var bc = 1
+          var cur = sortedWin(0); var cc = 1
+          var s = 1
+          while (s < m) {
+            if (sortedWin(s) == cur) cc += 1
+            else { cur = sortedWin(s); cc = 1 }
+            if (cc > bc) { bc = cc; best = cur }
+            s += 1
+          }
+          (conv, pts(pos)._2, s1, s2, sortedWin(k), sortedWin(0),
+            sortedWin(m - 1), best)
+        }
+      }
+      .toDF("conv_id", "t", "s1", "s2", "w_median", "w_min", "w_max", "w_modal")
+    raw.select(
+      col("conv_id"), timestamp_millis(col("t")).as("bucket_ts"),
+      r4(col("s1")).as("w_sum"),
+      r4(col("s1") / lit(m)).as("w_mean"),
+      col("w_median"), col("w_min"), col("w_max"),
+      r4(sqrt(greatest(lit(0.0),
+        (col("s2") - col("s1") * col("s1") / lit(m)) / lit(m - 1)))).as("w_sd"),
+      r4((col("s2") - col("s1") * col("s1") / lit(m)) / lit(m - 1)).as("w_var"),
+      col("w_modal"))
   }
 }
