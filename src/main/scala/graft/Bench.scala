@@ -35,7 +35,12 @@ object Bench {
     // round-over-round diffs at single-shot timing; min of two runs is the
     // standard low-variance estimator for a cold-cache-free workload
     val spreads = scala.collection.mutable.ArrayBuffer[Double]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to named queries (dev loop)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.map(o => SparkEntry.queries.filter(kv => o(kv._1)))
+      .getOrElse(SparkEntry.queries)
+    val results = selected.map { case (name, fn) =>
       val t1 = runOnce(name, fn)
       val t2 = if (t1 < 0) t1 else runOnce(name, fn)
       val best = math.min(t1, t2)

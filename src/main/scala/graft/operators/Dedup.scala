@@ -80,8 +80,13 @@ object Dedup {
     * keeps.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("x"), col("id2").as("y"))
-      .union(pairs.select(col("id2").as("x"), col("id1").as("y")))
+    // one-pass symmetrization: a union of two selects would evaluate the
+    // (possibly expensive — LSH) pair-producing subtree twice; explode reads
+    // it once
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("x"), col("id2").as("y")),
+        struct(col("id2").as("x"), col("id1").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct().persist()
     var labels = edges.select(col("x").as("node")).distinct()
       .withColumn("comp", col("node")).persist()
@@ -94,15 +99,20 @@ object Dedup {
           .withColumnRenamed("comp", "ycomp"), "y")
         .groupBy(col("x").as("node"))
         .agg(min("ycomp").as("nbrmin"))
+      // changed-count rides ON the materialization job (Observation API) —
+      // labels only ever decrease, so changed == 0 ⇔ fixpoint; one Spark
+      // job per round instead of materialize + a separate compare join
+      val obs = org.apache.spark.sql.Observation(s"cc-round-$it")
       val next = labels
         .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbrmin"), col("comp"))).as("comp"))
+        .observe(obs,
+          sum(when(col("old") =!= col("comp"), 1L).otherwise(0L)).as("changed"))
+        .select("node", "comp")
         .persist()
       next.count() // materialize before dropping the parent cache
-      done = next.withColumnRenamed("comp", "newc")
-        .join(labels, "node")
-        .filter(col("newc") =!= col("comp")).isEmpty
+      done = obs.get("changed").asInstanceOf[Long] == 0L
       labels.unpersist()
       labels = next
       it += 1
