@@ -33,19 +33,65 @@ object Dedup {
   /** Per-doc MinHash signature over distinct word 3-shingles:
     * mh_j = min over shingles of md5(j || '|' || shingle), j < numHashes.
     * Returns (doc_id, mh: array<string>). Docs with <3 tokens get no rows.
+    *
+    * TYPED kernel (round 3): the expression form ran numHashes × |shingles|
+    * md5 calls through INTERPRETED HOF lambdas — the dominant cost of every
+    * LSH-based bench query. The kernel computes the identical hex digests
+    * (MessageDigest MD5 over the same UTF-8 strings, lowercase hex; Java
+    * String '<' on ASCII hex ≡ UTF8String binary min) per partition with one
+    * reused digest instance, so outputs — and the DuckDB oracles — are
+    * byte-identical. Embarrassingly parallel, no shuffle.
     */
-  def minhashSignature(docs: DataFrame, numHashes: Int): DataFrame =
-    docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
-          |  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
-          |            element_at(toks, i + 3))))""".stripMargin))
-      .withColumn("mh", expr(
-        s"""transform(sequence(0, ${numHashes - 1}), j ->
-           |  array_min(transform(sh, s -> md5(concat(cast(j as string), '|', s)))))""".stripMargin))
-      .select(col("doc_id"), col("mh"))
+  def minhashSignature(docs: DataFrame, numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def md5hex(s: String): String = {
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hex((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hex(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.flatMap { case (id, text) =>
+          // split(" ", -1) keeps trailing empties — same as Spark's split
+          val toks = text.split(" ", -1)
+          if (toks.length < 3) Iterator.empty
+          else {
+            // array_distinct semantics: first-occurrence order (order is
+            // irrelevant downstream — min / set ops — but kept faithful)
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + 2 < toks.length) {
+              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+              i += 1
+            }
+            val sh = seen.toArray(new Array[String](0))
+            val mh = Array.tabulate(numHashes) { j =>
+              val prefix = j.toString + "|"
+              var best: String = null
+              var s = 0
+              while (s < sh.length) {
+                val h = md5hex(prefix + sh(s))
+                if (best == null || h.compareTo(best) < 0) best = h
+                s += 1
+              }
+              best
+            }
+            Iterator.single((id, mh))
+          }
+        }
+      }
+      .toDF("doc_id", "mh")
+  }
 
   /** LSH candidate pairs: band key = concat of `rowsPerBand` consecutive
     * minhashes; docs sharing any band key become a candidate pair.
