@@ -145,16 +145,17 @@ object SparkEntry {
     // pins z without DuckDB having to solve the pentadiagonal system. The
     // smoothed VALUES are covered by the dense-solve ScalaTest oracle.
     "ts_whittaker" -> ((s, dir) => {
-      val g = day1(s, dir)
       val lambda = 2.0
-      val resid = Smooth.perSeries(s, g) { vs =>
+      // ONE group pass emits both y (the grid value, oracle-recomputable)
+      // and the optimality residual — no second grid derivation, no join
+      Smooth.perSeries2(s, day1(s, dir), ("value", "resid")) { vs =>
         val z = graft.functions.SeriesKernels.whittaker(vs, lambda)
         val n = vs.length
         val d = Array.tabulate(math.max(n - 2, 0))(j => z(j) - 2 * z(j + 1) + z(j + 2))
         def dd(j: Int) = if (j >= 0 && j < d.length) d(j) else 0.0
-        Array.tabulate(n)(i => vs(i) - z(i) - lambda * (dd(i - 2) - 2 * dd(i - 1) + dd(i)))
-      }.withColumnRenamed("value", "resid")
-      g.join(resid, Seq("conv_id", "bucket_ts"))
+        (vs, Array.tabulate(n)(i =>
+          vs(i) - z(i) - lambda * (dd(i - 2) - 2 * dd(i - 1) + dd(i))))
+      }
         .select(col("conv_id"), col("bucket_ts"), col("value"),
           round(col("resid") + lit(1e-9), 4).as("resid"))
         .orderBy("conv_id", "bucket_ts")

@@ -39,6 +39,34 @@ object Smooth {
       .select(col("conv_id"), timestamp_millis(col("t")).as("bucket_ts"), col("value"))
   }
 
+  /** [[perSeries]] variant emitting TWO derived series from one group pass
+    * (e.g. a value and its certificate/residual) — saves re-deriving the
+    * grid and a join when a query needs both.
+    */
+  def perSeries2(spark: SparkSession, grid: DataFrame, names: (String, String))(
+      f: Array[Double] => (Array[Double], Array[Double])): DataFrame = {
+    import spark.implicits._
+    grid.select(col("conv_id"), unix_millis(col("bucket_ts")).as("t"),
+        col("value").cast("double").as("v"))
+      .as[(String, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val pts = it.toArray
+        scala.util.Sorting.stableSort(pts, (a: (String, Long, Option[Double]),
+            b: (String, Long, Option[Double])) => a._2 < b._2)
+        val vs = pts.map(_._3.getOrElse(Double.NaN))
+        val (o1, o2) = f(vs)
+        Iterator.tabulate(pts.length) { i =>
+          (conv, pts(i)._2,
+            if (o1(i).isNaN) None else Some(o1(i)),
+            if (o2(i).isNaN) None else Some(o2(i)))
+        }
+      }
+      .toDF("conv_id", "t", names._1, names._2)
+      .select(col("conv_id"), timestamp_millis(col("t")).as("bucket_ts"),
+        col(names._1), col(names._2))
+  }
+
   /** Whittaker 2nd-difference penalized smoother, λ as in
     * sits_filters.R:70-87 (default 0.5).
     */
