@@ -91,4 +91,22 @@ class PlanSpec extends AnyFunSuite {
       l.contains("HashAggregate") && l.contains("functions=[sum(n#")).getOrElse("")
     assert(!finalAgg.contains("__salt"), s"salt leaked into final keys: $finalAgg")
   }
+
+  test("LSH band self-join is an equi-join on the band key, never a cross join") {
+    val p = graft.operators.Dedup.minhashPairs(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cross join in LSH band join:\n$p")
+    assert(p.contains("band_key"), "band key missing from join")
+  }
+
+  test("k-means / IVF centroid scoring broadcasts the centroid side") {
+    val p = plan("ann_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "centroid scoring fell back to a cartesian product")
+    assert(!p.contains("SortMergeJoin"),
+      "centroid scoring shuffled both sides")
+  }
 }
