@@ -599,6 +599,24 @@ object SparkEntry {
     // whitespace + BPE-ish regex token counts
     "txt_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCountsRegex(documents(s, dir)).orderBy("doc_id")),
+    // PII triage counts over a deterministically PII-planted corpus (the
+    // raw corpus contains none — planting keeps the query non-vacuous; the
+    // oracle mirrors the planting)
+    "txt_pii" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          lit(" contact bob@example.com now")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" see https://example.org/p/1 and http://ex.net/q")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0,
+          lit(" call +14155551234")).otherwise(lit(""))).as("text"))
+      TextAnalysis.piiCounts(planted).orderBy("doc_id")
+    }),
+    // char-trigram LM quality score, self-scored against the corpus
+    "txt_lm" -> ((s, dir) =>
+      TextAnalysis.lmScore(documents(s, dir).select("doc_id", "text"))
+        .orderBy("doc_id")),
     // multimodal: binary payload + batched (stub) decode via mapPartitions —
     // the oracle recomputes the deterministic fake features from the text,
     // proving the binary plumbing end-to-end
@@ -2044,6 +2062,41 @@ private object Oracles {
           |  len(string_split(text, ' ')) AS n_words,
           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
           |FROM documents ORDER BY doc_id""".stripMargin),
+    "txt_pii" ->
+      ("""WITH pii AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 13 = 0 THEN ' contact bob@example.com now' ELSE '' END ||
+          |    CASE WHEN doc_id % 17 = 0 THEN ' see https://example.org/p/1 and http://ex.net/q' ELSE '' END ||
+          |    CASE WHEN doc_id % 19 = 0 THEN ' call +14155551234' ELSE '' END AS text
+          |  FROM documents
+          |), cnts AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          |    len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+')) AS n_url,
+          |    len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS n_phone
+          |  FROM pii
+          |)
+          |SELECT doc_id, n_email, n_url, n_phone,
+          |       n_email + n_url + n_phone > 0 AS has_pii
+          |FROM cnts ORDER BY doc_id""".stripMargin),
+    // self-scored trigram LM: every doc trigram is in the corpus vocabulary
+    // by construction, so the join is total; quantized logprobs make the
+    // mean order-invariant
+    "txt_lm" ->
+      ("""WITH tris AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(generate_series(1, length(text) - 2),
+          |                          i -> substring(text, i, 3))) AS tri
+          |  FROM documents
+          |), tot AS (
+          |  SELECT cast(sum(greatest(length(text) - 2, 0)) AS double) AS t FROM documents
+          |), lp AS (
+          |  SELECT tri, round(ln(cast(count(*) AS double) / (SELECT t FROM tot)) + 1e-9, 6) AS lp
+          |  FROM tris GROUP BY tri
+          |)
+          |SELECT doc_id, count(*) AS n_tri, round(avg(lp) + 1e-9, 4) AS lm_score
+          |FROM tris JOIN lp USING (tri)
+          |GROUP BY 1 ORDER BY doc_id""".stripMargin),
     "mm_features" ->
       // height derives from the FIRST UTF-8 BYTE of the payload (the Spark
       // stub reads bytes(0) & 0xff) — ascii() would give the first CODEPOINT

@@ -83,6 +83,72 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
 
+  /** PII pattern counting — the filtering/redaction triage stage of a
+    * pretraining pipeline: per-doc counts of email / URL / international
+    * phone matches plus a has_pii flag. Patterns are kept to constructs
+    * with identical semantics in Java regex and RE2 (character classes,
+    * bounded repetition, no backreferences), so the DuckDB oracle counts
+    * the same matches. Shuffle-free expressions.
+    */
+  def piiCounts(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[A-Za-z0-9./_-]+"
+    val phone = "\\+[0-9]{7,15}"
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_email"),
+      regexp_count(col("text"), lit(url)).as("n_url"),
+      regexp_count(col("text"), lit(phone)).as("n_phone"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_url") + col("n_phone") > 0)
+  }
+
+  /** Corpus-relative char-trigram language-model score — the KenLM-style
+    * quality-filter baseline, fully relational: (1) corpus pass counts every
+    * character trigram (vocabulary is charset³-bounded → broadcastable at
+    * any corpus size; counts are partial-aggregated map-side); (2) scoring
+    * pass averages each doc's per-trigram log-probabilities. Per-trigram
+    * logprob is rounded to 6 decimals and the per-doc mean to 4 — the same
+    * quantization contract as the k-means trainer, making the result
+    * invariant to float summation order (ln() itself differs ≤1 ulp across
+    * engines, absorbed by the rounding). Trigrams are CODEPOINT-based
+    * (matches Spark/DuckDB substring semantics beyond the BMP). Docs
+    * shorter than 3 codepoints get no row. Unseen trigrams (scoring against
+    * a foreign corpus) take the floor log(0.5/total).
+    */
+  def lmScore(docs: DataFrame, corpus: DataFrame = null): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def tris(d: DataFrame): DataFrame =
+      d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else {
+            val cps = t.codePoints().toArray
+            if (cps.length < 3) Iterator.empty
+            else Iterator.tabulate(cps.length - 2)(i =>
+              (id, new String(cps, i, 3)))
+          }
+        }.toDF("doc_id", "tri")
+    val corp = if (corpus == null) docs else corpus
+    // total trigram count = Σ max(len−2, 0) — a one-scalar job straight off
+    // the text lengths (codepoints in both engines), so the trigram-count
+    // relation is built exactly once, inside the returned plan (no cache
+    // handle escapes)
+    val total = corp.select(
+      sum(greatest(length(col("text")) - 2, lit(0)))).head.getLong(0)
+    val lp = tris(corp).groupBy("tri").agg(count(lit(1)).as("cnt"))
+      .select(col("tri"),
+        round(log(col("cnt").cast("double") / lit(total.toDouble)) + lit(1e-9), 6)
+          .as("lp"))
+    val floorLp = BigDecimal(math.log(0.5 / total.toDouble) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    tris(docs).join(broadcast(lp), Seq("tri"), "left")
+      .select(col("doc_id"), coalesce(col("lp"), lit(floorLp)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        round(avg("lp") + lit(1e-9), 4).as("lm_score"))
+  }
+
   /** Token counting by regex classes (the BPE-ish pre-tokenizer pattern:
     * letter runs, digit runs, single punctuation) alongside plain
     * whitespace tokens. Non-overlapping left-to-right match counts are
