@@ -617,6 +617,14 @@ object SparkEntry {
     "txt_lm" -> ((s, dir) =>
       TextAnalysis.lmScore(documents(s, dir).select("doc_id", "text"))
         .orderBy("doc_id")),
+    // top-50 vocabulary (tokenizer prep): count desc, word tie-break
+    "txt_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // top-k search ON the int8-quantized vectors: integer dot products,
+    // bit-exact ranking across engines
+    "ann_quant_topk" -> ((s, dir) =>
+      Similarity.quantTopK(embeddings(s, dir), col("vec_id") % 50 === 0, k = 5)
+        .orderBy("qid", "rn")),
     // multimodal: binary payload + batched (stub) decode via mapPartitions —
     // the oracle recomputes the deterministic fake features from the text,
     // proving the binary plumbing end-to-end
@@ -1963,6 +1971,41 @@ private object Oracles {
           |  list_min(qvec) AS q_min, list_max(qvec) AS q_max,
           |  len(list_filter(qvec, x -> abs(x) = 127)) AS n_sat
           |FROM q ORDER BY vec_id""".stripMargin),
+    // integer-arithmetic replay of the quantized search: LONG dot/norm sums
+    // (order-free), cosine derived from the exact integers
+    "ann_quant_topk" ->
+      ("""WITH e AS (
+          |  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+          |), sc AS (
+          |  SELECT vec_id, v,
+          |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) / 127.0 AS scale
+          |  FROM e
+          |), q AS (
+          |  SELECT vec_id, list_transform(v, x -> cast(round(x / scale) AS int)) AS qvec
+          |  FROM sc
+          |), qq AS (
+          |  SELECT vec_id, qvec,
+          |    sqrt(cast(CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS double)) AS qn
+          |  FROM q
+          |), qs AS (
+          |  SELECT vec_id AS qid, qvec AS qv, qn AS qa FROM qq WHERE vec_id % 50 = 0
+          |), sc2 AS (
+          |  SELECT qs.qid, c.vec_id AS eid,
+          |    round(cast(CAST(list_sum(list_transform(generate_series(1, 64),
+          |            i -> CAST(qs.qv[i] AS BIGINT) * c.qvec[i])) AS BIGINT) AS double)
+          |          / (qs.qa * c.qn) + 1e-9, 6) AS qcos
+          |  FROM qs CROSS JOIN qq c WHERE qs.qid != c.vec_id
+          |)
+          |SELECT qid, eid, qcos, rn FROM (
+          |  SELECT qid, eid, qcos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, eid) AS rn
+          |  FROM sc2)
+          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "txt_vocab" ->
+      ("""SELECT word, count(*) AS cnt FROM (
+          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |WHERE word != '' GROUP BY 1
+          |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
     "dd_embed_cosine" ->
       ("""WITH emb2 AS (
           |  SELECT vec_id, embedding FROM embeddings

@@ -174,6 +174,32 @@ object Similarity {
         array_min(col("qvec")).as("q_min"), array_max(col("qvec")).as("q_max"),
         expr("size(filter(qvec, x -> abs(x) = 127))").as("n_sat"))
 
+  /** Brute-force cosine top-k on the int8-QUANTIZED vectors — the search
+    * half of the quantized storage path ([[quantizeInt8]]). Dot products
+    * and norms accumulate in LONG integer arithmetic (order-free and
+    * bit-exact across engines — no float accumulation anywhere), so the
+    * ranking is deterministic to the last ulp; the cosine is derived from
+    * the exact integers at the end. Same small-query-side contract as
+    * [[bruteTopK]]; the IVF variants compose the same way.
+    */
+  def quantTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val q8 = quantizeInt8(emb).select(col("vec_id"), col("qvec"),
+      sqrt(expr("aggregate(qvec, 0L, (s, x) -> s + CAST(x AS LONG) * x)")
+        .cast("double")).as("qn"))
+    val q = q8.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("qvec").as("qv"), col("qn").as("qa"))
+    val c = q8.select(col("vec_id").as("eid"), col("qvec").as("ev"), col("qn").as("qb"))
+    val idot =
+      "aggregate(zip_with(qv, ev, (x, y) -> CAST(x AS LONG) * y), 0L, (s, x) -> s + x)"
+    val scored = broadcast(q).join(c, col("qid") =!= col("eid"))
+      .withColumn("qcos",
+        round(expr(idot).cast("double") / (col("qa") * col("qb")) + lit(1e-9), 6))
+    val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("eid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("eid"), col("qcos"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs inside IVF cells (cell equi-join,
     * never a corpus cross join) above a threshold.
     */

@@ -149,6 +149,16 @@ object TextAnalysis {
         round(avg("lp") + lit(1e-9), 4).as("lm_score"))
   }
 
+  /** Top-k vocabulary extraction (tokenizer-training prep): corpus word
+    * counts with a deterministic (count desc, word) order. Plans as partial
+    * agg + TakeOrderedAndProject — never a global sort of the vocabulary.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+
   /** Token counting by regex classes (the BPE-ish pre-tokenizer pattern:
     * letter runs, digit runs, single punctuation) alongside plain
     * whitespace tokens. Non-overlapping left-to-right match counts are
