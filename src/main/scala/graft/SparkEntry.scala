@@ -625,6 +625,17 @@ object SparkEntry {
     "ann_quant_topk" -> ((s, dir) =>
       Similarity.quantTopK(embeddings(s, dir), col("vec_id") % 50 === 0, k = 5)
         .orderBy("qid", "rn")),
+    // product quantization end-to-end (train m=4 subspace codebooks with
+    // quantized Lloyd, encode the corpus to m code ids, ADC top-k search);
+    // the oracle replays all of it via unrolled CTE stages
+    "ann_pq" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = Similarity.pqTrain(emb, m = 4, d = 16,
+        col("vec_id") % 97 === 0, iters = 2)
+      val codes = Similarity.pqEncode(emb, cents, m = 4, d = 16)
+      Similarity.pqSearch(emb, cents, codes, col("vec_id") % 50 === 0,
+        m = 4, d = 16, k = 5).orderBy("qid", "rn")
+    }),
     // multimodal: binary payload + batched (stub) decode via mapPartitions —
     // the oracle recomputes the deterministic fake features from the text,
     // proving the binary plumbing end-to-end
@@ -1913,6 +1924,8 @@ private object Oracles {
           |  FROM sc) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     // exact replay of quantized-Lloyd training + final assignment
     "ann_kmeans" -> kmeansSql,
+    // full PQ replay: per-subspace Lloyd, encode, ADC search
+    "ann_pq" -> pqSql,
     "ann_ivf" ->
       (embCtes("embeddings") + ivfCtes +
         """, q AS (
@@ -2293,6 +2306,58 @@ private object Oracles {
       steps + kmAsg(iters + 1, s"cents$iters") +
       s"""
          |SELECT vec_id, cell, cos FROM asg${iters + 1} ORDER BY vec_id""".stripMargin
+  }
+
+  // PQ oracle: unrolled quantized-Lloyd per subspace + encode + ADC search.
+  // Same engine-replay contract as kmeansSql: every distance is rounded to
+  // 6 decimals before argmin, every centroid mean to 4 before reuse.
+  private def pqL2(a: String, c: String): String =
+    s"round(list_sum(list_transform(generate_series(1, 16), i -> " +
+      s"($a.sv[i] - $c.cv[i]) * ($a.sv[i] - $c.cv[i]))) + 1e-9, 6)"
+  private def pqAsgCte(j: Int, centsRel: String): String =
+    s""", pasg$j AS (
+       |  SELECT vec_id, sub, cell, sv FROM (
+       |    SELECT a.vec_id, a.sub, c.cid AS cell, a.sv,
+       |      row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                         ORDER BY ${pqL2("a", "c")}, c.cid) AS rn
+       |    FROM subs a JOIN $centsRel c ON a.sub = c.sub) WHERE rn = 1
+       |)""".stripMargin
+  private def pqUpdCte(j: Int): String =
+    s""", pcm$j AS (
+       |  SELECT a.sub, a.cell, d.i AS dim, round(avg(a.sv[d.i]) + 1e-9, 4) AS mv
+       |  FROM pasg$j a CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) d
+       |  GROUP BY 1, 2, 3
+       |), pcents$j AS (
+       |  SELECT sub, cell AS cid, list(mv ORDER BY dim) AS cv FROM pcm$j GROUP BY 1, 2
+       |)""".stripMargin
+  private lazy val pqSql: String = {
+    val iters = 2
+    val steps = (1 to iters).map(j =>
+      pqAsgCte(j, if (j == 1) "pcents0" else s"pcents${j - 1}") + pqUpdCte(j)).mkString
+    """WITH e AS (
+      |  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), subs AS (
+      |  SELECT vec_id, s.sub,
+      |         list_transform(generate_series(1, 16), i -> v[s.sub * 16 + i]) AS sv
+      |  FROM e, (SELECT unnest(generate_series(0, 3)) AS sub) s
+      |), pcents0 AS (
+      |  SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 97 = 0
+      |)""".stripMargin +
+      steps + pqAsgCte(iters + 1, s"pcents$iters") +
+      s""", lut AS (
+         |  SELECT a.vec_id AS qid, a.sub, c.cid, ${pqL2("a", "c")} AS dist
+         |  FROM subs a JOIN pcents$iters c ON a.sub = c.sub
+         |  WHERE a.vec_id % 50 = 0
+         |), adc AS (
+         |  SELECT l.qid, p.vec_id AS eid, round(sum(l.dist) + 1e-9, 4) AS adist
+         |  FROM pasg${iters + 1} p JOIN lut l ON l.sub = p.sub AND l.cid = p.cell
+         |  GROUP BY 1, 2
+         |)
+         |SELECT qid, eid, adist, rn FROM (
+         |  SELECT qid, eid, adist,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adist, eid) AS rn
+         |  FROM adc WHERE qid != eid)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
   private lazy val ivfCtes =

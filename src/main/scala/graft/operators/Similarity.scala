@@ -200,6 +200,93 @@ object Similarity {
       .select(col("qid"), col("eid"), col("qcos"), col("rn"))
   }
 
+  // ---- product quantization (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) — the canonical ANN
+  // compression at petabyte scale: split each vector into m subvectors,
+  // k-means a codebook per subspace, store only the m code ids per vector
+  // (64 dims × 4 B → m bytes), search by summing per-subspace
+  // query-to-centroid distances (ADC). All distances are rounded to 6
+  // decimals before any argmin/sum (the engine-replayable quantized
+  // contract used by kmeansCentroids). ----
+
+  /** Per-subspace rows: (vec_id, sub, sv) with sv = dims [sub·d+1, sub·d+d].
+    */
+  private def subVectors(emb: DataFrame, m: Int, d: Int): DataFrame =
+    dims(emb, "embedding").select(col("vec_id"),
+      explode(expr(s"transform(sequence(0, ${m - 1}), s ->" +
+        s" struct(s AS sub, slice(embedding, s * $d + 1, $d) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  private val l2 =
+    "aggregate(zip_with(qv, ev, (x, y) -> (x - y) * (x - y)), cast(0 as double), (s, x) -> s + x)"
+
+  /** Train all m subspace codebooks concurrently: quantized Lloyd with L2
+    * assignment per (vector, subspace) — one broadcast-join + one
+    * partial-agg groupBy per iteration for ALL subspaces. Returns
+    * (sub, cid, cv).
+    */
+  def pqTrain(emb: DataFrame, m: Int, d: Int,
+      seedPred: org.apache.spark.sql.Column, iters: Int): DataFrame = {
+    val subs = subVectors(emb, m, d)
+    var cents = subs.filter(seedPred)
+      .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val asg = pqAssign(subs, cents).select(col("vec_id"), col("sub"), col("cell"))
+      val cm = asg.join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cell"), (col("pos") + 1).as("dim"))
+        .agg(round(avg("v") + lit(1e-9), 4).as("mv"))
+      cents = cm.groupBy(col("sub"), col("cell").as("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)")
+          .as("cv"))
+    }
+    cents
+  }
+
+  /** Nearest codebook entry per (vector, subspace): rounded L2 argmin with
+    * cid tie-break. cents is tiny (m × k rows) → broadcast.
+    */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = subs.select(col("vec_id"), col("sub"), col("sv").as("ev"), col("sv"))
+      .join(broadcast(cents.select(col("sub"), col("cid"), col("cv").as("qv"))), Seq("sub"))
+      .withColumn("dist", round(expr(l2) + lit(1e-9), 6))
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("cell"), col("sv"))
+  }
+
+  /** PQ-encode the corpus: m code ids per vector (ordered by subspace). */
+  def pqEncode(emb: DataFrame, cents: DataFrame, m: Int, d: Int): DataFrame =
+    pqAssign(subVectors(emb, m, d), cents)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), s -> s.cell)")
+        .as("codes"))
+
+  /** Asymmetric-distance top-k: the query keeps full precision; each
+    * corpus vector is scored as the sum of its m per-subspace
+    * query-to-centroid distances (LUT equi-join on (sub, code) — the
+    * classic ADC shape; the LUT is queries × m × k rows, broadcastable).
+    * Returns (qid, eid, adist, rn).
+    */
+  def pqSearch(emb: DataFrame, cents: DataFrame, codes: DataFrame,
+      queryPred: org.apache.spark.sql.Column, m: Int, d: Int, k: Int): DataFrame = {
+    val lut = subVectors(dims(emb, "embedding").filter(queryPred), m, d)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("ev"))
+      .join(broadcast(cents.select(col("sub"), col("cid"), col("cv").as("qv"))), Seq("sub"))
+      .withColumn("dist", round(expr(l2) + lit(1e-9), 6))
+      .select(col("qid"), col("sub"), col("cid"), col("dist"))
+    val perSub = codes
+      .select(col("vec_id").as("eid"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+    val scored = perSub.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("qid"), col("eid"))
+      .agg(round(sum("dist") + lit(1e-9), 4).as("adist"))
+      .filter(col("qid") =!= col("eid"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("eid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("eid"), col("adist"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs inside IVF cells (cell equi-join,
     * never a corpus cross join) above a threshold.
     */

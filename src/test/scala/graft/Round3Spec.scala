@@ -118,6 +118,31 @@ class Round3Spec extends AnyFunSuite {
     assert(asg.values.toSet.size == 3, "blobs merged into one cell")
   }
 
+  test("product quantization: ADC nearest neighbor stays within the blob") {
+    val vecs = (0 until 30).map { i =>
+      val blob = i % 3
+      val v = Array.tabulate(64) { d =>
+        (if (d == blob * 20) 10.0 else 0.0) +
+          0.3 * math.sin(i * 7.0 + d * 1.3)
+      }
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.pqTrain(emb, m = 4, d = 16, col("vec_id") < 3, iters = 2)
+    assert(cents.groupBy("sub").count().collect().forall(_.getLong(1) == 3),
+      "a subspace codebook lost an entry")
+    val codes = Similarity.pqEncode(emb, cents, m = 4, d = 16)
+    assert(codes.count() == 30)
+    val res = Similarity.pqSearch(emb, cents, codes, col("vec_id") < 6,
+      m = 4, d = 16, k = 1).collect()
+    assert(res.length == 6)
+    res.foreach { r =>
+      val qid = r.getLong(0); val eid = r.getLong(1)
+      assert(qid % 3 == eid % 3,
+        s"ADC top-1 of $qid crossed blobs to $eid (adist ${r.getDouble(2)})")
+    }
+  }
+
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
     val n = 60
     val truth = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
