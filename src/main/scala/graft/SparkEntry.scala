@@ -539,6 +539,18 @@ object SparkEntry {
     "dd_components" -> ((s, dir) =>
       Dedup.components(Dedup.minhashPairs(docsPlanted(s, dir)))
         .orderBy("doc_id")),
+    // the full cleaning pipeline composed end-to-end: exact dedup (keep min
+    // doc per identical text) → near-dup components over the survivors →
+    // drop non-canonical members; output = the kept corpus ids
+    "dd_clean_corpus" -> ((s, dir) => {
+      val d = docsPlanted(s, dir)
+      val uniq = d.join(
+        Dedup.exact(d).select(col("keep_id").as("doc_id")), "doc_id")
+      val comp = Dedup.components(Dedup.minhashPairs(uniq))
+      uniq.join(comp.filter(!col("is_canonical")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // SimHash (32-bit, md5-parity votes) near-dup pairs, Hamming 0
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
@@ -1867,6 +1879,30 @@ private object Oracles {
           |)
           |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical, s.group_sz
           |FROM comp c JOIN csz s USING (component) ORDER BY doc_id""".stripMargin),
+    // exact-keep → LSH pairs over survivors → transitive closure → keep
+    // only component canonicals
+    "dd_clean_corpus" ->
+      (plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, uniq AS (
+          |  SELECT d.doc_id, d.text FROM docs d
+          |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM docs GROUP BY 1) k
+          |    ON d.doc_id = k.keep
+          |)""".stripMargin +
+        shingleCtes.replace("FROM docs", "FROM uniq") + bandCtes +
+        """, esym AS (
+          |  SELECT id1 AS x, id2 AS y FROM pairs
+          |  UNION
+          |  SELECT id2 AS x, id1 AS y FROM pairs
+          |), reach AS (
+          |  SELECT x, y FROM (SELECT x, y FROM esym UNION SELECT x, x AS y FROM esym)
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN esym e ON r.y = e.x
+          |), comp AS (
+          |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+          |)
+          |SELECT u.doc_id FROM uniq u
+          |WHERE u.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+          |ORDER BY doc_id""".stripMargin),
     "dd_ngram_jaccard" ->
       (plantedCte + shingleCtes + bandCtes +
         """, shx AS (
