@@ -143,6 +143,94 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("typed minhash kernel ≡ expression form (unicode, empty tokens, dups)") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c"),                       // exactly 3 tokens, one shingle
+      (3L, "a b"),                         // too short — no row
+      (4L, "x  y  z  w"),                  // double spaces → empty tokens
+      (5L, "中文 字符 测试 with mixed ascii"),
+      (6L, "r r r r r r"),                 // repeated token → duplicate shingles
+      (7L, " leading and trailing "),      // edge empties
+      (8L, "")                             // empty text
+    ).toDF("doc_id", "text")
+    val typed = graft.operators.Dedup.minhashSignature(docs, 8)
+      .select(col("doc_id"), col("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // the round-2 expression implementation, verbatim
+    val exprForm = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+          |  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          |            element_at(toks, i + 3))))""".stripMargin))
+      .withColumn("mh", expr(
+        """transform(sequence(0, 7), j ->
+          |  array_min(transform(sh, s -> md5(concat(cast(j as string), '|', s)))))""".stripMargin))
+      .select(col("doc_id"), col("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(typed == exprForm)
+    assert(!typed.contains(3L) && !typed.contains(8L))
+  }
+
+  test("typed w_* kernel ≡ expression form on random-ish series (incl. n ≤ k)") {
+    val k = 2; val m = 2 * k + 1
+    val grid = (for (c <- Seq("a", "b", "tiny"); i <- 0 until (if (c == "tiny") 2 else 25))
+      yield (c, new java.sql.Timestamp(1735689600000L + i * 60000L),
+        math.rint(100 * math.sin(i * 3.7 + c.hashCode)) / 7.0))
+      .toDF("conv_id", "bucket_ts", "value")
+    val typed = graft.operators.KernelWindows(grid, k)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.toString).toMap
+    // the round-2 expression implementation, verbatim
+    val perPoint =
+      s"""transform(sequence(0, n - 1), pos -> named_struct(
+         |  'bucket_ts', element_at(ts, pos + 1),
+         |  'win', transform(sequence(-$k, $k), j -> element_at(vals,
+         |    greatest(0, least(n - 1,
+         |      CASE WHEN pos + j < 0 THEN -(pos + j) - 1
+         |           WHEN pos + j >= n THEN 2*n - (pos + j) - 1
+         |           ELSE pos + j END)) + 1))))""".stripMargin
+    val modal =
+      """aggregate(array_sort(win),
+        |  named_struct('best', cast(null as double), 'bc', 0,
+        |               'cur', cast(null as double), 'cc', 0),
+        |  (s, x) -> CASE WHEN s.cur IS NOT NULL AND x = s.cur THEN
+        |      named_struct('best', IF(s.cc + 1 > s.bc, x, s.best),
+        |                   'bc', IF(s.cc + 1 > s.bc, s.cc + 1, s.bc),
+        |                   'cur', x, 'cc', s.cc + 1)
+        |    ELSE
+        |      named_struct('best', IF(1 > s.bc, x, s.best),
+        |                   'bc', IF(1 > s.bc, 1, s.bc),
+        |                   'cur', x, 'cc', 1) END,
+        |  s -> s.best)""".stripMargin
+    val r4 = (c: org.apache.spark.sql.Column) => round(c + lit(1e-9), 4)
+    val exprForm = grid
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(struct(col("bucket_ts"), col("value")))).as("pts"))
+      .select(col("conv_id"),
+        expr("transform(pts, p -> p.bucket_ts)").as("ts"),
+        expr("transform(pts, p -> cast(p.value as double))").as("vals"))
+      .withColumn("n", size(col("vals")))
+      .select(col("conv_id"), explode(expr(perPoint)).as("pt"))
+      .select(col("conv_id"), col("pt.bucket_ts").as("bucket_ts"), col("pt.win").as("win"))
+      .withColumn("s1", expr("aggregate(win, cast(0 as double), (a, x) -> a + x)"))
+      .withColumn("s2", expr("aggregate(win, cast(0 as double), (a, x) -> a + x * x)"))
+      .select(col("conv_id"), col("bucket_ts"),
+        r4(col("s1")).as("w_sum"), r4(col("s1") / lit(m)).as("w_mean"),
+        expr(s"element_at(array_sort(win), ${k + 1})").as("w_median"),
+        array_min(col("win")).as("w_min"), array_max(col("win")).as("w_max"),
+        r4(sqrt(greatest(lit(0.0),
+          (col("s2") - col("s1") * col("s1") / lit(m)) / lit(m - 1)))).as("w_sd"),
+        r4((col("s2") - col("s1") * col("s1") / lit(m)) / lit(m - 1)).as("w_var"),
+        expr(modal).as("w_modal"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.toString).toMap
+    assert(typed.keySet == exprForm.keySet)
+    typed.foreach { case (key, row) =>
+      assert(row == exprForm(key), s"mismatch at $key")
+    }
+  }
+
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
     val n = 60
     val truth = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
