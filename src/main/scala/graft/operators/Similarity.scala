@@ -25,15 +25,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def dims(df: DataFrame, c: String): DataFrame =
+  private def dims(df: DataFrame, c: String): DataFrame = {
+    // the native codegen dot product backs every cosine below
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn(c, col(c).cast("array<double>"))
+  }
 
-  /** Append `norm` column. */
+  /** Append `norm` column (‖v‖ = sqrt(v·v), via the codegen ArrayDot — the
+    * sequential fold is float-identical to the former aggregate form).
+    */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm",
-      sqrt(expr("aggregate(embedding, cast(0 as double), (s, x) -> s + x * x)")))
+    df.withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
 
-  private val dot = "aggregate(zip_with(qv, ev, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+  private val dot = "graft_dot(qv, ev)"
 
   /** Brute-force cosine top-k of every query vector vs the corpus. */
   def bruteTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
@@ -72,7 +76,7 @@ object Similarity {
     val e = withNorm(dims(emb, "embedding"))
       .select(col("vec_id").as("eid"), col("embedding").as("ev"), col("norm").as("en"))
     val c = dims(cents, "cv").select(col("cid"), col("cv").as("qv"),
-      sqrt(expr("aggregate(cv, cast(0 as double), (s, x) -> s + x * x)")).as("qn"))
+      sqrt(expr("graft_dot(cv, cv)")).as("qn"))
     val scored = e.join(broadcast(c), lit(true))
       .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
     val w = Window.partitionBy("eid").orderBy(col("cos").desc, col("cid"))

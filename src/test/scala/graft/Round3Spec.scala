@@ -231,6 +231,30 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("ArrayDot codegen expression ≡ aggregate(zip_with(...)) fold, inside WholeStageCodegen") {
+    graft.functions.GraftFunctions.register(spark)
+    // spark.range source (not a LocalTableScan) so whole-stage codegen is
+    // actually exercised and visible in the plan
+    val vecs = spark.range(20).select(col("id"),
+      expr("transform(sequence(0, 63), d -> sin(id * 1.7D + d) * IF(d % 7 = 0, -3.0D, 1.0D))").as("a"),
+      expr("transform(sequence(0, 63), d -> cos(id * 0.9D + d * 2.1D))").as("b"))
+    val both = vecs.select(col("id"),
+      expr("graft_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+        .as("hof"))
+    // bit-identical, not approximately equal — same sequential fold
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    // and the expression must not break whole-stage codegen: behind an
+    // exchange (so the HOF transform building the fixtures is out of the
+    // way), the arraydot Project must carry the `*(n)` codegen marker
+    val staged = vecs.repartition(2).select(expr("graft_dot(a, b)"))
+    staged.collect() // finalize the adaptive plan
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("arraydot") && l.replaceAll("[\\s+:-]+", "").startsWith("*(")),
+      s"arraydot not inside WholeStageCodegen:\n$plan")
+  }
+
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
     val n = 60
     val truth = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
