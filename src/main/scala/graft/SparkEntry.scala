@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, Summary, TextAnalysis}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, Summary, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -277,6 +277,19 @@ object SparkEntry {
         Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1, Tier.H1)
       val stMo = Rollup.cascade(Rollup.cascade(st1h, Tier.D1), Tier.Mo1)
       Rollup.presentState(stMo).orderBy("conv_id", "bucket_ts")
+    }),
+    // §2.9 sits_reduce_imbalance (SMOTE half): one synthetic midpoint
+    // sample per member of every class smaller than the majority class,
+    // neighbor = within-class L2-nearest (deterministic contract)
+    "ts_smote" -> ((s, dir) => {
+      val lab = substring(col("conv_id"), 2, 6).cast("int") % 10
+      val feats = Regularize.withMetrics(transcripts(s, dir))
+        .groupBy(col("conv_id"))
+        .agg((avg("text_len") / 100.0).as("f_len"), avg("is_tool").as("f_tool"),
+          (count(lit(1)) / 10.0).as("f_rate"))
+        .withColumn("label", when(lab < 6, 1).when(lab < 9, 2).otherwise(3))
+      Imbalance.smoteOversample(feats, Seq("f_len", "f_tool", "f_rate"))
+        .orderBy("conv_id")
     }),
     // §2.9 sits_accuracy: confusion matrix + overall accuracy
     "ts_accuracy" -> ((s, dir) => {
@@ -687,6 +700,11 @@ object SparkEntry {
         samplePoints(s, dir)).orderBy("sample_id", "bucket_ts")),
     // §2.1 summary() verb: per-metric n/mean/min/Q1/median/Q3/max
     // (exact parallel quantiles — no single-reducer percentile)
+    // §2.1 sits_timeline: ordered distinct instants + per-instant coverage
+    "ts_timeline" -> ((s, dir) =>
+      Summary.timeline(
+        Regularize.regularize(transcripts(s, dir), Tier.M1)
+          .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp")))),
     "ts_summary" -> ((s, dir) =>
       Summary.summarize(
         Regularize.withMetrics(transcripts(s, dir)).select("text_len", "is_tool"),
@@ -1795,8 +1813,48 @@ private object Oracles {
           |FROM samples s JOIN probs p
           |  ON p.conv_id = s.conv_id AND p.bucket_ts = date_trunc('day', s.sample_ts)
           |ORDER BY s.sample_id, p.bucket_ts""".stripMargin),
-    "ts_summary" ->
+    // dist parity: ((d1²+d2²)+d3²) left-assoc == the codegen ArrayL2 fold
+    "ts_smote" ->
       (cte + metricsCte +
+        """, cf AS (
+          |  SELECT conv_id,
+          |    avg(text_len) / 100.0 AS f_len,
+          |    avg(is_tool) AS f_tool,
+          |    cast(count(*) AS double) / 10.0 AS f_rate,
+          |    CASE WHEN cast(substring(conv_id, 2, 6) AS int) % 10 < 6 THEN 1
+          |         WHEN cast(substring(conv_id, 2, 6) AS int) % 10 < 9 THEN 2
+          |         ELSE 3 END AS label
+          |  FROM metrics GROUP BY conv_id
+          |), ccnt AS (
+          |  SELECT label, count(*) AS n FROM cf GROUP BY 1
+          |), mino AS (
+          |  SELECT label FROM ccnt WHERE n < (SELECT max(n) FROM ccnt)
+          |), prs AS (
+          |  SELECT a.conv_id, b.conv_id AS nn_id, a.label,
+          |    a.f_len AS af_len, a.f_tool AS af_tool, a.f_rate AS af_rate,
+          |    b.f_len AS bf_len, b.f_tool AS bf_tool, b.f_rate AS bf_rate,
+          |    round((a.f_len - b.f_len) * (a.f_len - b.f_len)
+          |        + (a.f_tool - b.f_tool) * (a.f_tool - b.f_tool)
+          |        + (a.f_rate - b.f_rate) * (a.f_rate - b.f_rate) + 1e-9, 6) AS dist
+          |  FROM cf a JOIN cf b ON a.label = b.label AND a.conv_id != b.conv_id
+          |  WHERE a.label IN (SELECT label FROM mino)
+          |)
+          |SELECT conv_id, nn_id, label,
+          |  round((af_len + bf_len) / 2.0 + 1e-9, 4) AS f_len,
+          |  round((af_tool + bf_tool) / 2.0 + 1e-9, 4) AS f_tool,
+          |  round((af_rate + bf_rate) / 2.0 + 1e-9, 4) AS f_rate
+          |FROM (SELECT *, row_number() OVER (PARTITION BY label, conv_id
+          |                                   ORDER BY dist, nn_id) AS rn
+          |      FROM prs)
+          |WHERE rn = 1 ORDER BY conv_id""".stripMargin),
+    "ts_timeline" ->
+      (cte + regularCte +
+        """
+          |SELECT bucket_ts, count(*) AS n_series FROM regular
+          |WHERE bucket_ts < timestamp '2024-01-02'
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ts_summary" ->
+      (cte +metricsCte +
         """
           |SELECT 'is_tool' AS metric, count(is_tool) AS n,
           |  round(avg(is_tool) + 1e-9, 4) AS mean_v,

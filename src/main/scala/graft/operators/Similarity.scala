@@ -221,8 +221,7 @@ object Similarity {
         s" struct(s AS sub, slice(embedding, s * $d + 1, $d) AS sv))")).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
 
-  private val l2 =
-    "aggregate(zip_with(qv, ev, (x, y) -> (x - y) * (x - y)), cast(0 as double), (s, x) -> s + x)"
+  private val l2 = "graft_l2(qv, ev)"
 
   /** Train all m subspace codebooks concurrently: quantized Lloyd with L2
     * assignment per (vector, subspace) — one broadcast-join + one

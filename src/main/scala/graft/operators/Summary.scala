@@ -21,6 +21,16 @@ object Summary {
   private def r4(x: Double): Double =
     BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** `sits_timeline` analog (/root/reference/R/sits_timeline.R): the
+    * ordered distinct instants of a tier relation, with per-instant
+    * coverage (how many series have the slot) — one partial-aggregable
+    * groupBy, |timeline| output rows.
+    */
+  def timeline(df: DataFrame, tsCol: String = "bucket_ts"): DataFrame =
+    df.groupBy(col(tsCol))
+      .agg(count(lit(1)).as("n_series"))
+      .orderBy(tsCol)
+
   /** R `summary()` per metric column: n (non-null), mean, min, Q1, median,
     * Q3, max — quantiles type-7 (R default), matching DuckDB
     * `quantile_cont` exactly. One row per metric.

@@ -255,6 +255,26 @@ class Round3Spec extends AnyFunSuite {
       s"arraydot not inside WholeStageCodegen:\n$plan")
   }
 
+  test("smote: midpoint synthesis from the within-class nearest neighbor; majority untouched") {
+    import graft.operators.Imbalance
+    val feats = Seq(
+      ("a1", 1, 0.0, 0.0), ("a2", 1, 1.0, 0.0), ("a3", 1, 2.0, 0.0), ("a4", 1, 3.0, 0.0),
+      ("b1", 2, 0.0, 0.0), ("b2", 2, 1.0, 1.0), ("b3", 2, 10.0, 10.0)
+    ).toDF("conv_id", "label", "f1", "f2")
+    val out = Imbalance.smoteOversample(feats, Seq("f1", "f2")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // only the minority class (2) is oversampled, one synth row per member
+    assert(out.keySet == Set("b1", "b2", "b3"))
+    assert(out("b1") == (("b2", 2, 0.5, 0.5)))   // nearest of b1 is b2
+    assert(out("b2") == (("b1", 2, 0.5, 0.5)))
+    assert(out("b3") == (("b2", 2, 5.5, 5.5)))   // nearest of b3 is b2
+    // guard refuses cube-scale classes
+    assertThrows[IllegalArgumentException] {
+      Imbalance.smoteOversample(feats, Seq("f1", "f2"), maxPerClass = 3)
+    }
+  }
+
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
     val n = 60
     val truth = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
