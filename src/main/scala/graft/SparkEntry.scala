@@ -705,6 +705,10 @@ object SparkEntry {
       Summary.timeline(
         Regularize.regularize(transcripts(s, dir), Tier.M1)
           .filter(col("bucket_ts") < lit("2024-01-02").cast("timestamp")))),
+    // §2.1 summary.sits: label counts + proportions of the labeled samples
+    "ts_label_summary" -> ((s, dir) =>
+      Summary.labelSummary(
+        Probs.label(Probs.roleMix(transcripts(s, dir))).select("label"))),
     "ts_summary" -> ((s, dir) =>
       Summary.summarize(
         Regularize.withMetrics(transcripts(s, dir)).select("text_len", "is_tool"),
@@ -1160,6 +1164,18 @@ private object Oracles {
           |  round(1.0 - (greatest(p1, p2, p3) - (p1 + p2 + p3 - greatest(p1, p2, p3) - least(p1, p2, p3))) + 1e-9, 4) AS margin,
           |  round(1.0 - greatest(p1, p2, p3) + 1e-9, 4) AS least
           |FROM probs ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_label_summary" ->
+      (cte + probsCte +
+        """, lab AS (
+          |  SELECT CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1
+          |              WHEN p2 >= p3 THEN 2 ELSE 3 END AS label
+          |  FROM probs
+          |), lc AS (
+          |  SELECT label, count(*) AS n FROM lab GROUP BY 1
+          |)
+          |SELECT label, n,
+          |  round(cast(n AS double) / (SELECT sum(n) FROM lc) + 1e-9, 4) AS prop
+          |FROM lc ORDER BY label""".stripMargin),
     "ts_smooth_bayes" ->
       (cte + probsCte +
         """, lg AS (

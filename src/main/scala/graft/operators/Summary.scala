@@ -31,6 +31,18 @@ object Summary {
       .agg(count(lit(1)).as("n_series"))
       .orderBy(tsCol)
 
+  /** `summary.sits` analog (/root/reference/R/sits_summary.R:35-60: label
+    * counts and proportions of a samples tibble) — one partial-aggregable
+    * groupBy plus a broadcast total.
+    */
+  def labelSummary(samples: DataFrame, labelCol: String = "label"): DataFrame = {
+    val cnt = samples.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    cnt.crossJoin(broadcast(cnt.agg(sum("n").as("total"))))
+      .select(col(labelCol), col("n"),
+        round(col("n").cast("double") / col("total") + lit(1e-9), 4).as("prop"))
+      .orderBy(labelCol)
+  }
+
   /** R `summary()` per metric column: n (non-null), mean, min, Q1, median,
     * Q3, max — quantiles type-7 (R default), matching DuckDB
     * `quantile_cont` exactly. One row per metric.
