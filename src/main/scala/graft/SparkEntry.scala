@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, Summary, TextAnalysis}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, Summary, Texture, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -262,6 +262,12 @@ object SparkEntry {
           round(col("dtw_dist") + lit(1e-9), 4).as("dtw_dist"))
         .orderBy("conv_id")
     }),
+    // §2.5 sits_texture GLCM metrics, 1-D adaptation: one symmetric lag-1
+    // co-occurrence matrix per conv day-series, reference formulas verbatim
+    "ts_texture" -> ((s, dir) =>
+      Texture.glcmSeries(
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"))
+        .orderBy("conv_id")),
     // §2.8 bayts online change detection over two fused metric bands
     "ts_bayts" -> ((s, dir) => {
       val a = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
@@ -1652,6 +1658,62 @@ private object Oracles {
     "ts_bayts" -> baytsSql,
     // anti-diagonal wavefront DP replay — see dtwSql builders
     "ts_dtw_mean" -> dtwSql,
+    // 1-D GLCM: quantize → lag-1 symmetric co-occurrence → metric sums
+    // (identical moment forms both engines; round-4 absorbs fold order)
+    "ts_texture" ->
+      (cte + metricsCte +
+        """, days AS (
+          |  SELECT conv_id,
+          |         date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+          |         avg(text_len) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), mmx AS (
+          |  SELECT conv_id, min(value) AS mn, max(value) AS mx FROM days GROUP BY 1
+          |), gq AS (
+          |  SELECT d.conv_id, d.idx,
+          |         cast(floor((d.value - m.mn) / (m.mx - m.mn) * 16) AS int) AS grey
+          |  FROM days d JOIN mmx m USING (conv_id) WHERE m.mx > m.mn
+          |), gl AS (
+          |  SELECT conv_id, grey,
+          |         lead(grey) OVER (PARTITION BY conv_id ORDER BY idx) AS g2
+          |  FROM gq
+          |), prs AS (
+          |  SELECT conv_id, grey, g2 FROM gl
+          |  WHERE g2 IS NOT NULL AND grey < 16 AND g2 < 16
+          |), cells AS (
+          |  SELECT conv_id, gi, gj, count(*) AS cnt FROM (
+          |    SELECT conv_id, grey AS gi, g2 AS gj FROM prs
+          |    UNION ALL
+          |    SELECT conv_id, g2 AS gi, grey AS gj FROM prs)
+          |  GROUP BY 1, 2, 3
+          |), wp AS (
+          |  SELECT conv_id, gi, gj,
+          |         cast(cnt AS double) / sum(cnt) OVER (PARTITION BY conv_id) AS p
+          |  FROM cells
+          |), ag AS (
+          |  SELECT conv_id,
+          |    sum(p * (gi - gj) * (gi - gj)) AS s_con,
+          |    sum(p * abs(gi - gj)) AS s_dis,
+          |    sum(p / (1 + (gi - gj) * (gi - gj))) AS s_hom,
+          |    sum(p * p) AS s_p2,
+          |    sum(p * gi) AS s_pi,
+          |    sum(p * gi * gi) AS s_pi2,
+          |    sum(p * gi * gj) AS s_pij
+          |  FROM wp GROUP BY 1
+          |)
+          |SELECT conv_id,
+          |  round(s_con + 1e-9, 4) AS contrast,
+          |  round(s_dis + 1e-9, 4) AS dissimilarity,
+          |  round(s_hom + 1e-9, 4) AS homogeneity,
+          |  round(sqrt(s_p2) + 1e-9, 4) AS energy,
+          |  round(s_p2 + 1e-9, 4) AS asm,
+          |  round(s_pi + 1e-9, 4) AS glcm_mean,
+          |  round(s_pi2 - s_pi * s_pi + 1e-9, 4) AS variance,
+          |  round(sqrt(greatest(0.0, s_pi2 - s_pi * s_pi)) + 1e-9, 4) AS std,
+          |  round(CASE WHEN s_pi2 - s_pi * s_pi < 1e-15 THEN 1.0
+          |             ELSE (s_pij - s_pi * s_pi) / (s_pi2 - s_pi * s_pi) END + 1e-9, 4)
+          |    AS correlation
+          |FROM ag ORDER BY conv_id""".stripMargin),
     "ts_merge_intersects" ->
       (cte + metricsCte +
         """, t1g AS (

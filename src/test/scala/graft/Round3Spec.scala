@@ -275,6 +275,27 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("1-D GLCM: hand-worked symmetric co-occurrence incl. the max-level exclusion quirk") {
+    import graft.operators.Texture
+    // values [0,1,2,3] → greys [0,5,10,16]; 16 == n_grey is EXCLUDED (the
+    // reference's v_i < n_grey guard), so pairs are (0,5),(5,10) symmetric
+    val series = Seq(("c", 0, 0.0), ("c", 1, 1.0), ("c", 2, 2.0), ("c", 3, 3.0))
+      .toDF("conv_id", "idx", "value")
+    val r = Texture.glcmSeries(series).head()
+    assert(r.getAs[Double]("contrast") == 25.0)
+    assert(r.getAs[Double]("dissimilarity") == 5.0)
+    assert(r.getAs[Double]("homogeneity") == math.rint((1.0 / 26 + 1e-9) * 1e4) / 1e4)
+    assert(r.getAs[Double]("energy") == 0.5)
+    assert(r.getAs[Double]("asm") == 0.25)
+    assert(r.getAs[Double]("glcm_mean") == 5.0)
+    assert(r.getAs[Double]("variance") == 12.5)
+    assert(r.getAs[Double]("std") == 3.5355)
+    assert(r.getAs[Double]("correlation") == 0.0)
+    // constant series: the reference's normalize divides by zero — excluded
+    val const = Seq(("k", 0, 2.0), ("k", 1, 2.0)).toDF("conv_id", "idx", "value")
+    assert(Texture.glcmSeries(const).isEmpty)
+  }
+
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
     val n = 60
     val truth = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
