@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Select, SeriesRollup, Similarity, Smooth, Summary, Texture, TextAnalysis}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Summary, Texture, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -268,6 +268,19 @@ object SparkEntry {
       Texture.glcmSeries(
         ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"))
         .orderBy("conv_id")),
+    // §2.5 sits_segmentation, 1-D adaptation: optimal piecewise-constant
+    // partitioning (exact PELT-objective DP) of each conv day-series
+    "ts_segment" -> ((s, dir) => {
+      // the raw day-series is near-constant (std « lambda) — plant a
+      // deterministic level shift on half the convs (mirrored in the
+      // oracle) so the DP has a real boundary to find and the query is
+      // non-vacuous; unshifted convs assert the no-split side
+      val base = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+      val shifted = base.withColumn("value", col("value") +
+        when(substring(col("conv_id"), 2, 6).cast("int") % 2 === 0 &&
+          col("idx") >= 14, 40.0).otherwise(0.0))
+      Segment.segmentSeries(shifted, lambda = 500.0).orderBy("conv_id", "seg")
+    }),
     // §2.8 bayts online change detection over two fused metric bands
     "ts_bayts" -> ((s, dir) => {
       val a = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
@@ -1658,6 +1671,8 @@ private object Oracles {
     "ts_bayts" -> baytsSql,
     // anti-diagonal wavefront DP replay — see dtwSql builders
     "ts_dtw_mean" -> dtwSql,
+    // optimal-partitioning DP replay — see segmentSql builders
+    "ts_segment" -> segmentSql,
     // 1-D GLCM: quantize → lag-1 symmetric co-occurrence → metric sums
     // (identical moment forms both engines; round-4 absorbs fold order)
     "ts_texture" ->
@@ -2530,6 +2545,63 @@ private object Oracles {
          |         row_number() OVER (PARTITION BY qid ORDER BY adist, eid) AS rn
          |  FROM adc WHERE qid != eid)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
+  // temporal-segmentation oracle: the optimal-partitioning DP replayed one
+  // step per recursion (cs = the C(t) values so far, bpl = the argmin
+  // backpointers), then a second recursion walks the backpointers into
+  // segments. All candidates are built from the same left-to-right prefix
+  // folds and operand order as the Scala kernel → bit-identical, ties on
+  // the smallest split (list_position = first occurrence).
+  private lazy val segmentSql: String = {
+    val lambda = "500.0"
+    val cand = s"cs[su] + (qp[t + 2] - qp[su] - (sp[t + 2] - sp[su]) * (sp[t + 2] - sp[su])" +
+      s" / (t + 2 - su)) + $lambda"
+    cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+      s""", days AS (
+         |  SELECT conv_id,
+         |         date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+         |         avg(text_len) AS value
+         |  FROM metrics GROUP BY 1, 2
+         |), daysh AS (
+         |  SELECT conv_id, idx, value +
+         |    CASE WHEN cast(substring(conv_id, 2, 6) AS int) % 2 = 0 AND idx >= 14
+         |         THEN 40.0 ELSE 0.0 END AS value
+         |  FROM days
+         |), sarr AS (
+         |  SELECT conv_id, list(value ORDER BY idx) AS va,
+         |         list(idx ORDER BY idx) AS ia, cast(count(*) AS int) AS n
+         |  FROM daysh GROUP BY 1
+         |), parr AS (
+         |  SELECT conv_id, ia, n,
+         |    list_prepend(0.0, list_transform(generate_series(1, n),
+         |      i -> list_sum(va[1:i]))) AS sp,
+         |    list_prepend(0.0, list_transform(generate_series(1, n),
+         |      i -> list_sum(list_transform(va[1:i], x -> x * x)))) AS qp
+         |  FROM sarr
+         |), dp AS (
+         |  SELECT conv_id, ia, n, sp, qp, 0 AS t,
+         |         cast([0.0] AS double[]) AS cs, cast([] AS int[]) AS bpl
+         |  FROM parr
+         |  UNION ALL
+         |  SELECT conv_id, ia, n, sp, qp, t + 1,
+         |    list_append(cs, list_min(cands)),
+         |    list_append(bpl, cast(list_position(cands, list_min(cands)) - 1 AS int))
+         |  FROM (
+         |    SELECT *, list_transform(generate_series(1, t + 1), su -> $cand) AS cands
+         |    FROM dp WHERE t < n)
+         |), bt AS (
+         |  SELECT conv_id, ia, sp, bpl, n AS e FROM dp WHERE t = n
+         |  UNION ALL
+         |  SELECT conv_id, ia, sp, bpl, bpl[e] AS e FROM bt WHERE e > 0
+         |), segsr AS (
+         |  SELECT conv_id, ia, sp, bpl[e] + 1 AS a, e AS b FROM bt WHERE e > 0
+         |)
+         |SELECT conv_id,
+         |  cast(row_number() OVER (PARTITION BY conv_id ORDER BY a) AS int) AS seg,
+         |  ia[a] AS start_idx, ia[b] AS end_idx, b - a + 1 AS n_pts,
+         |  round((sp[b + 1] - sp[a]) / (b - a + 1) + 1e-9, 4) AS seg_mean
+         |FROM segsr ORDER BY conv_id, seg""".stripMargin
   }
 
   private lazy val ivfCtes =

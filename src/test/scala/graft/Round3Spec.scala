@@ -296,6 +296,24 @@ class Round3Spec extends AnyFunSuite {
     assert(Texture.glcmSeries(const).isEmpty)
   }
 
+  test("temporal segmentation: the DP finds planted change points and resists noise splits") {
+    import graft.operators.Segment
+    // two level shifts; jitter far below lambda
+    val series = (0 until 30).map { i =>
+      val level = if (i < 10) 10.0 else if (i < 20) 60.0 else 25.0
+      ("c", i, level + 0.3 * math.sin(i * 2.1))
+    }.toDF("conv_id", "idx", "value")
+    val segs = Segment.segmentSeries(series, lambda = 100.0)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._1)
+    assert(segs.map(s => (s._2, s._3)).toSeq == Seq((0, 9), (10, 19), (20, 29)),
+      s"wrong boundaries: ${segs.toSeq}")
+    // constant series never splits regardless of how small its noise is
+    val const = (0 until 20).map(i => ("k", i, 5.0 + 1e-3 * math.cos(i.toDouble)))
+      .toDF("conv_id", "idx", "value")
+    assert(Segment.segmentSeries(const, lambda = 100.0).count() == 1)
+  }
+
   test("whittakerGcv: GCV picks a denoising λ (closer to truth than raw) and tr(H) is sane") {
     val n = 60
     val truth = Array.tabulate(n)(i => 50.0 + 30.0 * math.sin(i / 9.0))
