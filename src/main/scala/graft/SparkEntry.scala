@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Summary, Texture, TextAnalysis}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -309,6 +309,20 @@ object SparkEntry {
         .withColumn("label", when(lab < 6, 1).when(lab < 9, 2).otherwise(3))
       Imbalance.smoteOversample(feats, Seq("f_len", "f_tool", "f_rate"))
         .orderBy("conv_id")
+    }),
+    // §2.9 minimal in-engine trainer: batch logistic GD over the per-conv
+    // feature matrix (quantized weight updates -> oracle-replayable);
+    // heavy trainers (ranger/xgboost/torch) remain external by design
+    "ts_train_logit" -> ((s, dir) => {
+      val feats = Regularize.withMetrics(transcripts(s, dir))
+        .groupBy(col("conv_id"))
+        .agg((avg("text_len") / 100.0).as("f_len"), avg("is_tool").as("f_tool"),
+          (count(lit(1)) / 10.0).as("f_rate"),
+          when(sum(when(col("role") === "user", 1).otherwise(0)) >=
+            sum(when(col("role") === "assistant", 1).otherwise(0)), 1.0)
+            .otherwise(0.0).as("y"))
+      Train.logisticGDRelation(feats, Seq("f_len", "f_tool", "f_rate"), "y")
+        .orderBy("feature")
     }),
     // §2.9 sits_accuracy: confusion matrix + overall accuracy
     "ts_accuracy" -> ((s, dir) => {
@@ -1673,6 +1687,8 @@ private object Oracles {
     "ts_dtw_mean" -> dtwSql,
     // optimal-partitioning DP replay — see segmentSql builders
     "ts_segment" -> segmentSql,
+    // unrolled quantized-GD replay — see trainSql builders
+    "ts_train_logit" -> trainSql,
     // 1-D GLCM: quantize → lag-1 symmetric co-occurrence → metric sums
     // (identical moment forms both engines; round-4 absorbs fold order)
     "ts_texture" ->
@@ -2545,6 +2561,57 @@ private object Oracles {
          |         row_number() OVER (PARTITION BY qid ORDER BY adist, eid) AS rn
          |  FROM adc WHERE qid != eid)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
+  // logistic-GD oracle: unrolled iterations; each wk is a one-row CTE of
+  // quantized weights, each gradient one aggregate over the feature
+  // relation crossed with the previous weights (identical margin operand
+  // order; sum drift and exp ulps absorbed by the round-6 state contract)
+  private lazy val trainSql: String = {
+    val iters = 3
+    def sig(w: String) =
+      s"1.0 / (1.0 + exp(-($w.b + $w.w1 * f_len + $w.w2 * f_tool + $w.w3 * f_rate)))"
+    def step(k: Int): String = {
+      val pw = s"w${k - 1}"
+      s""", g$k AS (
+         |  SELECT sum(p - y) AS g0, sum((p - y) * f_len) AS g1,
+         |         sum((p - y) * f_tool) AS g2, sum((p - y) * f_rate) AS g3,
+         |         count(*) AS n
+         |  FROM (SELECT cf2.*, ${sig("w")} AS p FROM cf2 CROSS JOIN $pw w)
+         |), w$k AS (
+         |  SELECT round(w.b - 0.1 * (g.g0 / g.n) + 1e-9, 6) AS b,
+         |         round(w.w1 - 0.1 * (g.g1 / g.n) + 1e-9, 6) AS w1,
+         |         round(w.w2 - 0.1 * (g.g2 / g.n) + 1e-9, 6) AS w2,
+         |         round(w.w3 - 0.1 * (g.g3 / g.n) + 1e-9, 6) AS w3
+         |  FROM $pw w CROSS JOIN g$k g
+         |)""".stripMargin
+    }
+    cte + metricsCte +
+      s""", cf2 AS (
+         |  SELECT conv_id,
+         |    avg(text_len) / 100.0 AS f_len,
+         |    avg(is_tool) AS f_tool,
+         |    cast(count(*) AS double) / 10.0 AS f_rate,
+         |    CASE WHEN count(*) FILTER (WHERE role = 'user') >=
+         |              count(*) FILTER (WHERE role = 'assistant')
+         |         THEN 1.0 ELSE 0.0 END AS y
+         |  FROM metrics GROUP BY conv_id
+         |), w0 AS (
+         |  SELECT cast(0.0 AS double) AS b, cast(0.0 AS double) AS w1,
+         |         cast(0.0 AS double) AS w2, cast(0.0 AS double) AS w3
+         |)""".stripMargin +
+      (1 to iters).map(step).mkString +
+      s""", accq AS (
+         |  SELECT round(avg(CASE WHEN (p >= 0.5) = (y = 1.0)
+         |                        THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS acc
+         |  FROM (SELECT cf2.*, ${sig("w")} AS p FROM cf2 CROSS JOIN w$iters w)
+         |)
+         |SELECT feature, w, a.acc AS train_acc FROM (
+         |  SELECT 'bias' AS feature, b AS w FROM w$iters
+         |  UNION ALL SELECT 'f_len', w1 FROM w$iters
+         |  UNION ALL SELECT 'f_tool', w2 FROM w$iters
+         |  UNION ALL SELECT 'f_rate', w3 FROM w$iters)
+         |CROSS JOIN accq a ORDER BY feature""".stripMargin
   }
 
   // temporal-segmentation oracle: the optimal-partitioning DP replayed one
