@@ -987,7 +987,10 @@ private object Oracles {
   // arithmetic is abs/*/+/min (exact-rounding IEEE ops, bit-identical to the
   // JVM kernel; Math.pow(x,2)=x*x and pow(s,0.5)=sqrt(s) per fdlibm special
   // cases), so the distance matches to the last ulp before rounding. ----
-  private lazy val dtwSql: String = {
+  // parameterized DTW oracle: `extraCtes` may append pattern-transforming
+  // CTEs (e.g. the Whittaker LDLᵀ replay) and `patternRel` names the
+  // (label, sb, m) relation the wavefront consumes
+  private def dtwOracle(extraCtes: String, patternRel: String): String = {
     // cell (ii=i-1, j=k+2-i) on diagonal knew=k+1; diag lists are length n,
     // position p holds D(p-1, knew-(p-1)); d1 = diag knew-1, d2 = diag knew-2
     val c = "(abs(sa[i] - sb[k + 3 - i]) * abs(sa[i] - sb[k + 3 - i]))"
@@ -1013,8 +1016,10 @@ private object Oracles {
          |  FROM days d JOIN labs l USING (conv_id) GROUP BY 1, 2
          |), parr AS (
          |  SELECT label, list(value ORDER BY idx) AS sb, count(*) AS m FROM pmeans GROUP BY 1
-         |), pairs AS (
-         |  SELECT s.conv_id, p.label, s.sa, s.n, p.sb, p.m FROM sarr s CROSS JOIN parr p
+         |)""".stripMargin + extraCtes +
+      s""", pairs AS (
+         |  SELECT s.conv_id, p.label, s.sa, s.n, p.sb, p.m
+         |  FROM sarr s CROSS JOIN $patternRel p
          |), dp AS (
          |  SELECT conv_id, label, sa, n, sb, m, -1 AS k,
          |         cast(NULL AS double[]) AS d1, cast(NULL AS double[]) AS d2
@@ -1036,6 +1041,74 @@ private object Oracles {
          |SELECT conv_id, label, round(dist + 1e-9, 4) AS dtw_dist
          |FROM ranked WHERE rn = 1 ORDER BY conv_id""".stripMargin
   }
+
+  private lazy val dtwSql: String = dtwOracle("", "parr")
+
+  // Whittaker smoothing of the label prototypes replayed in SQL: the
+  // pentadiagonal LDLᵀ factorization (SeriesKernels.whittaker:154-208) is
+  // three sequential sweeps — factor (d, l1, l2), forward substitution,
+  // backward substitution — each a recursion with list state, with the
+  // element-wise diagonal scale in between. Every expression mirrors the
+  // kernel's operand order exactly (((d0 − l1²d) − l2²d), (y − l1z) − l2z),
+  // so the smoothed prototypes are bit-identical and the wavefront DTW then
+  // verifies the λ>0 patterns end-to-end. Valid for n ≥ 5 (pattern series
+  // are full timelines; the kernel's tiny-n branches would fail loudly).
+  private lazy val dtwLambdaChain: String = {
+    // cast: bare numeric literals are DECIMAL in DuckDB, and a list built
+    // PURELY from decimal literals stays decimal — truncating the
+    // factorization to 2 decimals (found the hard way)
+    val lam = "cast(1.0 AS double)"
+    def d0(i: String) =
+      s"(1.0 + $lam * (CASE WHEN $i = 1 OR $i = n THEN 1.0 " +
+        s"WHEN $i = 2 OR $i = n - 1 THEN 5.0 ELSE 6.0 END))"
+    def dd1(i: String) =
+      s"($lam * (CASE WHEN $i = 1 OR $i = n - 1 THEN -2.0 ELSE -4.0 END))"
+    val dnewExpr =
+      s"CASE WHEN i + 1 = 2 THEN ${d0("2")} - l1l[1] * l1l[1] * dl[1] " +
+        s"ELSE (${d0("(i + 1)")} - l1l[i] * l1l[i] * dl[i]) - l2l[i - 1] * l2l[i - 1] * dl[i - 1] END"
+    s""", pl AS (
+       |  SELECT label, list(value ORDER BY idx) AS yv, cast(count(*) AS int) AS n
+       |  FROM pmeans GROUP BY 1
+       |), fac AS (
+       |  SELECT label, yv, n, 1 AS i,
+       |    [${d0("1")}] AS dl,
+       |    [CASE WHEN n > 1 THEN ${dd1("1")} / ${d0("1")} ELSE cast(0.0 AS double) END] AS l1l,
+       |    [CASE WHEN n > 2 THEN $lam / ${d0("1")} ELSE cast(0.0 AS double) END] AS l2l
+       |  FROM pl
+       |  UNION ALL
+       |  SELECT label, yv, n, i + 1,
+       |    list_append(dl, dnew),
+       |    list_append(l1l, CASE WHEN i + 1 <= n - 1
+       |      THEN (${dd1("(i + 1)")} - l1l[i] * dl[i] * l2l[i]) / dnew
+       |      ELSE cast(0.0 AS double) END),
+       |    list_append(l2l, CASE WHEN i + 1 <= n - 2 THEN $lam / dnew
+       |      ELSE cast(0.0 AS double) END)
+       |  FROM (SELECT *, ($dnewExpr) AS dnew FROM fac WHERE i < n)
+       |), facf AS (
+       |  SELECT label, yv, n, dl, l1l, l2l FROM fac WHERE i = n
+       |), fwd AS (
+       |  SELECT label, yv, n, dl, l1l, l2l, 1 AS j, [yv[1]] AS zf FROM facf
+       |  UNION ALL
+       |  SELECT label, yv, n, dl, l1l, l2l, j + 1,
+       |    list_append(zf, CASE WHEN j + 1 = 2 THEN yv[2] - l1l[1] * zf[1]
+       |      ELSE (yv[j + 1] - l1l[j] * zf[j]) - l2l[j - 1] * zf[j - 1] END)
+       |  FROM fwd WHERE j < n
+       |), scl AS (
+       |  SELECT label, n, l1l, l2l,
+       |    list_transform(generate_series(1, n), k2 -> zf[k2] / dl[k2]) AS zs
+       |  FROM fwd WHERE j = n
+       |), bwd AS (
+       |  SELECT label, n, l1l, l2l, zs, 1 AS q, [zs[n]] AS zb FROM scl
+       |  UNION ALL
+       |  SELECT label, n, l1l, l2l, zs, q + 1,
+       |    list_append(zb, CASE WHEN q = 1 THEN zs[n - q] - l1l[n - q] * zb[q]
+       |      ELSE (zs[n - q] - l1l[n - q] * zb[q]) - l2l[n - q] * zb[q - 1] END)
+       |  FROM bwd WHERE q < n
+       |), parrS AS (
+       |  SELECT label, list_reverse(zb) AS sb, n AS m FROM bwd WHERE q = n
+       |)""".stripMargin
+  }
+  private lazy val dtwLambdaSql: String = dtwOracle(dtwLambdaChain, "parrS")
 
   val all: Map[String, String] = Map(
     "q1_agg" ->
@@ -1685,6 +1758,9 @@ private object Oracles {
     "ts_bayts" -> baytsSql,
     // anti-diagonal wavefront DP replay — see dtwSql builders
     "ts_dtw_mean" -> dtwSql,
+    // wavefront DP over Whittaker-smoothed (λ=1) prototypes, with the
+    // pentadiagonal LDLᵀ solve itself replayed as three sweep recursions
+    "ts_dtw" -> dtwLambdaSql,
     // optimal-partitioning DP replay — see segmentSql builders
     "ts_segment" -> segmentSql,
     // unrolled quantized-GD replay — see trainSql builders
