@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,6 +44,40 @@ object SparkEntry {
     GapFill.fillDense(s, Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1,
       // 2024-01-02T00:00:00Z as epoch millis (TZ-independent construction)
       emitBefore = Some(new java.sql.Timestamp(1704153600000L)))
+
+  /** SOM sample set: the ts_predictors wide matrix restricted to fully-
+    * observed first-3-day vectors (the euclidean SOM path requires complete
+    * vectors — see [[graft.operators.Som]]; 3 days keeps the cohort
+    * non-vacuous down to sf0.001's 15 conversations), with the standard
+    * synthetic label. Sample-scale relation (training samples, not corpus).
+    */
+  private def somPred(s: SparkSession, dir: String): DataFrame = {
+    val series = metrics(s, dir)
+      .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
+      .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
+    val wide = Predictors.pivotWide(series,
+      datediff(col("bucket_ts"), lit("2024-01-01").cast("date")), k = 3)
+    val tcols = (0 until 3).map(i => col(s"t$i"))
+    wide.filter(tcols.map(_.isNotNull).reduce(_ && _))
+      .select(col("conv_id").as("sample_id"),
+        (substring(col("conv_id"), 2, 6).cast("int") % 3 + 1).as("label"),
+        array(tcols: _*).as("v"))
+  }
+
+  /** Shared SOM pipeline: 3×3 grid, 2 quantized batch epochs, Bayes radius
+    * 2 — returns (sample→neuron map, per-(neuron,label) prior+posterior).
+    * (Radius 2 on 3×3 exercises BOTH Bayes paths: edge-midpoint neurons
+    * have k=2 axis-two-step neighbors, the center has k=0 → prior.)
+    * The persist is sample-scale (bounded KBs) and read per epoch.
+    */
+  private def somMapped(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pred = somPred(s, dir).persist()
+    val grid = Som.Grid(3, 3)
+    val codes = Som.train(pred, grid, epochs = 2, r0 = 1.5, r1 = 1.0)
+    val mapped = Som.assign(pred, codes)
+    val post = Som.bayesPosterior(Som.labelNeurons(mapped), grid, radius = 2)
+    (mapped, post)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -323,6 +357,26 @@ object SparkEntry {
             .otherwise(0.0).as("y"))
       Train.logisticGDRelation(feats, Seq("f_len", "f_tool", "f_rate"), "y")
         .orderBy("feature")
+    }),
+    // §2.9 sits_som_map + sits_som_clean_samples: batch-SOM sample-quality
+    // tags (clean/analyze/remove) from per-neuron prior + Bayes posterior
+    "ts_som_clean" -> ((s, dir) => {
+      val (mapped, post) = somMapped(s, dir)
+      Som.cleanSamples(mapped, post, priorT = 0.6, postT = 0.6)
+        .orderBy("sample_id")
+    }),
+    // §2.9 sits_som_evaluate_cluster: per-cluster class mixture percentages
+    "ts_som_eval" -> ((s, dir) => {
+      val (mapped, post) = somMapped(s, dir)
+      Som.evaluateCluster(mapped, post)
+        .select(col("cluster"), col("class"), col("cnt"),
+          round(col("mixture_percentage") + lit(1e-9), 4).as("mix_pct"))
+        .orderBy("cluster", "class")
+    }),
+    // §2.9 .som_undersample: per-neuron sample-budget slice
+    "ts_som_under" -> ((s, dir) => {
+      val (mapped, _) = somMapped(s, dir)
+      Som.undersample(mapped, n = 4).orderBy("id_neuron", "rk")
     }),
     // §2.9 sits_accuracy: confusion matrix + overall accuracy
     "ts_accuracy" -> ((s, dir) => {
@@ -1765,6 +1819,10 @@ private object Oracles {
     "ts_segment" -> segmentSql,
     // unrolled quantized-GD replay — see trainSql builders
     "ts_train_logit" -> trainSql,
+    // batch-SOM epoch replay with literal Gaussian weights — see somChain
+    "ts_som_clean" -> somCleanSql,
+    "ts_som_eval" -> somEvalSql,
+    "ts_som_under" -> somUnderSql,
     // 1-D GLCM: quantize → lag-1 symmetric co-occurrence → metric sums
     // (identical moment forms both engines; round-4 absorbs fold order)
     "ts_texture" ->
@@ -2689,6 +2747,162 @@ private object Oracles {
          |  UNION ALL SELECT 'f_rate', w3 FROM w$iters)
          |CROSS JOIN accq a ORDER BY feature""".stripMargin
   }
+
+  // ---- SOM oracle: batch-SOM training replayed epoch-by-epoch (the same
+  // quantized-iteration contract as kmeansSql — BMU dists rounded to 6
+  // before argmin with lowest-id ties, per-BMU sums and updated codes to 4).
+  // The Gaussian neighborhood weights are computed ONCE in Scala
+  // (Som.weights, quantized to 6) and embedded as literals, so neither
+  // engine evaluates exp() in the replay path. See operators/Som.scala for
+  // the kohonen_som.cpp citations. ----
+  private lazy val somWtsCte: String = {
+    val grid = Som.Grid(3, 3)
+    val rows = (0 until 2).flatMap { m =>
+      val wm = Som.weights(grid, m, epochs = 2, r0 = 1.5, r1 = 1.0)
+      for (b <- 1 to grid.numCodes; c <- 1 to grid.numCodes)
+        yield s"($m,$b,$c,${"%.6f".format(wm(b - 1)(c - 1))})"
+    }
+    s""", wts AS (
+       |  SELECT m, b, c, cast(w AS double) AS w
+       |  FROM (VALUES ${rows.mkString(",")}) AS t(m, b, c, w)
+       |)""".stripMargin
+  }
+  private def somDist(s: String, c: String): String =
+    s"round(sqrt(list_sum(list_transform(generate_series(1, 3), j -> " +
+      s"($s.v[j] - $c.cv[j]) * ($s.v[j] - $c.cv[j])))) + 1e-9, 6)"
+  private def somAsg(e: Int, codesRel: String): String =
+    s""", sasg$e AS (
+       |  SELECT sample_id, label, cid, dist FROM (
+       |    SELECT s.sample_id, s.label, c.cid, ${somDist("s", "c")} AS dist,
+       |      row_number() OVER (PARTITION BY s.sample_id
+       |                         ORDER BY ${somDist("s", "c")}, c.cid) AS rn
+       |    FROM sm s CROSS JOIN $codesRel c) WHERE rn = 1
+       |)""".stripMargin
+  private def somUpd(e: Int): String =
+    s""", ssum$e AS (
+       |  SELECT a.cid AS b, d.j AS dim, round(sum(s.v[d.j]) + 1e-9, 4) AS sv,
+       |         count(*) AS n
+       |  FROM sasg$e a JOIN sm s USING (sample_id)
+       |       CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) d
+       |  GROUP BY 1, 2
+       |), scodes$e AS (
+       |  SELECT cid, list(mv ORDER BY dim) AS cv FROM (
+       |    SELECT w.c AS cid, s.dim,
+       |      round(sum(w.w * s.sv) / sum(w.w * s.n) + 1e-9, 4) AS mv
+       |    FROM ssum$e s JOIN wts w ON w.m = ${e - 1} AND w.b = s.b
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  /** Shared chain ending in `sasg3` (final sample→neuron map) and `spost`
+    * (per-(neuron,label) prior + Bayes posterior). Mirrors Som.train /
+    * Som.labelNeurons / Som.bayesPosterior expression-for-expression.
+    */
+  private lazy val somChain: String = {
+    val kd = "cast(k.k AS double)"
+    val s1c = "coalesce(s1, cast(0.0 AS double))"
+    val s2c = "coalesce(s2, cast(0.0 AS double))"
+    val vr = s"(($s2c - $s1c * $s1c / $kd) / ($kd - 1.0))"
+    val mean = s"($s1c / $kd)"
+    cte + metricsCte +
+      """, dm AS (
+        |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+        |         round(avg(text_len) + 1e-9, 4) AS value,
+        |         date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS i
+        |  FROM metrics GROUP BY 1, 2, 4
+        |), pv AS (
+        |  SELECT conv_id,
+        |    max(CASE WHEN i = 0 THEN value END) AS t0,
+        |    max(CASE WHEN i = 1 THEN value END) AS t1,
+        |    max(CASE WHEN i = 2 THEN value END) AS t2
+        |  FROM dm GROUP BY 1
+        |), sm AS (
+        |  SELECT conv_id AS sample_id,
+        |    cast(cast(substr(conv_id, 2, 6) AS bigint) % 3 + 1 AS int) AS label,
+        |    [t0, t1, t2] AS v
+        |  FROM pv
+        |  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |), scodes0 AS (
+        |  SELECT cid, v AS cv FROM (
+        |    SELECT row_number() OVER (ORDER BY sample_id) AS cid, v FROM sm)
+        |  WHERE cid <= 9
+        |)""".stripMargin +
+      somWtsCte +
+      somAsg(1, "scodes0") + somUpd(1) +
+      somAsg(2, "scodes1") + somUpd(2) +
+      somAsg(3, "scodes2") +
+      s""", slab AS (
+         |  SELECT cid AS id_neuron, label, count(*) AS cnt FROM sasg3 GROUP BY 1, 2
+         |), stot AS (
+         |  SELECT id_neuron, sum(cnt) AS tot FROM slab GROUP BY 1
+         |), spri AS (
+         |  SELECT l.id_neuron, l.label, l.cnt,
+         |         cast(l.cnt AS double) / cast(t.tot AS double) AS prior_prob
+         |  FROM slab l JOIN stot t USING (id_neuron)
+         |), sgrid AS (
+         |  SELECT id, (id - 1) % 3 + 1 AS gx, (id - 1) // 3 + 1 AS gy
+         |  FROM (SELECT unnest(generate_series(1, 9)) AS id)
+         |), snb AS (
+         |  SELECT a.id AS id_neuron, b.id AS nbr FROM sgrid a JOIN sgrid b
+         |  ON (a.gx - b.gx) * (a.gx - b.gx) + (a.gy - b.gy) * (a.gy - b.gy) = 4
+         |), snk AS (
+         |  SELECT id_neuron, count(*) AS k FROM snb GROUP BY 1
+         |), snp AS (
+         |  SELECT n.id_neuron, p.label, sum(p.prior_prob) AS s1,
+         |         sum(p.prior_prob * p.prior_prob) AS s2
+         |  FROM snb n JOIN spri p ON p.id_neuron = n.nbr GROUP BY 1, 2
+         |), seta AS (
+         |  SELECT id_neuron, abs(cast(0.9999999 AS double) - max(prior_prob)) AS eta
+         |  FROM spri GROUP BY 1
+         |), spost AS (
+         |  SELECT p.id_neuron, p.label, p.cnt, p.prior_prob,
+         |    CASE WHEN k.k IS NULL OR k.k < 2 THEN p.prior_prob
+         |         ELSE ($vr / (e.eta + $vr)) * p.prior_prob +
+         |              (e.eta / (e.eta + $vr)) * $mean END AS post_prob
+         |  FROM spri p
+         |  LEFT JOIN snk k ON k.id_neuron = p.id_neuron
+         |  LEFT JOIN snp n ON n.id_neuron = p.id_neuron AND n.label = p.label
+         |  JOIN seta e ON e.id_neuron = p.id_neuron
+         |)""".stripMargin
+  }
+  private lazy val somCleanSql: String =
+    somChain +
+      """
+        |SELECT a.sample_id, a.cid AS id_neuron, a.label,
+        |  round(p.prior_prob + 1e-9, 6) AS prior_prob,
+        |  round(p.post_prob + 1e-9, 6) AS post_prob,
+        |  CASE WHEN p.prior_prob >= cast(0.6 AS double)
+        |         AND p.post_prob >= cast(0.6 AS double) THEN 'clean'
+        |       WHEN p.prior_prob >= cast(0.6 AS double)
+        |         AND p.post_prob < cast(0.6 AS double) THEN 'analyze'
+        |       ELSE 'remove' END AS eval
+        |FROM sasg3 a JOIN spost p ON p.id_neuron = a.cid AND p.label = a.label
+        |ORDER BY a.sample_id""".stripMargin
+  private lazy val somEvalSql: String =
+    somChain +
+      """, snl AS (
+        |  SELECT id_neuron, label AS neuron_label FROM (
+        |    SELECT id_neuron, label,
+        |      row_number() OVER (PARTITION BY id_neuron
+        |        ORDER BY prior_prob DESC, post_prob DESC, label) AS rn
+        |    FROM spost) WHERE rn = 1
+        |), sev AS (
+        |  SELECT nl.neuron_label AS cluster, a.label AS class, count(*) AS cnt
+        |  FROM sasg3 a JOIN snl nl ON nl.id_neuron = a.cid GROUP BY 1, 2
+        |)
+        |SELECT cluster, class, cnt,
+        |  round(cast(cnt AS double) / cast(tot AS double) * cast(100.0 AS double)
+        |        + 1e-9, 4) AS mix_pct
+        |FROM (SELECT *, sum(cnt) OVER (PARTITION BY cluster) AS tot FROM sev)
+        |ORDER BY cluster, class""".stripMargin
+  private lazy val somUnderSql: String =
+    somChain +
+      """
+        |SELECT sample_id, label, cid AS id_neuron, rk FROM (
+        |  SELECT sample_id, label, cid,
+        |    row_number() OVER (PARTITION BY cid ORDER BY sample_id) AS rk
+        |  FROM sasg3)
+        |WHERE rk <= 4 ORDER BY id_neuron, rk""".stripMargin
 
   // temporal-segmentation oracle: the optimal-partitioning DP replayed one
   // step per recursion (cs = the C(t) values so far, bpl = the argmin
