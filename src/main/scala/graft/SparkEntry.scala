@@ -51,7 +51,8 @@ object SparkEntry {
     * non-vacuous down to sf0.001's 15 conversations), with the standard
     * synthetic label. Sample-scale relation (training samples, not corpus).
     */
-  private def somPred(s: SparkSession, dir: String): DataFrame = {
+  private def predWide(s: SparkSession, dir: String,
+      label: org.apache.spark.sql.Column): DataFrame = {
     val series = metrics(s, dir)
       .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("bucket_ts"))
       .agg(round(avg("text_len") + lit(1e-9), 4).as("value"))
@@ -59,9 +60,20 @@ object SparkEntry {
       datediff(col("bucket_ts"), lit("2024-01-01").cast("date")), k = 3)
     val tcols = (0 until 3).map(i => col(s"t$i"))
     wide.filter(tcols.map(_.isNotNull).reduce(_ && _))
-      .select(col("conv_id").as("sample_id"),
-        (substring(col("conv_id"), 2, 6).cast("int") % 3 + 1).as("label"),
+      .select(col("conv_id").as("sample_id"), label.as("label"),
         array(tcols: _*).as("v"))
+  }
+
+  private def somPred(s: SparkSession, dir: String): DataFrame =
+    predWide(s, dir, substring(col("conv_id"), 2, 6).cast("int") % 3 + 1)
+
+  /** Deliberately SKEWED label (≈60/20/20 by user-id decade digit) so the
+    * reduce-imbalance branches are non-vacuous: the big class crosses
+    * nUnder=30 at sf0.01+, the small ones sit under nOver=25 at sf0.001/0.01.
+    */
+  private def imbPred(s: SparkSession, dir: String): DataFrame = {
+    val m = substring(col("conv_id"), 2, 6).cast("int") % 10
+    predWide(s, dir, when(m < 6, 1).when(m < 8, 2).otherwise(3))
   }
 
   /** Shared SOM pipeline: 3×3 grid, 2 quantized batch epochs, Bayes radius
@@ -377,6 +389,13 @@ object SparkEntry {
     "ts_som_under" -> ((s, dir) => {
       val (mapped, _) = somMapped(s, dir)
       Som.undersample(mapped, n = 4).orderBy("id_neuron", "rk")
+    }),
+    // §2.9 sits_reduce_imbalance: per-class SOM undersample (n ≥ 30) +
+    // SMOTE oversample-to-25 (n ≤ 25) over a skewed synthetic label
+    "ts_reduce_imbalance" -> ((s, dir) => {
+      val pred = imbPred(s, dir).persist()
+      Imbalance.reduceImbalance(pred, nOver = 25, nUnder = 30)
+        .orderBy("label", "src", "sample_id")
     }),
     // §2.9 sits_accuracy: confusion matrix + overall accuracy
     "ts_accuracy" -> ((s, dir) => {
@@ -1823,6 +1842,8 @@ private object Oracles {
     "ts_som_clean" -> somCleanSql,
     "ts_som_eval" -> somEvalSql,
     "ts_som_under" -> somUnderSql,
+    // per-class SOM replay + deterministic SMOTE cycle — see imbalanceSql
+    "ts_reduce_imbalance" -> imbalanceSql,
     // 1-D GLCM: quantize → lag-1 symmetric co-occurrence → metric sums
     // (identical moment forms both engines; round-4 absorbs fold order)
     "ts_texture" ->
@@ -2903,6 +2924,119 @@ private object Oracles {
         |    row_number() OVER (PARTITION BY cid ORDER BY sample_id) AS rk
         |  FROM sasg3)
         |WHERE rk <= 4 ORDER BY id_neuron, rk""".stripMargin
+
+  // ---- reduce-imbalance oracle: the per-CLASS batch-SOM replay (codes
+  // keyed by (label, cid) — every epoch CTE carries the class key, so which
+  // classes qualify stays data-driven and the SQL scale-independent) + the
+  // deterministic SMOTE cycle. Reuses the `wts` literal CTE: reduceImbalance
+  // defaults (d=ceil(sqrt(30/4))=3 ⇒ 3×3, epochs=2, r0=1.5, r1=1.0) are
+  // exactly somWtsCte's parameters. ----
+  private def uAsg(e: Int, codesRel: String): String =
+    s""", uasg$e AS (
+       |  SELECT sample_id, label, cid, dist FROM (
+       |    SELECT s.sample_id, s.label, c.cid, ${somDist("s", "c")} AS dist,
+       |      row_number() OVER (PARTITION BY s.sample_id
+       |                         ORDER BY ${somDist("s", "c")}, c.cid) AS rn
+       |    FROM u s JOIN $codesRel c ON c.label = s.label) WHERE rn = 1
+       |)""".stripMargin
+  private def uUpd(e: Int): String =
+    s""", usum$e AS (
+       |  SELECT s.label, a.cid AS b, d.j AS dim,
+       |         round(sum(s.v[d.j]) + 1e-9, 4) AS sv, count(*) AS n
+       |  FROM uasg$e a JOIN u s USING (sample_id)
+       |       CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) d
+       |  GROUP BY 1, 2, 3
+       |), ucodes$e AS (
+       |  SELECT label, cid, list(mv ORDER BY dim) AS cv FROM (
+       |    SELECT s.label, w.c AS cid, s.dim,
+       |      round(sum(w.w * s.sv) / sum(w.w * s.n) + 1e-9, 4) AS mv
+       |    FROM usum$e s JOIN wts w ON w.m = ${e - 1} AND w.b = s.b
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  private lazy val imbalanceSql: String = {
+    val mExpr = "cast(substr(conv_id, 2, 6) AS bigint) % 10"
+    val knnDist = "round(sqrt(list_sum(list_transform(generate_series(1, 3), " +
+      "j -> (a.v[j] - b.nv[j]) * (a.v[j] - b.nv[j])))) + 1e-9, 6)"
+    cte + metricsCte +
+      s""", dm AS (
+         |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+         |         round(avg(text_len) + 1e-9, 4) AS value,
+         |         date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS i
+         |  FROM metrics GROUP BY 1, 2, 4
+         |), pv AS (
+         |  SELECT conv_id,
+         |    max(CASE WHEN i = 0 THEN value END) AS t0,
+         |    max(CASE WHEN i = 1 THEN value END) AS t1,
+         |    max(CASE WHEN i = 2 THEN value END) AS t2
+         |  FROM dm GROUP BY 1
+         |), sm AS (
+         |  SELECT conv_id AS sample_id,
+         |    CASE WHEN $mExpr < 6 THEN 1 WHEN $mExpr < 8 THEN 2
+         |         ELSE 3 END AS label,
+         |    [t0, t1, t2] AS v
+         |  FROM pv
+         |  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+         |), ccnt AS (
+         |  SELECT label, count(*) AS n FROM sm GROUP BY 1
+         |)""".stripMargin +
+      somWtsCte +
+      """, u AS (
+        |  SELECT s.sample_id, s.label, s.v
+        |  FROM sm s JOIN ccnt c USING (label) WHERE c.n >= 30
+        |), ucodes0 AS (
+        |  SELECT label, cid, cv FROM (
+        |    SELECT label, row_number() OVER (PARTITION BY label
+        |      ORDER BY sample_id) AS cid, v AS cv FROM u)
+        |  WHERE cid <= 9
+        |)""".stripMargin +
+      uAsg(1, "ucodes0") + uUpd(1) +
+      uAsg(2, "ucodes1") + uUpd(2) +
+      uAsg(3, "ucodes2") +
+      s""", ukeep AS (
+         |  SELECT sample_id FROM (
+         |    SELECT sample_id, row_number() OVER (PARTITION BY label, cid
+         |      ORDER BY sample_id) AS rk FROM uasg3)
+         |  WHERE rk <= 4
+         |), o AS (
+         |  SELECT s.sample_id, s.label, s.v, c.n
+         |  FROM sm s JOIN ccnt c USING (label) WHERE c.n <= 25
+         |), oknn AS (
+         |  SELECT label, sample_id, nidx, v, nv FROM (
+         |    SELECT a.label, a.sample_id, a.n, a.v, b.nn_id, b.nv, $knnDist AS dist,
+         |      row_number() OVER (PARTITION BY a.label, a.sample_id
+         |        ORDER BY $knnDist, b.nn_id) AS nidx
+         |    FROM o a JOIN (SELECT label, sample_id AS nn_id, v AS nv FROM o) b
+         |      ON b.label = a.label AND b.nn_id <> a.sample_id)
+         |  WHERE nidx <= least(5, n - 1)
+         |), oreps AS (
+         |  SELECT label, n, sample_id,
+         |    unnest(generate_series(1, cast(ceil(cast(25 AS double) / n) AS int))) AS r
+         |  FROM o
+         |), osyn AS (
+         |  SELECT p.label, p.sample_id, p.r, p.n, k.v, k.nv,
+         |    row_number() OVER (PARTITION BY p.label ORDER BY p.r, p.sample_id) AS rk
+         |  FROM oreps p JOIN oknn k ON k.label = p.label
+         |    AND k.sample_id = p.sample_id
+         |    AND k.nidx = (p.r - 1) % least(5, p.n - 1) + 1
+         |)
+         |SELECT sample_id, label, src, f0, f1, f2 FROM (
+         |  SELECT s.sample_id, s.label, 'under' AS src,
+         |         s.v[1] AS f0, s.v[2] AS f1, s.v[3] AS f2
+         |  FROM u s JOIN ukeep USING (sample_id)
+         |  UNION ALL
+         |  SELECT sample_id, label, 'orig', v[1], v[2], v[3] FROM o
+         |  UNION ALL
+         |  SELECT sample_id || ':s' || cast(r AS varchar), label, 'synth',
+         |         round((v[1] + nv[1]) / cast(2.0 AS double) + 1e-9, 4),
+         |         round((v[2] + nv[2]) / cast(2.0 AS double) + 1e-9, 4),
+         |         round((v[3] + nv[3]) / cast(2.0 AS double) + 1e-9, 4)
+         |  FROM osyn WHERE rk <= 25 - n
+         |  UNION ALL
+         |  SELECT s.sample_id, s.label, 'keep', v[1], v[2], v[3]
+         |  FROM sm s JOIN ccnt c USING (label) WHERE c.n > 25 AND c.n < 30
+         |) ORDER BY label, src, sample_id""".stripMargin
+  }
 
   // temporal-segmentation oracle: the optimal-partitioning DP replayed one
   // step per recursion (cs = the C(t) values so far, bpl = the argmin

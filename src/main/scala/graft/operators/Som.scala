@@ -97,6 +97,29 @@ object Som {
         col("dist"))
   }
 
+  /** Neighborhood smear (driver; numCodes² × dim): code_cd,j =
+    * Σ_bmu w·S / Σ_bmu w·n, bmu-ascending fold (kohonen_som.cpp:540-564:
+    * sums skip nothing here — complete vectors — weights count objects).
+    * A starved code (weighted denominator 0) keeps its previous vector.
+    */
+  private def smear(grid: Grid, wm: Array[Array[Double]],
+      s: Array[Array[Double]], n: Array[Long],
+      old: Array[Array[Double]], dim: Int): Array[Array[Double]] =
+    Array.tabulate(grid.numCodes) { c =>
+      var den = 0.0
+      var b = 0
+      while (b < grid.numCodes) { if (n(b) > 0) den += wm(b)(c) * n(b); b += 1 }
+      Array.tabulate(dim) { j =>
+        var num = 0.0
+        var bb = 0
+        while (bb < grid.numCodes) {
+          if (n(bb) > 0) num += wm(bb)(c) * s(bb)(j)
+          bb += 1
+        }
+        if (den > 0.0) r(num / den, 4) else old(c)(j)
+      }
+    }
+
   /** Batch-train the map; returns the final quantized codes. */
   def train(pred: DataFrame, grid: Grid, epochs: Int,
       r0: Double, r1: Double): Array[Array[Double]] = {
@@ -123,22 +146,74 @@ object Som {
         s(b)(row.getInt(1)) = row.getDouble(2)
         n(b) = row.getLong(3)
       }
-      // neighborhood smear (driver; numCodes² × dim): code_cd,j =
-      // Σ_bmu w·S / Σ_bmu w·n, bmu-ascending fold (kohonen_som.cpp:540-564:
-      // sums skip nothing here — complete vectors — weights count objects)
-      codes = Array.tabulate(grid.numCodes) { c =>
-        var den = 0.0
-        var b = 0
-        while (b < grid.numCodes) { if (n(b) > 0) den += wm(b)(c) * n(b); b += 1 }
-        Array.tabulate(dim) { j =>
-          var num = 0.0
-          var bb = 0
-          while (bb < grid.numCodes) {
-            if (n(bb) > 0) num += wm(bb)(c) * s(bb)(j)
-            bb += 1
-          }
-          if (den > 0.0) r(num / den, 4) else codes(c)(j)
+      codes = smear(grid, wm, s, n, codes, dim)
+    }
+    codes
+  }
+
+  /** BMU assignment against per-class code books: samples join their own
+    * class's codes only (label is the join key — broadcast; the codes
+    * relation is numClasses×numCodes rows, metadata-sized).
+    */
+  def assignPerClass(pred: DataFrame,
+      codes: Map[Int, Array[Array[Double]]]): DataFrame = {
+    val spark = pred.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cdf = codes.toSeq.flatMap { case (lbl, arr) =>
+      arr.zipWithIndex.map { case (cv, i) => (lbl, i + 1, cv.toSeq) }
+    }.toDF("label", "cid", "cv")
+    val scored = pred.join(broadcast(cdf), Seq("label"))
+      .withColumn("dist", round(sqrt(expr("graft_l2(v, cv)")) + lit(1e-9), 6))
+    val w = Window.partitionBy("sample_id").orderBy(col("dist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("sample_id"), col("label"), col("cid").as("id_neuron"),
+        col("dist"))
+  }
+
+  /** Batch-train ONE map PER integer class in a single pipeline: every
+    * epoch is still exactly one distributed scan + one map-side-combined
+    * aggregation for ALL classes together (the class id just joins the
+    * per-class grouping keys) — the `sits_reduce_imbalance` undersampling
+    * shape without a per-class driver loop (R/api_som.R:200-229 trains one
+    * SOM per class sequentially). Same quantized-iteration contract as
+    * [[train]]; init codes are each class's first numCodes samples in id
+    * order.
+    */
+  def trainPerClass(pred: DataFrame, grid: Grid, epochs: Int,
+      r0: Double, r1: Double): Map[Int, Array[Array[Double]]] = {
+    val dim = pred.select(size(col("v"))).head().getInt(0)
+    val w0 = Window.partitionBy("label").orderBy("sample_id")
+    var codes: Map[Int, Array[Array[Double]]] = pred
+      .withColumn("cid", row_number().over(w0))
+      .filter(col("cid") <= grid.numCodes)
+      .select(col("label"), col("cid"), col("v")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (lbl, rows) =>
+        val arr = Array.ofDim[Array[Double]](grid.numCodes)
+        rows.foreach(r => arr(r.getInt(1) - 1) = r.getSeq[Double](2).toArray)
+        require(!arr.contains(null),
+          s"SOM class $lbl needs >= ${grid.numCodes} samples")
+        lbl -> arr
+      }
+    for (m <- 0 until epochs) {
+      val wm = weights(grid, m, epochs, r0, r1)
+      val sums = assignPerClass(pred, codes)
+        .join(pred.select("sample_id", "v"), "sample_id")
+        .select(col("label"), col("id_neuron"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "id_neuron", "pos")
+        .agg(round(sum("x") + lit(1e-9), 4).as("sv"), count(lit(1)).as("n"))
+        .collect()
+      codes = codes.map { case (lbl, old) =>
+        val s = Array.ofDim[Double](grid.numCodes, dim)
+        val n = Array.ofDim[Long](grid.numCodes)
+        sums.filter(_.getInt(0) == lbl).foreach { row =>
+          val b = row.getInt(1) - 1
+          s(b)(row.getInt(2)) = row.getDouble(3)
+          n(b) = row.getLong(4)
         }
+        lbl -> smear(grid, wm, s, n, old, dim)
       }
     }
     codes

@@ -94,4 +94,28 @@ class SomSpec extends AnyFunSuite {
     assert(under.length == 2) // one per neuron, smallest sample_id first
     assert(under.map(_.getString(0)).toSet == Set("a", "d"))
   }
+
+  test("reduceImbalance: under-classes SOM-capped, over-classes filled to target, mid kept") {
+    // class 1: 40 samples in two tight value groups (≥ nUnder=30 → SOM);
+    // class 2: 3 samples (≤ nOver=6 → SMOTE to 6); class 3: 8 (pass-through)
+    val rows =
+      (0 until 40).map(i => (f"a$i%02d", 1, Seq((i % 2) * 100.0 + i / 2.0))) ++
+        Seq(("b0", 2, Seq(0.0)), ("b1", 2, Seq(4.0)), ("b2", 2, Seq(10.0))) ++
+        (0 until 8).map(i => (f"c$i%01d", 3, Seq(50.0 + i)))
+    val pred = rows.toDF("sample_id", "label", "v")
+    val out = graft.operators.Imbalance.reduceImbalance(pred,
+      nOver = 6, nUnder = 30).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(0), r.getDouble(3)))
+    val bySrc = out.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    // d = ceil(sqrt(30/4)) = 3 → 9 neurons × 4 ≤ 36; 40 samples in 2 value
+    // clusters land on few neurons → a real cap well below 40
+    assert(bySrc((1, "under")) <= 36 && bySrc((1, "under")) < 40)
+    assert(bySrc((2, "orig")) == 3 && bySrc((2, "synth")) == 3)
+    assert(bySrc((3, "keep")) == 8)
+    assert(!bySrc.contains((1, "orig")) && !bySrc.contains((3, "synth")))
+    // synthetic rep 1: midpoints toward each sample's nearest in-class
+    // neighbor — b0↔b1 midpoint 2.0 (both directions), b2→b1 midpoint 7.0
+    val synth = out.filter(t => t._2 == "synth").map(t => t._3 -> t._4).toMap
+    assert(synth == Map("b0:s1" -> 2.0, "b1:s1" -> 2.0, "b2:s1" -> 7.0))
+  }
 }
