@@ -56,13 +56,18 @@ object Imbalance {
     * where src ∈ under|orig|synth|keep and synthetic ids are
     * `origId:s&lt;rep&gt;`.
     */
-  def reduceImbalance(pred: DataFrame, nOver: Int, nUnder: Int,
+  def reduceImbalance(pred0: DataFrame, nOver: Int, nUnder: Int,
       epochs: Int = 2, r0: Double = 1.5, r1: Double = 1.0,
       perNeuron: Int = 4): DataFrame = {
     require(nUnder >= nOver,
       "reduce_imbalance: nUnder must be >= nOver (reference pre-condition)")
-    val spark = pred.sparkSession
+    val spark = pred0.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // sample-scale persist for the epoch loop only — the bounded result is
+    // eagerly localCheckpoint-ed and the cache released before returning
+    // (same no-escaping-handle contract as Predictors.normalizeQ)
+    val pred = pred0.persist()
+    try {
     val dim = pred.select(size(col("v"))).head().getInt(0)
     val d = math.ceil(math.sqrt(nUnder / 4.0)).toInt
     val grid = Som.Grid(d, d)
@@ -78,7 +83,7 @@ object Imbalance {
 
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (underL.nonEmpty) {
-      val up = pred.filter(col("label").isin(underL: _*)).persist()
+      val up = pred.filter(col("label").isin(underL: _*))
       val codes = Som.trainPerClass(up, grid, epochs, r0, r1)
       val w = Window.partitionBy("label", "id_neuron").orderBy("sample_id")
       val kept = Som.assignPerClass(up, codes)
@@ -88,7 +93,7 @@ object Imbalance {
     }
     if (overL.nonEmpty) {
       val op = pred.filter(col("label").isin(overL: _*))
-        .join(broadcast(counts), Seq("label")).persist()
+        .join(broadcast(counts), Seq("label"))
       parts += shape(op, "orig")
       val k = least(lit(5), col("n") - 1)
       val b = op.select(col("label"), col("sample_id").as("nn_id"),
@@ -116,7 +121,8 @@ object Imbalance {
             .as(s"f$i")): _*)
     }
     if (okL.nonEmpty) parts += shape(pred.filter(col("label").isin(okL: _*)), "keep")
-    parts.reduce(_ unionByName _)
+    parts.reduce(_ unionByName _).localCheckpoint(true)
+    } finally { pred.unpersist(); () }
   }
 
   def smoteOversample(feats: DataFrame, featureCols: Seq[String],
