@@ -40,8 +40,13 @@ object TierPipeline {
   private def manifestPath(outRoot: String, tier: String) =
     Paths.get(s"$outRoot/${tier}.manifest.jsonl")
 
-  /** Buckets with a committed manifest line for this snapshot. */
-  def committedBuckets(outRoot: String, tier: String, snapshotId: Long): Set[Int] = {
+  /** Buckets with a committed manifest line for this snapshot (and ingest
+    * window, when the tier is fed by windowed appends). Expiry tombstones do
+    * NOT uncommit a bucket: retention must never cause re-ingestion, so the
+    * resume diff keeps seeing expired windows as done.
+    */
+  def committedBuckets(outRoot: String, tier: String, snapshotId: Long,
+      window: Option[String] = None): Set[Int] = {
     val p = manifestPath(outRoot, tier)
     if (!Files.exists(p)) return Set.empty
     import scala.jdk.CollectionConverters._
@@ -49,23 +54,33 @@ object TierPipeline {
       .filter(l => l.contains("\"status\":\"committed\"") &&
         // trailing comma included: a bare substring match would let snapshot
         // 123 falsely match a line for snapshot 1234
-        l.contains(s""""snapshotId":$snapshotId,"""))
+        l.contains(s""""snapshotId":$snapshotId,""") &&
+        l.contains(s""""window":"${window.getOrElse("-")}""""))
       .flatMap { l =>
         """"bucket":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt)
       }.toSet
   }
 
-  private def appendManifests(outRoot: String, tier: String, jobId: String,
-      snapshotId: Long, buckets: Seq[Int], path: String, rowsIn: Long,
-      rowsOut: Long, wallMs: Long): Unit = {
-    val lines = buckets.map { b =>
-      s"""{"jobId":"$jobId","tier":"$tier","bucket":$b,"snapshotId":$snapshotId,""" +
-        s""""path":"$path","rowsIn":$rowsIn,"rowsOut":$rowsOut,"wallMs":$wallMs,"status":"committed"}"""
-    }
+  private def appendLines(outRoot: String, tier: String,
+      lines: Seq[String]): Unit = {
+    if (lines.isEmpty) return
     Files.createDirectories(Paths.get(outRoot))
     Files.write(manifestPath(outRoot, tier),
       (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def appendManifests(outRoot: String, tier: String, jobId: String,
+      snapshotId: Long, buckets: Seq[Int], path: String, rowsIn: Long,
+      rowsOut: Long, wallMs: Long, window: Option[String] = None,
+      minTs: Long = -1L, maxTs: Long = -1L): Unit = {
+    val lines = buckets.map { b =>
+      s"""{"jobId":"$jobId","tier":"$tier","bucket":$b,"snapshotId":$snapshotId,""" +
+        s""""path":"$path","window":"${window.getOrElse("-")}",""" +
+        s""""minTs":$minTs,"maxTs":$maxTs,""" +
+        s""""rowsIn":$rowsIn,"rowsOut":$rowsOut,"wallMs":$wallMs,"status":"committed"}"""
+    }
+    appendLines(outRoot, tier, lines)
   }
 
   /** Batch directories committed for this snapshot (manifest = table of
@@ -77,11 +92,105 @@ object TierPipeline {
     val p = manifestPath(outRoot, tier)
     if (!Files.exists(p)) return Nil
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala
-      .filter(l => l.contains("\"status\":\"committed\"") &&
+    val lines = Files.readAllLines(p).asScala
+    def paths(status: String) = lines
+      .filter(l => l.contains(s""""status":"$status"""") &&
         l.contains(s""""snapshotId":$snapshotId,"""))
       .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
-      .distinct.toSeq
+      .distinct
+    // retention tombstones hide a batch from readers WITHOUT uncommitting
+    // it (the resume diff must still see it as done — expiry ≠ missing)
+    (paths("committed") diff paths("expired")).toSeq
+  }
+
+  /** Paths tombstoned by [[expireBatches]] and not yet physically removed. */
+  private def expiredLivePaths(outRoot: String, tier: String): Seq[String] = {
+    val p = manifestPath(outRoot, tier)
+    if (!Files.exists(p)) return Nil
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(p).asScala
+    def paths(status: String) = lines
+      .filter(_.contains(s""""status":"$status""""))
+      .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
+      .distinct
+    (paths("expired") diff paths("vacuumed")).toSeq
+  }
+
+  /** Logical retention sweep ≙ TimescaleDB `drop_chunks` / Iceberg
+    * partition expiry, metadata-only: tombstone every committed batch of
+    * `tier` whose ENTIRE time range lies before `cutoffMs` (batches
+    * straddling the cutoff stay — retention is batch-aligned, so the drop
+    * is always a whole-partition delete, never a rewrite; at cluster scale
+    * this is an Iceberg metadata commit touching zero data files).
+    *
+    * `guardTier` is the coarser tier that must be FULLY committed first —
+    * fine data may only expire once it has been rolled up (the same
+    * stage-dependency gate the cascade uses); pass None only for terminal
+    * tiers with no downstream consumer.
+    *
+    * Returns the newly tombstoned paths. Idempotent: already-expired
+    * batches are skipped, so a crashed sweep just re-runs.
+    */
+  def expireBatches(outRoot: String, tier: String, snapshotId: Long,
+      cutoffMs: Long, guardTier: Option[String], nBuckets: Int): Seq[String] = {
+    guardTier.foreach { g =>
+      val done = committedBuckets(outRoot, g, snapshotId)
+      require((0 until nBuckets).forall(done.contains),
+        s"retention: guard tier $g is not fully committed for snapshot " +
+          s"$snapshotId (${done.size}/$nBuckets buckets) — refusing to " +
+          "expire un-rolled-up data")
+    }
+    val p = manifestPath(outRoot, tier)
+    if (!Files.exists(p)) return Nil
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(p).asScala
+    val already = lines.filter(_.contains(""""status":"expired""""))
+      .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSet
+    val victims = lines
+      .filter(l => l.contains(""""status":"committed"""") &&
+        l.contains(s""""snapshotId":$snapshotId,"""))
+      .flatMap { l =>
+        for {
+          path <- """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))
+          maxTs <- """"maxTs":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+          if maxTs >= 0 && maxTs < cutoffMs && !already(path)
+        } yield path
+      }.distinct.toSeq
+    appendLines(outRoot, tier, victims.map { path =>
+      s"""{"jobId":"retention-$tier-$snapshotId","tier":"$tier","bucket":-1,""" +
+        s""""snapshotId":$snapshotId,"path":"$path","window":"-",""" +
+        s""""cutoffMs":$cutoffMs,"status":"expired"}"""
+    })
+    victims
+  }
+
+  /** Physical retention sweep: delete batch directories tombstoned by
+    * [[expireBatches]] (two-phase, ≙ Iceberg `expire_snapshots` then
+    * `remove_orphan_files`) and record the deletion. Idempotent; refuses
+    * paths outside `outRoot` (a corrupted manifest must never become an
+    * arbitrary recursive delete).
+    */
+  def vacuumTier(outRoot: String, tier: String): Seq[String] = {
+    val rootAbs = Paths.get(outRoot).toAbsolutePath.normalize
+    val deleted = expiredLivePaths(outRoot, tier).flatMap { path =>
+      val dir = Paths.get(path).toAbsolutePath.normalize
+      require(dir.startsWith(rootAbs),
+        s"vacuum: $path escapes tier root $outRoot — refusing")
+      if (Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(Files.delete)
+        finally s.close()
+        Some(path)
+      } else Some(path) // dir already gone (crashed vacuum) — just record
+    }
+    appendLines(outRoot, tier, deleted.map { path =>
+      s"""{"jobId":"vacuum-$tier","tier":"$tier","bucket":-1,"snapshotId":-1,""" +
+        s""""path":"$path","window":"-","status":"vacuumed"}"""
+    })
+    deleted
   }
 
   /** The tier's file_info relation ≙ the reference's per-cube `file_info`
@@ -94,8 +203,11 @@ object TierPipeline {
       snapshotId: Long): DataFrame = {
     val p = manifestPath(outRoot, tier)
     require(Files.exists(p), s"tier $tier has no manifest at $p")
-    spark.read.json(p.toString)
-      .filter(col("status") === "committed" && col("snapshotId") === snapshotId)
+    val all = spark.read.json(p.toString)
+    // the catalog lists LIVE files: committed minus retention tombstones
+    val expired = all.filter(col("status") === "expired").select("path")
+    all.filter(col("status") === "committed" && col("snapshotId") === snapshotId)
+      .join(expired, Seq("path"), "left_anti")
   }
 
   /** Read a tier as of a snapshot: only manifest-committed batches. */
@@ -193,32 +305,48 @@ object TierPipeline {
     */
   def runTier(spark: SparkSession, outRoot: String, tier: String,
       snapshot: Long, nBuckets: Int, df: DataFrame,
-      limitBuckets: Option[Int] = None): TierRun = {
-    val done = committedBuckets(outRoot, tier, snapshot)
+      limitBuckets: Option[Int] = None,
+      window: Option[String] = None): TierRun = {
+    window.foreach(w => require(w.matches("[A-Za-z0-9_-]+"),
+      s"runTier: window tag '$w' must be [A-Za-z0-9_-]+ (it names a dir " +
+        "and a manifest field)"))
+    val done = committedBuckets(outRoot, tier, snapshot, window)
     val wanted = (0 until nBuckets).filterNot(done.contains)
     val todo = limitBuckets.map(wanted.take).getOrElse(wanted)
     if (todo.isEmpty) return TierRun(tier, Nil, done.toSeq.sorted, 0, 0)
     val t0 = System.nanoTime()
-    // one BATCH DIRECTORY per (snapshot, bucket-set) commit, plain parquet
-    // with `bucket` as an ordinary column. NOT partitionBy(bucket): Spark's
-    // dynamic-partitioned write sorts every task's rows by partition key and
-    // opens tasks×buckets tiny files — measured 2.5× the plain write and it
-    // got WORSE with more cores. The deterministic dir name makes retries
-    // idempotent (a re-run of the same bucket set overwrites the same dir);
-    // readers only see batches listed in the manifest.
-    val batchDir = s"$outRoot/$tier/b_${snapshot}_${todo.min}_${todo.size}"
-    // row metrics ride ON the write job (Observation API) — no second scan
+    // one BATCH DIRECTORY per (snapshot, window, bucket-set) commit, plain
+    // parquet with `bucket` as an ordinary column. NOT partitionBy(bucket):
+    // Spark's dynamic-partitioned write sorts every task's rows by partition
+    // key and opens tasks×buckets tiny files — measured 2.5× the plain write
+    // and it got WORSE with more cores. The deterministic dir name makes
+    // retries idempotent (a re-run of the same bucket set overwrites the
+    // same dir); readers only see batches listed in the manifest.
+    val wTag = window.map(w => s"w${w}_").getOrElse("")
+    val batchDir = s"$outRoot/$tier/b_${snapshot}_$wTag${todo.min}_${todo.size}"
+    // row + time-range metrics ride ON the write job (Observation API — no
+    // second scan); the batch's [minTs,maxTs] feeds the retention sweep
     val obs = org.apache.spark.sql.Observation(s"tier-$tier")
     val hasN = df.columns.contains("n")
+    val timeCol = Seq("bucket_ts", "start_ts").find(df.columns.contains)
+    val (mntAgg, mxtAgg) = timeCol match {
+      case Some(tc) => (min(unix_millis(col(tc))), max(unix_millis(col(tc))))
+      case None     => (min(lit(-1L)), max(lit(-1L)))
+    }
     val part = df.filter(col("bucket").isin(todo: _*))
       .observe(obs, count(lit(1)).as("out"),
-        (if (hasN) sum(col("n")) else max(lit(-1L))).as("in"))
+        (if (hasN) sum(col("n")) else max(lit(-1L))).as("in"),
+        mntAgg.as("mnt"), mxtAgg.as("mxt"))
     part.write.mode(SaveMode.Overwrite).parquet(batchDir)
     val rowsOut = obs.get("out").asInstanceOf[Long]
-    val rowsIn = obs.get("in").asInstanceOf[Long]
+    // empty bucket-set write → null aggregates (min/max/sum over 0 rows)
+    def ts(k: String): Long =
+      Option(obs.get(k)).map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val rowsIn = ts("in")
     val wallMs = (System.nanoTime() - t0) / 1000000
     appendManifests(outRoot, tier, s"job-$tier-$snapshot", snapshot, todo,
-      batchDir, rowsIn = rowsIn, rowsOut = rowsOut, wallMs = wallMs)
+      batchDir, rowsIn = rowsIn, rowsOut = rowsOut, wallMs = wallMs,
+      window = window, minTs = ts("mnt"), maxTs = ts("mxt"))
     TierRun(tier, todo, done.toSeq.sorted, rowsIn, rowsOut)
   }
 

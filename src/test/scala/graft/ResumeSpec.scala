@@ -116,7 +116,7 @@ class ResumeSpec extends AnyFunSuite {
     val out = freshDir("snap")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/1h-state.manifest.jsonl"),
-      """{"jobId":"j","tier":"1h-state","bucket":0,"snapshotId":1234,"path":"/x","rowsIn":1,"rowsOut":1,"wallMs":1,"status":"committed"}""" + "\n")
+      """{"jobId":"j","tier":"1h-state","bucket":0,"snapshotId":1234,"path":"/x","window":"-","minTs":-1,"maxTs":-1,"rowsIn":1,"rowsOut":1,"wallMs":1,"status":"committed"}""" + "\n")
     assert(TierPipeline.committedBuckets(out, "1h-state", 1234L) == Set(0))
     assert(TierPipeline.committedBuckets(out, "1h-state", 123L).isEmpty,
       "decimal-prefix snapshot id wrongly matched")

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.runtime.TierPipeline
+
+/** Retention layer (north rule: "rollup + downsample + RETENTION system"):
+  * windowed ingestion commits carry their batch time range in the
+  * manifest; expireBatches tombstones whole batches entirely before the
+  * cutoff (metadata-only, guarded on the coarser tier); vacuumTier
+  * physically deletes tombstoned dirs. Expiry must never un-commit: a
+  * resumed ingest of an expired window is a no-op, not a rewrite.
+  */
+class RetentionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val day1Ms = 1704067200000L // 2024-01-01T00:00:00Z
+  private val day2Ms = day1Ms + 86400000L
+
+  private def dayDf(startMs: Long) =
+    (0 until 24).flatMap(h => Seq("ca", "cb").map(c =>
+      (c, new java.sql.Timestamp(startMs + h * 3600000L), h.toDouble)))
+      .toDF("conv_id", "bucket_ts", "value")
+      .withColumn("bucket", TierPipeline.bucketCol(4))
+
+  test("windowed ingest → guarded expiry → vacuum; expiry never re-ingests") {
+    val out = java.nio.file.Files.createTempDirectory("retention").toString
+    val snap = 7L
+
+    // two daily ingest windows into the same tier
+    val r1 = TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+      dayDf(day1Ms), window = Some("d1"))
+    val r2 = TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+      dayDf(day2Ms), window = Some("d2"))
+    assert(r1.processed.nonEmpty && r2.processed.nonEmpty)
+    assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 96)
+
+    // windowed resume: each window's buckets are committed independently
+    val r1b = TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+      dayDf(day1Ms), window = Some("d1"))
+    assert(r1b.processed.isEmpty && r1b.skipped.sorted == Seq(0, 1, 2, 3))
+
+    // guard: refuse to expire while the coarser tier is missing
+    intercept[IllegalArgumentException] {
+      TierPipeline.expireBatches(out, "1h-state", snap, day2Ms,
+        guardTier = Some("1d-state"), nBuckets = 4)
+    }
+
+    // commit the coarser tier (roll-up of everything), then expire day 1
+    TierPipeline.runTier(spark, out, "1d-state", snap, 4,
+      dayDf(day1Ms), window = None)
+    val expired = TierPipeline.expireBatches(out, "1h-state", snap, day2Ms,
+      guardTier = Some("1d-state"), nBuckets = 4)
+    assert(expired.size == 1 && expired.head.contains("wd1"))
+
+    // readers + catalog see only the live window; day-2 batch straddles
+    // nothing (maxTs >= cutoff) and stays
+    val live = TierPipeline.readTier(spark, out, "1h-state", snap)
+    assert(live.count() == 48)
+    assert(live.agg(min(unix_millis(col("bucket_ts")))).head.getLong(0) == day2Ms)
+    val cat = TierPipeline.fileInfo(spark, out, "1h-state", snap)
+      .select("path").distinct().as[String].collect()
+    assert(cat.length == 1 && cat.head.contains("wd2"))
+
+    // idempotent sweep
+    assert(TierPipeline.expireBatches(out, "1h-state", snap, day2Ms,
+      guardTier = Some("1d-state"), nBuckets = 4).isEmpty)
+
+    // expiry is not un-commitment: re-running window d1 is STILL a no-op
+    val r1c = TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+      dayDf(day1Ms), window = Some("d1"))
+    assert(r1c.processed.isEmpty, "expired window was re-ingested")
+
+    // physical vacuum removes exactly the tombstoned dir, idempotently
+    val deleted = TierPipeline.vacuumTier(out, "1h-state")
+    assert(deleted == expired)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(deleted.head)))
+    assert(TierPipeline.vacuumTier(out, "1h-state").isEmpty)
+    assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 48)
+  }
+
+  test("vacuum refuses manifest paths that escape the tier root") {
+    val out = java.nio.file.Files.createTempDirectory("retention2").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/x.manifest.jsonl"),
+      s"""{"jobId":"j","tier":"x","bucket":0,"snapshotId":1,"path":"/etc/passwd","window":"-","minTs":0,"maxTs":1,"rowsIn":1,"rowsOut":1,"wallMs":1,"status":"committed"}
+         |{"jobId":"r","tier":"x","bucket":-1,"snapshotId":1,"path":"/etc/passwd","window":"-","cutoffMs":2,"status":"expired"}
+         |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      TierPipeline.vacuumTier(out, "x")
+    }
+  }
+}
