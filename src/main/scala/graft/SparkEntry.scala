@@ -755,6 +755,17 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // benchmark decontamination: docs with doc_id % 17 == 0 act as the held
+    // benchmark corpus; the rest are training docs scored by 3-gram overlap
+    "txt_decontam" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.decontaminate(
+        d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0)).orderBy("doc_id")
+    }),
+    // Gopher repetition metrics (dup-word / top-word / dup-2,3-gram fractions)
+    "txt_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(documents(s, dir)).orderBy("doc_id")),
     // top-k search ON the int8-quantized vectors: integer dot products,
     // bit-exact ranking across engines
     "ann_quant_topk" -> ((s, dir) =>
@@ -2515,6 +2526,55 @@ private object Oracles {
           |SELECT doc_id, count(*) AS n_tri, round(avg(lp) + 1e-9, 4) AS lm_score
           |FROM tris JOIN lp USING (tri)
           |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    // benchmark decontamination: distinct 3-gram overlap vs the doc_id%17
+    // benchmark slice; sum(CASE) is HUGEINT in DuckDB → cast to BIGINT
+    "txt_decontam" ->
+      ("""WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |), g AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(generate_series(1, len(ws) - 2), i ->
+          |      array_to_string(ws[cast(i AS int):cast(i + 2 AS int)], ' '))) AS gs
+          |  FROM d WHERE len(ws) >= 3
+          |), bench AS (
+          |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 17 = 0
+          |), train AS (
+          |  SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 17 <> 0
+          |), j AS (
+          |  SELECT t.doc_id, count(*) AS n_gram,
+          |    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          |  FROM train t LEFT JOIN bench b USING (gram)
+          |  GROUP BY t.doc_id
+          |)
+          |SELECT doc_id, n_gram, n_hit,
+          |  round(cast(n_hit AS double) / n_gram + 1e-9, 4) AS contam_ratio,
+          |  cast(n_hit AS double) / n_gram >= 0.5 AS contaminated
+          |FROM j ORDER BY doc_id""".stripMargin),
+    // Gopher repetition metrics: integer counts per doc, int/int ratios
+    // (exact-rounding in both engines)
+    "txt_repetition" ->
+      ("""WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |), c AS (
+          |  SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_dist,
+          |    list_max(list_transform(list_distinct(ws), w ->
+          |      len(list_filter(ws, x -> x = w)))) AS max_c,
+          |    list_transform(generate_series(1, len(ws) - 1), i ->
+          |      ws[cast(i AS int)] || ' ' || ws[cast(i + 1 AS int)]) AS g2,
+          |    list_transform(generate_series(1, len(ws) - 2), i ->
+          |      array_to_string(ws[cast(i AS int):cast(i + 2 AS int)], ' ')) AS g3
+          |  FROM d
+          |)
+          |SELECT doc_id, n_tok, n_dist, max_c,
+          |  round(cast(n_tok - n_dist AS double) / n_tok + 1e-9, 4) AS frac_dup_word,
+          |  round(cast(max_c AS double) / n_tok + 1e-9, 4) AS frac_top_word,
+          |  CASE WHEN len(g2) > 0
+          |    THEN round(cast(len(g2) - len(list_distinct(g2)) AS double) / len(g2) + 1e-9, 4)
+          |    ELSE cast(0.0 AS double) END AS frac_dup_2g,
+          |  CASE WHEN len(g3) > 0
+          |    THEN round(cast(len(g3) - len(list_distinct(g3)) AS double) / len(g3) + 1e-9, 4)
+          |    ELSE cast(0.0 AS double) END AS frac_dup_3g
+          |FROM c ORDER BY doc_id""".stripMargin),
     "mm_features" ->
       // height derives from the FIRST UTF-8 BYTE of the payload (the Spark
       // stub reads bytes(0) & 0xff) — ascii() would give the first CODEPOINT

@@ -169,6 +169,97 @@ object TextAnalysis {
       size(split(col("text"), " ")).as("n_words"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe"))
 
+  /** Distinct word n-gram set per document as (doc_id, gram) rows. Typed
+    * kernel: HOF gram construction (`transform(sequence(...))`) interprets a
+    * lambda per position; one compiled pass per doc is the hot-path shape.
+    * Docs with fewer than n tokens have no gram and produce no row (both
+    * engines drop them).
+    */
+  private def gramSet(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        if (ws.length < n) Iterator.empty
+        else {
+          val set = scala.collection.mutable.LinkedHashSet[String]()
+          var i = 0
+          while (i <= ws.length - n) { set += ws.slice(i, i + n).mkString(" "); i += 1 }
+          set.iterator.map(g => (id, g))
+        }
+      }.toDF("doc_id", "gram")
+  }
+
+  /** Benchmark decontamination by word n-gram overlap (the GPT-3
+    * appendix-C / Dolma pipeline stage): a training document is contaminated
+    * when the fraction of its distinct n-grams that also occur anywhere in
+    * the benchmark corpus reaches `thresh`. The benchmark gram vocabulary is
+    * distinct-aggregated and BROADCAST — eval benchmarks are tiny next to a
+    * pretraining corpus, so at 100 TB the training side touches no shuffle
+    * beyond its own per-doc count aggregate (map-side combined). Output per
+    * training doc: distinct-gram count, benchmark-hit count, overlap ratio,
+    * contaminated flag.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 3,
+                    thresh: Double = 0.5): DataFrame = {
+    val bg = gramSet(bench, n).select(col("gram")).distinct()
+    gramSet(train, n)
+      .join(broadcast(bg.withColumn("hit", lit(1L))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_gram"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_gram"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_gram") + lit(1e-9), 4)
+          .as("contam_ratio"),
+        (col("n_hit").cast("double") / col("n_gram") >= thresh).as("contaminated"))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, table A1): per-doc
+    * duplicate-word fraction, top-word fraction, and duplicate 2-/3-gram
+    * fractions — the standard repetitious-text filter. One typed pass emits
+    * integer counts; the ratios and rounding stay in Catalyst so the float
+    * boundary matches the oracle (int/int division is exact-rounding in both
+    * engines). Shuffle-free. Docs with no 2-/3-gram score 0.0 there.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val n = ws.length
+        val wc = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < n) { wc.merge(ws(i), 1, Integer.sum); i += 1 }
+        var maxC = 0
+        val it = wc.values().iterator()
+        while (it.hasNext) { val c = it.next(); if (c > maxC) maxC = c }
+        def gramCounts(g: Int): (Int, Int) = {
+          val total = math.max(n - g + 1, 0)
+          val set = new java.util.HashSet[String]()
+          var i = 0
+          while (i <= n - g) { set.add(ws.slice(i, i + g).mkString(" ")); i += 1 }
+          (total, set.size)
+        }
+        val (n2, d2) = gramCounts(2)
+        val (n3, d3) = gramCounts(3)
+        (id, n, wc.size, maxC, n2, d2, n3, d3)
+      }.toDF("doc_id", "n_tok", "n_dist", "max_c", "n_g2", "d_g2", "n_g3", "d_g3")
+    def dupFrac(tot: String, dist: String) =
+      when(col(tot) > 0,
+        round((col(tot) - col(dist)).cast("double") / col(tot) + lit(1e-9), 4))
+        .otherwise(lit(0.0))
+    counts.select(col("doc_id"), col("n_tok"), col("n_dist"), col("max_c"),
+      round((col("n_tok") - col("n_dist")).cast("double") / col("n_tok") + lit(1e-9), 4)
+        .as("frac_dup_word"),
+      round(col("max_c").cast("double") / col("n_tok") + lit(1e-9), 4)
+        .as("frac_top_word"),
+      dupFrac("n_g2", "d_g2").as("frac_dup_2g"),
+      dupFrac("n_g3", "d_g3").as("frac_dup_3g"))
+  }
+
   /** Rolling-hash document fingerprinting by WINNOWING (Schleimer et al.,
     * SIGMOD'03): hash every k-char gram of the normalized text (first 4
     * md5 bytes as an unsigned 32-bit value — engine-reproducible), take the

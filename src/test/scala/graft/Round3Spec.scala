@@ -370,4 +370,38 @@ class Round3Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("repetition metrics: hand-worked dup-word/top-word/dup-gram fractions") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getInt(1) == 5 && d1.getInt(2) == 3 && d1.getInt(3) == 2)
+    assert(d1.getDouble(4) == 0.4)    // dup words: (5-3)/5
+    assert(d1.getDouble(5) == 0.4)    // top word "a" or "b": 2/5
+    assert(d1.getDouble(6) == 0.25)   // 2-grams: "a b" repeats → 1/4
+    assert(d1.getDouble(7) == 0.0)    // 3-grams all distinct
+    val d2 = out(2L)                  // single token: no 2-/3-grams → 0.0
+    assert(d2.getInt(1) == 1 && d2.getDouble(4) == 0.0 &&
+      d2.getDouble(5) == 1.0 && d2.getDouble(6) == 0.0 && d2.getDouble(7) == 0.0)
+  }
+
+  test("decontaminate: exact dup flagged, partial overlap scored, short docs dropped") {
+    import graft.operators.TextAnalysis
+    val bench = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e"),   // identical → ratio 1.0
+      (2L, "z y x w v"),   // disjoint → ratio 0.0
+      (3L, "a b c z z"),   // shares only "a b c" → 1/3
+      (4L, "a b")          // < 3 tokens → no grams, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, bench).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L).getDouble(3) == 1.0 && out(1L).getBoolean(4))
+    assert(out(2L).getDouble(3) == 0.0 && !out(2L).getBoolean(4))
+    assert(out(3L).getLong(1) == 3 && out(3L).getLong(2) == 1 &&
+      out(3L).getDouble(3) == 0.3333 && !out(3L).getBoolean(4))
+  }
 }
