@@ -42,4 +42,104 @@ object Exports {
     spark.read.schema(schema).option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .csv(path)
+
+  /** XLSX export ≙ `sits_to_xlsx` (R/sits_xlsx.R:110-160): one worksheet per
+    * accuracy/confusion relation. The reference writes these via openxlsx
+    * from driver-resident accuracy objects; the analog is a GUARDED collect
+    * (accuracy tables are classes², sampling designs are label-count-sized —
+    * never data-scale; `maxRows` makes the bound explicit and loud). The
+    * workbook is written dependency-free as minimal OOXML: a zip of five XML
+    * parts with inline strings — readable by Excel/LibreOffice/openpyxl.
+    * Numbers stay typed numeric cells, booleans typed boolean, everything
+    * else an escaped inline string; row 1 carries the column headers.
+    */
+  def toXlsx(sheets: Seq[(String, DataFrame)], path: String,
+      maxRows: Int = 100000): Unit = {
+    require(sheets.nonEmpty, "toXlsx: no sheets")
+    val collected = sheets.map { case (name, df) =>
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"toXlsx sheet '$name' exceeds maxRows=$maxRows — xlsx export is for " +
+          "summary relations; use parquet/csv for data-scale output")
+      (name, df.columns.toSeq, rows)
+    }
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    def colRef(i: Int): String = { // 0-based index → A, B, …, Z, AA, …
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def cell(ref: String, v: Any): String = v match {
+      case null => ""
+      case n: Byte => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: java.math.BigDecimal => s"""<c r="$ref"><v>$n</v></c>"""
+      case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case s => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s.toString)}</t></is></c>"""
+    }
+    def sheetXml(cols: Seq[String], rows: Array[org.apache.spark.sql.Row]): String = {
+      val sb = new StringBuilder
+      sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+      sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+      sb ++= s"""<row r="1">${cols.zipWithIndex.map { case (c, i) =>
+        cell(s"${colRef(i)}1", c) }.mkString}</row>"""
+      rows.zipWithIndex.foreach { case (r, ri) =>
+        val rn = ri + 2
+        sb ++= s"""<row r="$rn">"""
+        cols.indices.foreach(ci => sb ++= cell(s"${colRef(ci)}$rn", r.get(ci)))
+        sb ++= "</row>"
+      }
+      sb ++= "</sheetData></worksheet>"
+      sb.toString
+    }
+    val names = collected.zipWithIndex.map { case ((name, _, _), i) =>
+      val clean = name.replaceAll("[\\\\/?*\\[\\]:]", "_").take(31)
+      if (clean.isEmpty) s"sheet${i + 1}" else clean
+    }
+    require(names.distinct.length == names.length,
+      s"toXlsx: duplicate sheet names after cleaning: $names")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      val n = collected.length
+      part("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
+        "</Types>")
+      part("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        "</Relationships>")
+      part("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        names.zipWithIndex.map { case (nm, i) =>
+          s"""<sheet name="${esc(nm)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""" }.mkString +
+        "</sheets></workbook>")
+      part("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
+        "</Relationships>")
+      collected.zipWithIndex.foreach { case ((_, cols, rows), i) =>
+        part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(cols, rows))
+      }
+    } finally zos.close()
+  }
 }

@@ -404,4 +404,60 @@ class Round3Spec extends AnyFunSuite {
     assert(out(3L).getLong(1) == 3 && out(3L).getLong(2) == 1 &&
       out(3L).getDouble(3) == 0.3333 && !out(3L).getBoolean(4))
   }
+
+  test("xlsx export: two-sheet workbook round-trips values/types through a standard XML parse") {
+    import graft.sources.Exports
+    val acc = Seq(("crop", 41L, 0.9318, true), ("forest", 7L, 0.5, false))
+      .toDF("label", "n", "acc", "ok")
+    val summary = Seq((1, "a<b&\"c\">"), (2, null.asInstanceOf[String]))
+      .toDF("id", "note")
+    val path = java.nio.file.Files.createTempDirectory("xlsx").resolve("acc.xlsx").toString
+    Exports.toXlsx(Seq("accuracy" -> acc, "summary/long name that exceeds the 31-char sheet cap" -> summary), path)
+
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val entries = Iterator.continually(zf.entries())
+        .take(1).flatMap(e => Iterator.continually(e).takeWhile(_.hasMoreElements).map(_.nextElement().getName)).toSet
+      assert(Set("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml",
+        "xl/worksheets/sheet2.xml").subsetOf(entries))
+      def parse(name: String) = {
+        val db = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        db.parse(zf.getInputStream(zf.getEntry(name)))
+      }
+      // workbook: sheet names present, long one truncated to 31 chars with / cleaned
+      val wb = parse("xl/workbook.xml")
+      val sheetNames = {
+        val ns = wb.getElementsByTagName("sheet")
+        (0 until ns.getLength).map(i => ns.item(i).getAttributes.getNamedItem("name").getNodeValue)
+      }
+      assert(sheetNames == Seq("accuracy", "summary_long name that exceeds "))
+      // sheet1: header row + typed cells
+      val s1 = parse("xl/worksheets/sheet1.xml")
+      val rows = s1.getElementsByTagName("row")
+      assert(rows.getLength == 3)
+      def cells(r: org.w3c.dom.Node): Seq[org.w3c.dom.Element] = {
+        val ch = r.getChildNodes
+        (0 until ch.getLength).map(ch.item).collect { case e: org.w3c.dom.Element => e }
+      }
+      val hdr = cells(rows.item(0)).map(_.getTextContent)
+      assert(hdr == Seq("label", "n", "acc", "ok"))
+      val r1 = cells(rows.item(1))
+      assert(r1.map(_.getTextContent) == Seq("crop", "41", "0.9318", "1"))
+      assert(r1(0).getAttribute("t") == "inlineStr" && r1(1).getAttribute("t") == "" &&
+        r1(3).getAttribute("t") == "b")
+      // sheet2: XML escaping survives, null → empty cell
+      val s2 = parse("xl/worksheets/sheet2.xml")
+      val r2 = s2.getElementsByTagName("row")
+      assert(cells(r2.item(1)).map(_.getTextContent) == Seq("1", "a<b&\"c\">"))
+      assert(cells(r2.item(2)).map(_.getTextContent) == Seq("2")) // null cell omitted
+    } finally zf.close()
+
+    // guarded collect: data-scale relations refuse loudly
+    val big = spark.range(200).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Exports.toXlsx(Seq("big" -> big), path, maxRows = 100)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
 }
