@@ -98,9 +98,10 @@ object TierPipeline {
         l.contains(s""""snapshotId":$snapshotId,"""))
       .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
       .distinct
-    // retention tombstones hide a batch from readers WITHOUT uncommitting
-    // it (the resume diff must still see it as done — expiry ≠ missing)
-    (paths("committed") diff paths("expired")).toSeq
+    // retention/compaction tombstones hide a batch from readers WITHOUT
+    // uncommitting it (the resume diff must still see it as done —
+    // expiry/rewrite ≠ missing)
+    (paths("committed") diff (paths("expired") ++ paths("compacted"))).toSeq
   }
 
   /** Paths tombstoned by [[expireBatches]] and not yet physically removed. */
@@ -113,7 +114,7 @@ object TierPipeline {
       .filter(_.contains(s""""status":"$status""""))
       .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
       .distinct
-    (paths("expired") diff paths("vacuumed")).toSeq
+    ((paths("expired") ++ paths("compacted")).distinct diff paths("vacuumed")).toSeq
   }
 
   /** Logical retention sweep ≙ TimescaleDB `drop_chunks` / Iceberg
@@ -144,7 +145,11 @@ object TierPipeline {
     if (!Files.exists(p)) return Nil
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(p).asScala
-    val already = lines.filter(_.contains(""""status":"expired""""))
+    // a path already tombstoned — by retention OR by compaction (whose
+    // replaced dirs are dead to readers and must not re-enter the sweep) —
+    // is not a fresh victim
+    val already = lines.filter(l => l.contains(""""status":"expired"""") ||
+        l.contains(""""status":"compacted""""))
       .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
       .toSet
     val victims = lines
@@ -193,6 +198,81 @@ object TierPipeline {
     deleted
   }
 
+  /** Compact a tier's committed batch dirs into ONE consolidated batch ≙
+    * Iceberg `rewrite_data_files` (bin-packing compaction). The small-file
+    * problem is the operational failure mode of long-lived windowed ingest:
+    * at 10^12 turns a per-window commit cadence leaves thousands of small
+    * batch dirs per tier and tier scans become file-open bound. The rewrite
+    * reads only manifest-committed live batches of the snapshot, writes one
+    * new batch dir, and swaps the manifest in a SINGLE append — replayed
+    * `committed` lines (one per source (bucket, window), now pointing at
+    * the consolidated path) plus one `compacted` tombstone per source path,
+    * the miniature of Iceberg's atomic manifest-list pointer swap: readers
+    * see the old set or the new set, never both, and the resume diff keeps
+    * seeing every (bucket, window) as done. [[vacuumTier]] physically
+    * removes the replaced dirs exactly like retention tombstones.
+    *
+    * The consolidated lines carry the batch's GLOBAL [minTs,maxTs], so
+    * retention keeps its whole-batch-only delete invariant: a compacted
+    * batch expires only when ALL of it is past the cutoff (compaction
+    * deliberately coarsens retention granularity — compact tiers whose
+    * retention horizon is far away, the same guidance Iceberg gives).
+    *
+    * Idempotent/crash-safe: the consolidated dir name is deterministic; a
+    * crash before the manifest append leaves it invisible and the re-run
+    * overwrites it; a re-run after the append sees it live and no-ops.
+    * Returns the consolidated path, or None when ≤1 live batch (nothing to
+    * merge).
+    */
+  def compactTier(spark: SparkSession, outRoot: String, tier: String,
+      snapshotId: Long): Option[String] = {
+    val live = committedPaths(outRoot, tier, snapshotId)
+    val target = s"$outRoot/$tier/compact_$snapshotId"
+    if (live.contains(target)) return Some(target) // already compacted
+    if (live.size <= 1) return None
+    val t0 = System.nanoTime()
+    // the (bucket, window) commits being replayed onto the consolidated path
+    import scala.jdk.CollectionConverters._
+    val srcLines = Files.readAllLines(manifestPath(outRoot, tier)).asScala
+      .filter(l => l.contains(""""status":"committed"""") &&
+        l.contains(s""""snapshotId":$snapshotId,"""))
+    val liveSet = live.toSet
+    val commits = srcLines.flatMap { l =>
+      for {
+        path <- """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))
+        if liveSet(path)
+        bucket <- """"bucket":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt)
+        window <- """"window":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1))
+      } yield (bucket, window)
+    }.distinct
+    val src = spark.read.parquet(live: _*)
+    val timeCol = Seq("bucket_ts", "start_ts").find(src.columns.contains)
+    val (mntAgg, mxtAgg) = timeCol match {
+      case Some(tc) => (min(unix_millis(col(tc))), max(unix_millis(col(tc))))
+      case None     => (min(lit(-1L)), max(lit(-1L)))
+    }
+    val obs = org.apache.spark.sql.Observation(s"compact-$tier")
+    src.observe(obs, count(lit(1)).as("out"), mntAgg.as("mnt"), mxtAgg.as("mxt"))
+      .write.mode(SaveMode.Overwrite).parquet(target)
+    val rows = obs.get("out").asInstanceOf[Long]
+    def ts(k: String): Long =
+      Option(obs.get(k)).map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // ONE append = the atomic swap: replayed commits + source tombstones
+    val newLines = commits.map { case (b, w) =>
+      s"""{"jobId":"compact-$tier-$snapshotId","tier":"$tier","bucket":$b,""" +
+        s""""snapshotId":$snapshotId,"path":"$target","window":"$w",""" +
+        s""""minTs":${ts("mnt")},"maxTs":${ts("mxt")},""" +
+        s""""rowsIn":$rows,"rowsOut":$rows,"wallMs":$wallMs,"status":"committed"}"""
+    } ++ live.map { path =>
+      s"""{"jobId":"compact-$tier-$snapshotId","tier":"$tier","bucket":-1,""" +
+        s""""snapshotId":$snapshotId,"path":"$path","window":"-",""" +
+        s""""status":"compacted"}"""
+    }
+    appendLines(outRoot, tier, newLines.toSeq)
+    Some(target)
+  }
+
   /** The tier's file_info relation ≙ the reference's per-cube `file_info`
     * tibble (api_file_info.R:67-85 — the queryable table of data files):
     * one row per committed manifest entry for the snapshot, with lineage
@@ -204,10 +284,11 @@ object TierPipeline {
     val p = manifestPath(outRoot, tier)
     require(Files.exists(p), s"tier $tier has no manifest at $p")
     val all = spark.read.json(p.toString)
-    // the catalog lists LIVE files: committed minus retention tombstones
-    val expired = all.filter(col("status") === "expired").select("path")
+    // the catalog lists LIVE files: committed minus retention/compaction
+    // tombstones
+    val hidden = all.filter(col("status").isin("expired", "compacted")).select("path")
     all.filter(col("status") === "committed" && col("snapshotId") === snapshotId)
-      .join(expired, Seq("path"), "left_anti")
+      .join(hidden, Seq("path"), "left_anti")
   }
 
   /** Read a tier as of a snapshot: only manifest-committed batches. */

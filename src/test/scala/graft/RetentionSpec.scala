@@ -80,6 +80,61 @@ class RetentionSpec extends AnyFunSuite {
     assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 48)
   }
 
+  test("compaction: many windowed batches → one batch; rows identical, resume intact, vacuum reclaims") {
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    val snap = 9L
+    // five windowed ingest commits = five small batch dirs
+    (0 until 5).foreach { d =>
+      TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+        dayDf(day1Ms + d * 86400000L), window = Some(s"d$d"))
+    }
+    val before = TierPipeline.readTier(spark, out, "1h-state", snap)
+      .collect().map(_.toString).sorted
+    assert(before.length == 5 * 48)
+    assert(TierPipeline.committedPaths(out, "1h-state", snap).size == 5)
+
+    // compact → exactly one live path, same rows
+    val target = TierPipeline.compactTier(spark, out, "1h-state", snap)
+    assert(target.exists(_.contains("compact_9")))
+    val livePaths = TierPipeline.committedPaths(out, "1h-state", snap)
+    assert(livePaths == Seq(target.get), s"live paths after compact: $livePaths")
+    val after = TierPipeline.readTier(spark, out, "1h-state", snap)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction changed the row set")
+
+    // catalog shows only the consolidated batch
+    val cat = TierPipeline.fileInfo(spark, out, "1h-state", snap)
+      .select("path").distinct().as[String].collect()
+    assert(cat.toSeq == Seq(target.get))
+
+    // resume diff still sees every (bucket, window) as done — rewrite ≠ missing
+    (0 until 5).foreach { d =>
+      val r = TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+        dayDf(day1Ms + d * 86400000L), window = Some(s"d$d"))
+      assert(r.processed.isEmpty, s"window d$d was re-ingested after compaction")
+    }
+
+    // idempotent re-run; single live batch → nothing further to merge
+    assert(TierPipeline.compactTier(spark, out, "1h-state", snap) == target)
+
+    // vacuum reclaims the five replaced dirs, keeps the consolidated one
+    val deleted = TierPipeline.vacuumTier(out, "1h-state")
+    assert(deleted.size == 5 && !deleted.contains(target.get))
+    deleted.foreach(p =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 5 * 48)
+
+    // retention after compaction: whole-batch granularity — the global
+    // [minTs,maxTs] spans all five days, so a mid-range cutoff expires
+    // nothing, and a past-the-end cutoff expires the whole batch
+    TierPipeline.runTier(spark, out, "1d-state", snap, 4, dayDf(day1Ms))
+    assert(TierPipeline.expireBatches(out, "1h-state", snap,
+      day1Ms + 3 * 86400000L, Some("1d-state"), 4).isEmpty)
+    val all = TierPipeline.expireBatches(out, "1h-state", snap,
+      day1Ms + 10 * 86400000L, Some("1d-state"), 4)
+    assert(all == Seq(target.get))
+  }
+
   test("vacuum refuses manifest paths that escape the tier root") {
     val out = java.nio.file.Files.createTempDirectory("retention2").toString
     java.nio.file.Files.writeString(
