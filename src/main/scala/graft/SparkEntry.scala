@@ -766,6 +766,13 @@ object SparkEntry {
     // Gopher repetition metrics (dup-word / top-word / dup-2,3-gram fractions)
     "txt_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(documents(s, dir)).orderBy("doc_id")),
+    // per-source quota: top-15 docs per source by (n_chars desc, doc_id)
+    "txt_domain_cap" -> ((s, dir) =>
+      TextAnalysis.domainCap(documents(s, dir), 15).orderBy("doc_id")),
+    // deterministic mix sampling: en downsampled to 0.35, rest kept
+    "txt_mix_sample" -> ((s, dir) =>
+      TextAnalysis.mixSample(documents(s, dir), Map("en" -> 0.35))
+        .orderBy("doc_id")),
     // top-k search ON the int8-quantized vectors: integer dot products,
     // bit-exact ranking across engines
     "ann_quant_topk" -> ((s, dir) =>
@@ -2550,6 +2557,33 @@ private object Oracles {
           |  round(cast(n_hit AS double) / n_gram + 1e-9, 4) AS contam_ratio,
           |  cast(n_hit AS double) / n_gram >= 0.5 AS contaminated
           |FROM j ORDER BY doc_id""".stripMargin),
+    // per-source quota: ranked window, identical tie-break
+    "txt_domain_cap" ->
+      ("""WITH r AS (
+          |  SELECT doc_id, source, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |                       ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents
+          |)
+          |SELECT doc_id, source, n_chars, rk FROM r
+          |WHERE rk <= 15 ORDER BY doc_id""".stripMargin),
+    // deterministic mix sampling: u32 from the first 8 md5 hex digits
+    // (digit-sum recipe — DuckDB has no conv()), thresholds replayed as the
+    // engine's exact integer constants
+    "txt_mix_sample" ->
+      (s"""WITH u AS (
+          |  SELECT doc_id, lang,
+          |    CAST(list_sum(list_transform(generate_series(1, 8), d ->
+          |      cast(strpos('0123456789abcdef',
+          |             substr(substr(md5(cast(doc_id AS varchar)), 1, 8),
+          |                    cast(d AS int), 1)) - 1 AS bigint)
+          |        * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) AS u
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang, u FROM u
+          |WHERE u < ${graft.operators.TextAnalysis.mixThresholdSql(
+             Map("en" -> 0.35), 1.0)}
+          |ORDER BY doc_id""".stripMargin),
     // Gopher repetition metrics: integer counts per doc, int/int ratios
     // (exact-rounding in both engines)
     "txt_repetition" ->

@@ -260,6 +260,55 @@ object TextAnalysis {
       dupFrac("n_g3", "d_g3").as("frac_dup_3g"))
   }
 
+  /** Per-domain quota capping (the FineWeb/Dolma per-source cap — no single
+    * domain may dominate the corpus): keep the top `cap` documents per
+    * source ranked by (n_chars desc, doc_id). The ranked window is
+    * partitioned by source, so Spark plans it as WindowGroupLimit — a
+    * per-partition partial top-k BEFORE the shuffle; at 100 TB each
+    * executor forwards at most `cap` rows per source, never a global sort.
+    */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+  }
+
+  /** 2^32 scaled to an inclusive-exclusive integer threshold. */
+  private def u32Threshold(frac: Double): Long =
+    (frac * 4294967296.0).toLong
+
+  /** Deterministic corpus mixing (the data-mixing / source-rebalancing stage
+    * of a pretraining pipeline): every document keeps or drops ITSELF by
+    * comparing a 32-bit hash key — the first 8 hex digits of
+    * md5(doc_id) — against its language's integer threshold
+    * floor(frac·2^32). Pure shuffle-free expressions, no RNG state: the
+    * sample is reproducible across engines, runs, and cluster sizes, and
+    * each group is kept at its target fraction in expectation under md5
+    * uniformity. Languages absent from `fractions` use `default`.
+    */
+  def mixSample(docs: DataFrame, fractions: Map[String, Double],
+      default: Double = 1.0): DataFrame = {
+    val thr = fractions.foldLeft(lit(u32Threshold(default))) {
+      case (acc, (l, f)) =>
+        when(col("lang") === l, lit(u32Threshold(f))).otherwise(acc)
+    }
+    docs
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .filter(col("u") < thr)
+      .select(col("doc_id"), col("lang"), col("u"))
+  }
+
+  /** The mix-sample thresholds as SQL CASE text, so the oracle replays the
+    * exact integer constants this engine filtered with.
+    */
+  def mixThresholdSql(fractions: Map[String, Double], default: Double): String =
+    fractions.toSeq.sortBy(_._1).map { case (l, f) =>
+      s"WHEN lang = '$l' THEN ${u32Threshold(f)}"
+    }.mkString("CASE ", " ", s" ELSE ${u32Threshold(default)} END")
+
   /** Rolling-hash document fingerprinting by WINNOWING (Schleimer et al.,
     * SIGMOD'03): hash every k-char gram of the normalized text (first 4
     * md5 bytes as an unsigned 32-bit value — engine-reproducible), take the

@@ -405,6 +405,31 @@ class Round3Spec extends AnyFunSuite {
       out(3L).getDouble(3) == 0.3333 && !out(3L).getBoolean(4))
   }
 
+  test("domainCap keeps top-n per source with deterministic tie-break; mixSample is hash-deterministic") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "s1", 100, "en"), (2L, "s1", 300, "en"), (3L, "s1", 300, "en"),
+      (4L, "s2", 50, "de")
+    ).toDF("doc_id", "source", "n_chars", "lang")
+    val capped = TextAnalysis.domainCap(docs, 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // ties on n_chars=300 break by doc_id: 2 then 3; doc 1 ranks 3rd → dropped
+    assert(capped == Map(2L -> 1, 3L -> 2, 4L -> 1))
+
+    val once = TextAnalysis.mixSample(docs, Map("en" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val twice = TextAnalysis.mixSample(docs, Map("en" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(once == twice, "mix sample is not deterministic")
+    // default fraction 1.0 keeps every non-en doc
+    assert(once.exists(_._1 == 4L))
+    // u really is the first-8-hex-digit md5 value
+    val u1 = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest("4".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    assert(once.find(_._1 == 4L).get._2 == u1)
+  }
+
   test("xlsx export: two-sheet workbook round-trips values/types through a standard XML parse") {
     import graft.sources.Exports
     val acc = Seq(("crop", 41L, 0.9318, true), ("forest", 7L, 0.5, false))
