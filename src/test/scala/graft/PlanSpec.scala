@@ -109,4 +109,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "centroid scoring shuffled both sides")
   }
+
+  test("per-domain cap plans as WindowGroupLimit (partial top-k before the shuffle)") {
+    val p = plan("txt_domain_cap")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(p.contains("Partial") || p.contains("partial"),
+      s"no partial phase — every row shuffles:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark gram vocabulary") {
+    val p = plan("txt_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "training grams shuffled against the benchmark side")
+  }
 }
