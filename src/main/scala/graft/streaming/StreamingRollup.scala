@@ -25,16 +25,19 @@ import graft.model.{Tier, Turn}
   */
 object StreamingRollup {
 
-  /** Quality-ordered first-valid 1m points over a stream of turns.
-    * Append-mode compatible (watermark closes windows).
-    */
-  def incremental1m(turns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  private def prep(turns: DataFrame): DataFrame =
     turns
       .withColumn("text_len", length(col("text")).cast("double"))
       .withColumn("quality_rank",
         when(col("role") === "user", 0)
           .when(col("role") === "assistant", 1).otherwise(2))
-      .withWatermark("ts", watermark)
+
+  /** The windowed first-valid aggregate over an already-watermarked stream
+    * (a stream carries ONE watermark — chained stateful stages must not
+    * redefine it).
+    */
+  private def rollup1mAgg(watermarked: DataFrame): DataFrame =
+    watermarked
       .groupBy(col("conv_id"), window(col("ts"), "1 minute"))
       .agg(
         min_by(col("text_len"),
@@ -42,6 +45,44 @@ object StreamingRollup {
         count(lit(1)).as("n_turns"))
       .select(col("conv_id"), col("window.start").as("bucket_ts"),
         col("value"), col("n_turns"))
+
+  /** Quality-ordered first-valid 1m points over a stream of turns.
+    * Append-mode compatible (watermark closes windows).
+    */
+  def incremental1m(turns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    rollup1mAgg(prep(turns).withWatermark("ts", watermark))
+
+  /** Continuous ingest into the tier/retention store: the append stream of
+    * watermark-FINALIZED 1m buckets ([[incremental1m]] over [[dedupTurns]])
+    * is committed per micro-batch through
+    * [[graft.runtime.TierPipeline.runTier]] with the micro-batch id as the
+    * ingest window tag. foreachBatch is at-least-once; the manifest's
+    * (window, bucket) resume diff makes the sink idempotent — a redelivered
+    * micro-batch finds its buckets committed and no-ops, which is exactly
+    * Spark's documented batchId-keyed idempotent-sink recipe. The result is
+    * a continuously-maintained 1m tier whose batches flow through the SAME
+    * retention machinery as batch ingest (expire / vacuum / and especially
+    * compactTier — streaming commits are many and small, so periodic
+    * compaction is the designed companion). Returns the configured writer;
+    * the caller sets the checkpoint location and starts it.
+    */
+  def ingestStream(turns: DataFrame, outRoot: String, snapshotId: Long,
+      nBuckets: Int, watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // dedupTurns sets the stream's single watermark; the rollup chains on it
+    val finalized = rollup1mAgg(prep(dedupTurns(turns, watermark)))
+    finalized.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.withColumn("bucket",
+            graft.runtime.TierPipeline.bucketCol(nBuckets))
+          graft.runtime.TierPipeline.runTier(batch.sparkSession, outRoot,
+            "1m-stream", snapshotId, nBuckets, b, window = Some(s"mb$batchId"))
+        }
+        ()
+      }
+  }
 
   /** Streaming exact dedup on the natural key — the at-least-once-delivery
     * guard every streaming ingest needs (duplicate redelivery of the same

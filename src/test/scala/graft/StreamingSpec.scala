@@ -135,4 +135,64 @@ class StreamingSpec extends AnyFunSuite {
       assert(!streamed("no")._3, "false positive on stable conv")
     } finally q.stop()
   }
+
+  test("streaming ingest commits finalized 1m buckets into the tier store; compaction merges them") {
+    import spark.implicits._
+    import graft.runtime.TierPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("stream-ingest").toString
+    val snap = 11L
+    val mem = MemoryStream[Turn]
+    val q = StreamingRollup.ingestStream(mem.toDF(), out, snap, nBuckets = 4,
+        watermark = "10 minutes")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .start()
+    try {
+      // two waves of real turns; each wave's windows are finalized by a
+      // later batch advancing the watermark (append emission lags one
+      // batch — watermark at batch N is prior-batch max event time − delay)
+      val wave1 = Seq(
+        turn("a", 0, "tool", 5, 10), turn("a", 1, "user", 20, 3),
+        turn("a", 2, "assistant", 70, 7), turn("b", 0, "assistant", 10, 4))
+      val wave2 = Seq(
+        turn("b", 1, "user", 1210, 6), turn("c", 0, "user", 1330, 2))
+      val real = wave1 ++ wave2
+      mem.addData(wave1: _*); q.processAllAvailable()
+      mem.addData(wave2: _*); q.processAllAvailable()
+      // sentinel s1: watermark → 1330−600 = 730s → wave-1 windows commit
+      mem.addData(turn("zz", 0, "tool", 7200, 1)); q.processAllAvailable()
+      // sentinel s2: watermark → 7200−600 = 6600s → wave-2 windows commit
+      // (both sentinels' own windows stay open and never reach the tier)
+      mem.addData(turn("zz", 1, "tool", 14400, 1)); q.processAllAvailable()
+
+      // real convs: stream-ingested tier ≡ batch firstValid. (The sentinels
+      // are real data too — s1's window also closes once s2 advances the
+      // watermark — so the comparison scopes to the a/b/c convs; the final
+      // still-open window must NOT have reached the tier.)
+      val tierDf = TierPipeline.readTier(spark, out, "1m-stream", snap)
+      val tiered = tierDf.filter(col("conv_id") =!= "zz")
+        .select("conv_id", "bucket_ts", "value")
+        .collect().map(_.toString).sorted
+      val batch = Regularize.firstValid(real.toDS().toDF(), Tier.M1)
+        .select("conv_id", "bucket_ts", "value")
+        .collect().map(_.toString).sorted
+      assert(tiered.sameElements(batch),
+        s"stream-ingested tier != batch firstValid:\n${tiered.mkString("\n")}\nvs\n${batch.mkString("\n")}")
+      assert(tierDf.filter(col("conv_id") === "zz").count() == 1,
+        "the final open window leaked into the tier")
+
+      // the commits are windowed by micro-batch id → several small batches;
+      // compaction (the designed companion of streaming ingest) merges them
+      // without changing the row set
+      assert(TierPipeline.committedPaths(out, "1m-stream", snap).size > 1)
+      val target = TierPipeline.compactTier(spark, out, "1m-stream", snap)
+      assert(target.nonEmpty)
+      assert(TierPipeline.committedPaths(out, "1m-stream", snap) == Seq(target.get))
+      val after = TierPipeline.readTier(spark, out, "1m-stream", snap)
+        .filter(col("conv_id") =!= "zz")
+        .select("conv_id", "bucket_ts", "value")
+        .collect().map(_.toString).sorted
+      assert(after.sameElements(batch))
+    } finally q.stop()
+  }
 }
