@@ -376,6 +376,19 @@ object SparkEntry {
       Train.logisticGDRelation(feats, Seq("f_len", "f_tool", "f_rate"), "y")
         .orderBy("feature")
     }),
+    // §2.9 sits_tuning analog: deterministic (eta, iters) grid over the
+    // in-engine trainer, content-hash holdout, ranked by validation accuracy
+    "ts_tuning" -> ((s, dir) => {
+      val feats = Regularize.withMetrics(transcripts(s, dir))
+        .groupBy(col("conv_id"))
+        .agg((avg("text_len") / 100.0).as("f_len"), avg("is_tool").as("f_tool"),
+          (count(lit(1)) / 10.0).as("f_rate"),
+          when(sum(when(col("role") === "user", 1).otherwise(0)) >=
+            sum(when(col("role") === "assistant", 1).otherwise(0)), 1.0)
+            .otherwise(0.0).as("y"))
+      Train.gridSearch(feats, Seq("f_len", "f_tool", "f_rate"), "y",
+        Oracles.tuneCandidates).orderBy("rank")
+    }),
     // §2.9 sits_som_map + sits_som_clean_samples: batch-SOM sample-quality
     // tags (clean/analyze/remove) from per-neuron prior + Bayes posterior
     "ts_som_clean" -> ((s, dir) => {
@@ -1860,6 +1873,7 @@ private object Oracles {
     "ts_segment" -> segmentSql,
     // unrolled quantized-GD replay — see trainSql builders
     "ts_train_logit" -> trainSql,
+    "ts_tuning" -> tuningSql,
     // batch-SOM epoch replay with literal Gaussian weights — see somChain
     "ts_som_clean" -> somCleanSql,
     "ts_som_eval" -> somEvalSql,
@@ -2820,51 +2834,96 @@ private object Oracles {
   // quantized weights, each gradient one aggregate over the feature
   // relation crossed with the previous weights (identical margin operand
   // order; sum drift and exp ulps absorbed by the round-6 state contract)
-  private lazy val trainSql: String = {
-    val iters = 3
-    def sig(w: String) =
-      s"1.0 / (1.0 + exp(-($w.b + $w.w1 * f_len + $w.w2 * f_tool + $w.w3 * f_rate)))"
+  // ---- logistic-GD oracle machinery, parameterized by (tag, eta, iters,
+  // training relation) so both the single trainer and the tuning grid
+  // replay through the same unrolled-CTE generator ----
+  private def gdSig(w: String) =
+    s"1.0 / (1.0 + exp(-($w.b + $w.w1 * f_len + $w.w2 * f_tool + $w.w3 * f_rate)))"
+  private def gdChain(tag: String, etaSql: String, iters: Int,
+      rel: String): String = {
     def step(k: Int): String = {
-      val pw = s"w${k - 1}"
-      s""", g$k AS (
+      val pw = s"w$tag${k - 1}"
+      s""", g$tag$k AS (
          |  SELECT sum(p - y) AS g0, sum((p - y) * f_len) AS g1,
          |         sum((p - y) * f_tool) AS g2, sum((p - y) * f_rate) AS g3,
          |         count(*) AS n
-         |  FROM (SELECT cf2.*, ${sig("w")} AS p FROM cf2 CROSS JOIN $pw w)
-         |), w$k AS (
-         |  SELECT round(w.b - 0.1 * (g.g0 / g.n) + 1e-9, 6) AS b,
-         |         round(w.w1 - 0.1 * (g.g1 / g.n) + 1e-9, 6) AS w1,
-         |         round(w.w2 - 0.1 * (g.g2 / g.n) + 1e-9, 6) AS w2,
-         |         round(w.w3 - 0.1 * (g.g3 / g.n) + 1e-9, 6) AS w3
-         |  FROM $pw w CROSS JOIN g$k g
+         |  FROM (SELECT $rel.*, ${gdSig("w")} AS p FROM $rel CROSS JOIN $pw w)
+         |), w$tag$k AS (
+         |  SELECT round(w.b - $etaSql * (g.g0 / g.n) + 1e-9, 6) AS b,
+         |         round(w.w1 - $etaSql * (g.g1 / g.n) + 1e-9, 6) AS w1,
+         |         round(w.w2 - $etaSql * (g.g2 / g.n) + 1e-9, 6) AS w2,
+         |         round(w.w3 - $etaSql * (g.g3 / g.n) + 1e-9, 6) AS w3
+         |  FROM $pw w CROSS JOIN g$tag$k g
          |)""".stripMargin
     }
-    cte + metricsCte +
-      s""", cf2 AS (
-         |  SELECT conv_id,
-         |    avg(text_len) / 100.0 AS f_len,
-         |    avg(is_tool) AS f_tool,
-         |    cast(count(*) AS double) / 10.0 AS f_rate,
-         |    CASE WHEN count(*) FILTER (WHERE role = 'user') >=
-         |              count(*) FILTER (WHERE role = 'assistant')
-         |         THEN 1.0 ELSE 0.0 END AS y
-         |  FROM metrics GROUP BY conv_id
-         |), w0 AS (
-         |  SELECT cast(0.0 AS double) AS b, cast(0.0 AS double) AS w1,
-         |         cast(0.0 AS double) AS w2, cast(0.0 AS double) AS w3
-         |)""".stripMargin +
-      (1 to iters).map(step).mkString +
-      s""", accq AS (
-         |  SELECT round(avg(CASE WHEN (p >= 0.5) = (y = 1.0)
-         |                        THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS acc
-         |  FROM (SELECT cf2.*, ${sig("w")} AS p FROM cf2 CROSS JOIN w$iters w)
-         |)
+    s""", w${tag}0 AS (
+       |  SELECT cast(0.0 AS double) AS b, cast(0.0 AS double) AS w1,
+       |         cast(0.0 AS double) AS w2, cast(0.0 AS double) AS w3
+       |)""".stripMargin + (1 to iters).map(step).mkString
+  }
+  private def gdAccCte(name: String, wRel: String, rel: String): String =
+    s""", $name AS (
+       |  SELECT round(avg(CASE WHEN (p >= 0.5) = (y = 1.0)
+       |                        THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS acc
+       |  FROM (SELECT $rel.*, ${gdSig("w")} AS p FROM $rel CROSS JOIN $wRel w)
+       |)""".stripMargin
+  private lazy val gdCf2Cte: String =
+    """, cf2 AS (
+      |  SELECT conv_id,
+      |    avg(text_len) / 100.0 AS f_len,
+      |    avg(is_tool) AS f_tool,
+      |    cast(count(*) AS double) / 10.0 AS f_rate,
+      |    CASE WHEN count(*) FILTER (WHERE role = 'user') >=
+      |              count(*) FILTER (WHERE role = 'assistant')
+      |         THEN 1.0 ELSE 0.0 END AS y
+      |  FROM metrics GROUP BY conv_id
+      |)""".stripMargin
+  private lazy val trainSql: String = {
+    val iters = 3
+    cte + metricsCte + gdCf2Cte +
+      gdChain("", "0.1", iters, "cf2") +
+      gdAccCte("accq", s"w$iters", "cf2") +
+      s"""
          |SELECT feature, w, a.acc AS train_acc FROM (
          |  SELECT 'bias' AS feature, b AS w FROM w$iters
          |  UNION ALL SELECT 'f_len', w1 FROM w$iters
          |  UNION ALL SELECT 'f_tool', w2 FROM w$iters
          |  UNION ALL SELECT 'f_rate', w3 FROM w$iters)
          |CROSS JOIN accq a ORDER BY feature""".stripMargin
+  }
+
+  /** The tuning grid — shared between the Spark query and the oracle.
+    * (lazy: plain vals after `val all` are null during object init.)
+    */
+  private[graft] lazy val tuneCandidates: Seq[(Double, Int)] =
+    Seq((0.1, 3), (0.05, 3), (0.3, 2), (0.1, 1))
+
+  private lazy val tuningSql: String = {
+    val chains = tuneCandidates.zipWithIndex.map { case ((eta, it), i) =>
+      gdChain(s"c$i", eta.toString, it, "cftr") +
+        gdAccCte(s"acctr$i", s"wc$i$it", "cftr") +
+        gdAccCte(s"accva$i", s"wc$i$it", "cfva")
+    }.mkString
+    val rowsSel = tuneCandidates.zipWithIndex.map { case ((eta, it), i) =>
+      s"  SELECT cast($eta AS double) AS eta, $it AS iters, " +
+        s"t.acc AS train_acc, v.acc AS val_acc " +
+        s"FROM acctr$i t CROSS JOIN accva$i v"
+    }.mkString("\n  UNION ALL\n")
+    cte + metricsCte + gdCf2Cte +
+      """, cff AS (
+        |  SELECT cf2.*, cast(CAST(list_sum(list_transform(generate_series(1, 8), d ->
+        |      cast(strpos('0123456789abcdef', substr(md5(conv_id), cast(d AS int), 1)) - 1 AS bigint)
+        |        * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) % 5 AS int) AS fold
+        |  FROM cf2
+        |), cftr AS (SELECT * FROM cff WHERE fold <> 0
+        |), cfva AS (SELECT * FROM cff WHERE fold = 0
+        |)""".stripMargin + chains +
+      s"""
+         |SELECT eta, iters, train_acc, val_acc,
+         |  cast(row_number() OVER (ORDER BY val_acc DESC, eta, iters) AS int) AS rank
+         |FROM (
+         |$rowsSel
+         |) ORDER BY rank""".stripMargin
   }
 
   // ---- SOM oracle: batch-SOM training replayed epoch-by-epoch (the same

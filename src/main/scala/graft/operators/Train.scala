@@ -61,4 +61,46 @@ object Train {
     ("bias" +: featureCols).zip(w).map { case (f, wj) => (f, wj, acc) }
       .toDF("feature", "w", "train_acc")
   }
+
+  /** Hyperparameter grid search ≙ `sits_tuning`
+    * (/root/reference/R/sits_tuning.R:66-134: sample hyperparam candidates,
+    * train each, validate on a held split, order by accuracy). The
+    * reference randomizes candidates and trains torch models; here the grid
+    * is explicit (deterministic — the engine-replay contract) and the
+    * trainer is [[logisticGD]]. The holdout is a CONTENT-HASH split
+    * (u32(md5(conv_id)) % nFolds == 0 → validation), the same mechanism as
+    * kfold — stable across engines, runs, and cluster sizes. Each candidate
+    * costs iters+2 small aggregation jobs over the feature matrix (gradient
+    * per iteration + two accuracy passes), all partial-aggregated; the
+    * feature matrix is persisted once across the whole grid. Output: one
+    * row per candidate with train/validation accuracy, ranked by
+    * (val_acc desc, eta, iters).
+    */
+  def gridSearch(feats: DataFrame, featureCols: Seq[String], labelCol: String,
+      candidates: Seq[(Double, Int)], nFolds: Int = 5): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val fold = pmod(
+      conv(substring(md5(col("conv_id")), 1, 8), 16, 10).cast("long"),
+      lit(nFolds))
+    val withFold = feats.withColumn("__fold", fold).persist()
+    try {
+      val tr = withFold.filter(col("__fold") =!= 0)
+      val va = withFold.filter(col("__fold") === 0)
+      val rows = candidates.map { case (eta, iters) =>
+        val (w, trainAcc) = logisticGD(tr, featureCols, labelCol, eta, iters)
+        val margin = featureCols.zipWithIndex.foldLeft(lit(w(0))) {
+          case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
+        }
+        val pred = lit(1.0) / (lit(1.0) + exp(-margin))
+        val valAcc = va.agg(
+          round(avg(when((pred >= 0.5) === (col(labelCol) === 1.0), 1.0)
+            .otherwise(0.0)) + lit(1e-9), 4)).head().getDouble(0)
+        (eta, iters, trainAcc, valAcc)
+      }
+      rows.sortBy { case (e, i, _, v) => (-v, e, i) }.zipWithIndex
+        .map { case ((e, i, t, v), r) => (e, i, t, v, r + 1) }
+        .toDF("eta", "iters", "train_acc", "val_acc", "rank")
+    } finally { withFold.unpersist(); () }
+  }
 }
