@@ -786,6 +786,10 @@ object SparkEntry {
     "txt_mix_sample" -> ((s, dir) =>
       TextAnalysis.mixSample(documents(s, dir), Map("en" -> 0.35))
         .orderBy("doc_id")),
+    // distributed BPE tokenizer training: 8 merges over the word-count
+    // relation, greedy double-space replace contract (no float anywhere)
+    "txt_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(documents(s, dir), 8).orderBy("step")),
     // top-k search ON the int8-quantized vectors: integer dot products,
     // bit-exact ranking across engines
     "ann_quant_topk" -> ((s, dir) =>
@@ -2598,6 +2602,10 @@ private object Oracles {
           |WHERE u < ${graft.operators.TextAnalysis.mixThresholdSql(
              Map("en" -> 0.35), 1.0)}
           |ORDER BY doc_id""".stripMargin),
+    // BPE training replay: 8 unrolled merge stages, each = weighted pair
+    // counts over the segmented vocab + deterministic best-pair + the same
+    // double-space replace; pure string/integer ops, zero float contract
+    "txt_bpe" -> bpeSql,
     // Gopher repetition metrics: integer counts per doc, int/int ratios
     // (exact-rounding in both engines)
     "txt_repetition" ->
@@ -2897,6 +2905,45 @@ private object Oracles {
     */
   private[graft] lazy val tuneCandidates: Seq[(Double, Int)] =
     Seq((0.1, 3), (0.05, 3), (0.3, 2), (0.1, 1))
+
+  private lazy val bpeSql: String = {
+    val nMerges = 8
+    def stage(k: Int): String = {
+      val prev = s"seg${k - 1}"
+      s""", pc$k AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(c) AS BIGINT) AS pcnt FROM (
+         |    SELECT cnt AS c,
+         |      unnest(list_transform(generate_series(1, len(toks) - 1), i ->
+         |        toks[cast(i AS int)] || ' ' || toks[cast(i + 1 AS int)])) AS pair
+         |    FROM (SELECT cnt, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+         |          FROM $prev)
+         |  ) GROUP BY 1
+         |), best$k AS MATERIALIZED (
+         |  SELECT pair, pcnt FROM pc$k ORDER BY pcnt DESC, pair LIMIT 1
+         |), seg$k AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    replace(s,
+         |      ' ' || (SELECT string_split(pair, ' ')[1] FROM best$k) || '  ' ||
+         |             (SELECT string_split(pair, ' ')[2] FROM best$k) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM best$k) || ' ') AS s
+         |  FROM $prev
+         |)""".stripMargin
+    }
+    """WITH wc AS MATERIALIZED (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY 1
+      |), seg0 AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |    '  ' || array_to_string(list_transform(generate_series(1, length(word)),
+      |      i -> substr(word, cast(i AS int), 1)), '  ') || '  ' AS s
+      |  FROM wc
+      |)""".stripMargin +
+      (1 to nMerges).map(stage).mkString +
+      (1 to nMerges).map(k =>
+        s"SELECT $k AS step, pair, replace(pair, ' ', '') AS merged, pcnt AS cnt FROM best$k")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+  }
 
   private lazy val tuningSql: String = {
     val chains = tuneCandidates.zipWithIndex.map { case ((eta, it), i) =>

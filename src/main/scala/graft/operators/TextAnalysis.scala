@@ -260,6 +260,61 @@ object TextAnalysis {
       dupFrac("n_g3", "d_g3").as("frac_dup_3g"))
   }
 
+  /** From-scratch BPE tokenizer training (Sennrich+ ACL'16), distributed the
+    * way production trainers scale: iterate over the WORD-COUNT relation
+    * (vocabulary-sized — one corpus shuffle up front), not the corpus. Each
+    * merge step is (1) one partial-aggregated pair-count job over the
+    * segmented vocab, (2) a 1-row TakeOrdered fetch of the best pair
+    * (count desc, pair asc — deterministic), (3) a map-only re-segmentation
+    * with the merge folded in as a literal. No other shuffle per step.
+    *
+    * Segmentation contract: a word is held as a DOUBLE-SPACE-joined token
+    * string with double-space sentinels (`"  a  b  c  "`), and a merge
+    * (a,b)→ab is the plain string replacement `" a  b " → " ab "`. Each
+    * match consumes only the INNER spaces, so candidate matches never share
+    * characters and every non-overlapping left-to-right `replace` —
+    * JVM String.replace, Spark SQL `replace`, DuckDB `replace` — yields the
+    * byte-identical greedy-BPE result. Pure string/integer ops: the oracle
+    * replays training exactly with no float contract at all.
+    *
+    * Output: one row per merge step (step, pair, merged, cnt).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt")).persist()
+    wc.count()
+    try {
+      var seg = wc.select(col("word"), col("cnt"),
+        concat(lit("  "),
+          expr("array_join(transform(sequence(1, char_length(word)), " +
+            "i -> substring(word, i, 1)), '  ')"),
+          lit("  ")).as("s"))
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (k <- 1 to nMerges) {
+        val best = seg.select(col("s"), col("cnt")).as[(String, Long)]
+          .flatMap { case (s, c) =>
+            val toks = s.split(" ").filter(_.nonEmpty)
+            Iterator.range(0, toks.length - 1)
+              .map(i => (toks(i) + " " + toks(i + 1), c))
+          }.toDF("pair", "c")
+          .groupBy("pair").agg(sum("c").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        if (best.nonEmpty) {
+          val pair = best(0).getString(0)
+          val cnt = best(0).getLong(1)
+          val Array(a, b) = pair.split(" ")
+          merges += ((k, pair, a + b, cnt))
+          seg = seg.withColumn("s", call_function("replace", col("s"),
+            lit(s" $a  $b "), lit(s" $a$b ")))
+        }
+      }
+      merges.toSeq.toDF("step", "pair", "merged", "cnt")
+    } finally { wc.unpersist(); () }
+  }
+
   /** Per-domain quota capping (the FineWeb/Dolma per-source cap — no single
     * domain may dominate the corpus): keep the top `cap` documents per
     * source ranked by (n_chars desc, doc_id). The ranked window is

@@ -430,6 +430,18 @@ class Round3Spec extends AnyFunSuite {
     assert(once.find(_._1 == 4L).get._2 == u1)
   }
 
+  test("BPE training: greedy merge contract on overlapping runs (aaa → [aa, a])") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // step 1: pair (a,a) appears twice per "aaa" × 2 occurrences = 4; the
+    // greedy merge must leave [aa, a] (left-to-right, non-overlapping)
+    // step 2: (aa,a) ×2 beats (a,b) ×1; step 3: the leftover (a,b)
+    assert(merges == Seq(
+      (1, "a a", "aa", 4L), (2, "aa a", "aaa", 2L), (3, "a b", "ab", 1L)))
+  }
+
   test("xlsx export: two-sheet workbook round-trips values/types through a standard XML parse") {
     import graft.sources.Exports
     val acc = Seq(("crop", 41L, 0.9318, true), ("forest", 7L, 0.5, false))
