@@ -790,6 +790,11 @@ object SparkEntry {
     // relation, greedy double-space replace contract (no float anywhere)
     "txt_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTrain(documents(s, dir), 8).orderBy("step")),
+    // sequence packing: concat-and-chunk into capacity-128 sequences over
+    // 8 parallel shards
+    "txt_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(documents(s, dir), capacity = 128,
+        nShards = 8).orderBy("doc_id")),
     // top-k search ON the int8-quantized vectors: integer dot products,
     // bit-exact ranking across engines
     "ann_quant_topk" -> ((s, dir) =>
@@ -2606,6 +2611,25 @@ private object Oracles {
     // counts over the segmented vocab + deterministic best-pair + the same
     // double-space replace; pure string/integer ops, zero float contract
     "txt_bpe" -> bpeSql,
+    // sequence packing: per-shard running token offsets (window cumsum),
+    // integer-only; the windowed sum is HUGEINT in DuckDB → cast
+    "txt_pack" ->
+      ("""WITH p AS (
+          |  SELECT doc_id, doc_id % 8 AS shard,
+          |    cast(len(string_split(text, ' ')) AS bigint) AS n_tok
+          |  FROM documents
+          |), o AS (
+          |  SELECT doc_id, shard, n_tok,
+          |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |      AS "offset"
+          |  FROM p
+          |)
+          |SELECT doc_id, shard, n_tok, "offset",
+          |  "offset" // 128 AS seq_id,
+          |  "offset" % 128 AS seq_offset,
+          |  ("offset" + n_tok - 1) // 128 <> "offset" // 128 AS straddles
+          |FROM o ORDER BY doc_id""".stripMargin),
     // Gopher repetition metrics: integer counts per doc, int/int ratios
     // (exact-rounding in both engines)
     "txt_repetition" ->

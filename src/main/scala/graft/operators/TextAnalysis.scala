@@ -315,6 +315,37 @@ object TextAnalysis {
     } finally { wc.unpersist(); () }
   }
 
+  /** Sequence packing for pretraining (the GPT-2/PaLM concat-and-chunk
+    * contract): documents are laid out in a deterministic order — shard by
+    * doc_id % nShards, then (doc_id) within the shard — token offsets are
+    * the running sum, and each doc lands in training sequence
+    * floor(offset / capacity) at offset % capacity; a doc whose span
+    * crosses a capacity boundary straddles two sequences, exactly like the
+    * real concat-then-cut pipeline. Fully relational: the cumulative sum is
+    * a window partitioned BY SHARD, so every shard packs in parallel and no
+    * global single-partition window exists (shard count scales with the
+    * cluster; shards are independent token streams, which is how packed
+    * datasets are sharded in practice). Integer-only — exact in any engine.
+    */
+  def packSequences(docs: DataFrame, capacity: Int, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") % nShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("offset",
+        coalesce(sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("offset"),
+        (col("offset") / capacity).cast("long").as("seq_id"),
+        (col("offset") % capacity).as("seq_offset"),
+        ((col("offset") + col("n_tok") - 1) / capacity).cast("long") =!=
+          (col("offset") / capacity).cast("long") as "straddles")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   /** Per-domain quota capping (the FineWeb/Dolma per-source cap — no single
     * domain may dominate the corpus): keep the top `cap` documents per
     * source ranked by (n_chars desc, doc_id). The ranked window is

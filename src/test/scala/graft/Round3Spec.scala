@@ -430,6 +430,21 @@ class Round3Spec extends AnyFunSuite {
     assert(once.find(_._1 == 4L).get._2 == u1)
   }
 
+  test("sequence packing: per-shard offsets, boundary straddle flag, no cross-shard coupling") {
+    import graft.operators.TextAnalysis
+    // one shard (ids ≡ 0 mod 8), capacity 10: docs of 4, 4, 4 tokens —
+    // the third starts at offset 8 and crosses the seq boundary
+    val docs = Seq((0L, "a b c d"), (8L, "e f g h"), (16L, "i j k l"),
+      (1L, "m n")).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, capacity = 10, nShards = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(0L) == (0L, 0L, 0L, false))
+    assert(out(8L) == (4L, 0L, 4L, false))
+    assert(out(16L) == (8L, 0L, 8L, true)) // spans tokens 8..11 → straddles
+    assert(out(1L) == (0L, 0L, 0L, false)) // different shard starts fresh
+  }
+
   test("BPE training: greedy merge contract on overlapping runs (aaa → [aa, a])") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
