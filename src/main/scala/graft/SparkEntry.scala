@@ -864,6 +864,13 @@ object SparkEntry {
         Regularize.withMetrics(transcripts(s, dir)).select("text_len", "is_tool"),
         Seq("text_len", "is_tool")).orderBy("metric")),
     // §2.1 hist() verb: 20 fixed bins over the global text_len range
+    // deterministic linear-counting distinct estimate (m=1024 buckets)
+    "ts_approx_distinct" -> ((s, dir) =>
+      Summary.linearCountDistinct(transcripts(s, dir), "conv_id", m = 1024)),
+    // histogram-quantile estimator: one 64-bin pass, ≤1-bin-width error
+    "ts_approx_quantiles" -> ((s, dir) =>
+      Summary.histQuantiles(metrics(s, dir), "text_len", nBins = 64,
+        ps = Seq(0.25, 0.5, 0.75, 0.9)).orderBy("p")),
     "ts_histogram" -> ((s, dir) =>
       Summary.histogram(metrics(s, dir), "text_len", nBins = 20).orderBy("bin")),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
@@ -2183,6 +2190,48 @@ private object Oracles {
           |  cast(max(text_len) AS double) AS max_v
           |FROM metrics
           |ORDER BY metric""".stripMargin),
+    "ts_approx_distinct" ->
+      (cte +
+        """, b AS (
+          |  SELECT DISTINCT CAST(list_sum(list_transform(generate_series(1, 8), d ->
+          |    cast(strpos('0123456789abcdef', substr(md5(conv_id), cast(d AS int), 1)) - 1 AS bigint)
+          |      * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) % 1024 AS bucket
+          |  FROM transcripts WHERE conv_id IS NOT NULL
+          |)
+          |SELECT 1024 AS m, count(*) AS occupied,
+          |  round(cast(1024.0 AS double) *
+          |        ln(cast(1024.0 AS double) / (1024 - count(*))) + 1e-9, 4) AS est_distinct
+          |FROM b""".stripMargin),
+    "ts_approx_quantiles" ->
+      (cte + metricsCte +
+        """, mm AS (
+          |  SELECT min(text_len) AS mn, max(text_len) AS mx FROM metrics
+          |), binned AS (
+          |  SELECT cast(least(floor((text_len - mn) / (mx - mn) * 64), 63) AS int) AS bin,
+          |         mn, mx
+          |  FROM metrics CROSS JOIN mm WHERE text_len IS NOT NULL
+          |), hb AS (
+          |  SELECT bin,
+          |    round(mn + bin * (mx - mn) / 64 + 1e-9, 4) AS lo,
+          |    round(mn + (bin + 1) * (mx - mn) / 64 + 1e-9, 4) AS hi,
+          |    count(*) AS cnt
+          |  FROM binned GROUP BY bin, mn, mx
+          |), cum AS (
+          |  SELECT bin, lo, hi, cnt,
+          |    CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+          |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+          |  FROM hb
+          |), qs AS (
+          |  SELECT unnest(cast([0.25, 0.5, 0.75, 0.9] AS double[])) AS p
+          |), pick AS (
+          |  SELECT p, lo, hi, cnt, cumb, n,
+          |    row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
+          |  FROM qs JOIN cum ON cumb + cnt >= p * n AND cnt > 0
+          |)
+          |SELECT p,
+          |  round(greatest(lo, least(lo + (p * n - cumb) / cnt * (hi - lo), hi)) + 1e-9, 4) AS q_est
+          |FROM pick WHERE rn = 1 ORDER BY p""".stripMargin),
     "ts_histogram" ->
       (cte + metricsCte +
         """, mm AS (

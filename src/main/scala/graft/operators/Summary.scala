@@ -66,6 +66,63 @@ object Summary {
     out.toDF("metric", "n", "mean_v", "min_v", "q1", "median", "q3", "max_v")
   }
 
+  /** Approximate distinct count by LINEAR COUNTING (Whang et al., TODS'90):
+    * hash every value into one of m buckets, count occupied buckets b, and
+    * estimate n̂ = m·ln(m/(m−b)). Unlike HLL (Spark's
+    * `approx_count_distinct`) the estimator is a DETERMINISTIC function of
+    * the value set — u32(md5(value)) % m — so it is reproducible across
+    * engines, runs, and cluster sizes, and the occupied-bucket set is
+    * mergeable (a set union) exactly like a production sketch. The plan is
+    * a two-phase distinct aggregate over the bucket id: partial distinct
+    * map-side, m-bounded state. Requires b < m (estimator saturates).
+    */
+  def linearCountDistinct(df: DataFrame, colName: String,
+      m: Int = 1024): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col(colName).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(m))
+    df.filter(col(colName).isNotNull)
+      .select(bucket.as("bucket"))
+      .agg(countDistinct(col("bucket")).as("occupied"))
+      .select(lit(m).as("m"), col("occupied"),
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / (lit(m) - col("occupied"))) + lit(1e-9), 4)
+          .as("est_distinct"))
+  }
+
+  /** Approximate quantiles from ONE fixed-bin histogram pass (the
+    * mergeable-summary shape a 100 TB stats verb needs — [[summarize]]'s
+    * exact quantiles cost a range-exchange per metric; bin counts are a
+    * single partial-aggregated groupBy and merge across any partitioning).
+    * Within the located bin the quantile interpolates linearly (classic
+    * equi-width histogram estimator; error ≤ one bin width, tested).
+    * The bin relation is nBins-bounded metadata — the cumulative walk runs
+    * on the driver like [[summarize]]'s assembly; every float op is plain
+    * IEEE arithmetic on integer-derived values, so the oracle replays it
+    * with a window cumsum.
+    */
+  def histQuantiles(df: DataFrame, colName: String, nBins: Int,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "bad quantiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = histogram(df, colName, nBins)
+      .select("bin", "lo", "hi", "cnt").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    val n = bins.map(_._4).sum
+    val out = ps.map { p =>
+      val target = p * n
+      var cum = 0L
+      val (_, lo, hi, cnt) = bins.find { case (_, _, _, c) =>
+        val hit = cum + c >= target && c > 0; if (!hit) cum += c; hit
+      }.getOrElse(bins.last)
+      val q = lo + (target - cum) / cnt * (hi - lo)
+      (p, r4(math.max(lo, math.min(q, hi))))
+    }
+    out.toDF("p", "q_est")
+  }
+
   /** Fixed-bin histogram of one metric over its global [min, max] range
     * (hist.raster_cube semantics, exact over the relation rather than the
     * reference's 100k-cell sample). Empty bins are absent (groupBy), the

@@ -430,6 +430,26 @@ class Round3Spec extends AnyFunSuite {
     assert(once.find(_._1 == 4L).get._2 == u1)
   }
 
+  test("approximate aggregates: linear-counting distinct and histogram quantiles stay in error bounds") {
+    import graft.operators.Summary
+    // 300 true distincts duplicated ×3 — the estimator must ignore copies
+    val vals = (0 until 900).map(i => s"v${i % 300}").toDF("k")
+    val lc = Summary.linearCountDistinct(vals, "k", m = 1024).head()
+    assert(lc.getInt(0) == 1024)
+    val est = lc.getDouble(2)
+    assert(math.abs(est - 300) / 300 < 0.15, s"estimate $est too far from 300")
+
+    val nums = (0 until 1000).map(i => ((i * 37) % 1000).toDouble).toDF("x")
+    val approx = Summary.histQuantiles(nums, "x", nBins = 64,
+      ps = Seq(0.25, 0.5, 0.75)).collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = graft.operators.Predictors.exactQuantiles(nums, "x", Seq(0.25, 0.5, 0.75))
+    val binWidth = 999.0 / 64
+    Seq(0.25, 0.5, 0.75).zip(exact).foreach { case (p, e) =>
+      assert(math.abs(approx(p) - e) <= binWidth + 1e-6,
+        s"p=$p approx=${approx(p)} exact=$e off by more than a bin")
+    }
+  }
+
   test("sequence packing: per-shard offsets, boundary straddle flag, no cross-shard coupling") {
     import graft.operators.TextAnalysis
     // one shard (ids ≡ 0 mod 8), capacity 10: docs of 4, 4, 4 tokens —
