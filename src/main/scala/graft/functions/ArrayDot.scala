@@ -147,5 +147,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2", (children: Seq[Expression]) => ArrayL2(children(0), children(1)),
       "built-in")
+    // the HOF→ArrayDot rewrite for sessions built without GraftExtensions
+    if (!spark.experimental.extraOptimizations.contains(ArrayFoldRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ArrayFoldRewrite
   }
 }

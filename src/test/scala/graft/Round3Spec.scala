@@ -430,6 +430,28 @@ class Round3Spec extends AnyFunSuite {
     assert(once.find(_._1 == 4L).get._2 == u1)
   }
 
+  test("optimizer rule rewrites the self-product HOF fold into ArrayDot; general case untouched") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(50).select(
+      array((0 until 8).map(i => (col("id") + i).cast("double")): _*).as("v"),
+      array((0 until 8).map(i => (col("id") * 2 + i).cast("double")): _*).as("w"))
+    val hof = "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0 as double), (s, t) -> s + t)"
+    val self = df.select(expr(hof.format("v", "v")).as("n2"))
+    val opt = self.queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("arraydot"), s"self-product not rewritten:\n$opt")
+    // rewritten result == interpreted fold, bit-identical
+    val expected = (0L until 50L).map { id =>
+      (0 until 8).map(i => (id + i).toDouble)
+        .foldLeft(0.0)((s, x) => s + x * x)
+    }.toArray
+    assert(self.collect().map(_.getDouble(0)).sameElements(expected))
+    // two DIFFERENT arrays: zip_with null-padding semantics must survive —
+    // the rule must NOT fire
+    val cross = df.select(expr(hof.format("v", "w")).as("d"))
+    assert(!cross.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("arraydot"), "unsafe cross-array rewrite fired")
+  }
+
   test("approximate aggregates: linear-counting distinct and histogram quantiles stay in error bounds") {
     import graft.operators.Summary
     // 300 true distincts duplicated ×3 — the estimator must ignore copies
