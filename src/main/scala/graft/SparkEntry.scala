@@ -144,6 +144,16 @@ object SparkEntry {
       val chunks = ChunkStore.encode(s, day1(s, dir), Tier.M1)
       ChunkStore.decode(s, chunks).orderBy("conv_id", "bucket_ts")
     }),
+    // chunk-exclusion range read: encode the full grid, decode only
+    // [06:00, 12:00) of day 1 — chunks outside never reach the codec
+    "ts_chunk_range" -> ((s, dir) => {
+      val chunks = ChunkStore.encodeFilled(
+        s, Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1)
+      ChunkStore.decodeRange(s, chunks, Tier.M1,
+        new java.sql.Timestamp(1704088800000L),   // 2024-01-01T06:00Z
+        new java.sql.Timestamp(1704110400000L))   // 2024-01-01T12:00Z
+        .orderBy("conv_id", "bucket_ts")
+    }),
     // §2.6 whole-series reduction (sits_reduce on samples; date = min ts)
     "ts_reduce_series" -> ((s, dir) =>
       Rollup.reduceSeries(
@@ -1252,6 +1262,13 @@ private object Oracles {
     "ts_chunk_roundtrip" ->
       (cte + gapfilledCte +
         "\nSELECT conv_id, bucket_ts, value FROM gapfilled WHERE bucket_ts < timestamp '2024-01-02' ORDER BY conv_id, bucket_ts"),
+    "ts_chunk_range" ->
+      (cte + gapfilledCte +
+        """
+          |SELECT conv_id, bucket_ts, value FROM gapfilled
+          |WHERE bucket_ts >= timestamp '2024-01-01 06:00:00'
+          |  AND bucket_ts < timestamp '2024-01-01 12:00:00'
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_rollup_1h" ->
       (cte + gapfilledCte +
         """

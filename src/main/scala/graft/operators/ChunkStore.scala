@@ -70,6 +70,46 @@ object ChunkStore {
       }
   }
 
+  /** Time-range read of a chunk relation ≙ TimescaleDB chunk exclusion /
+    * Iceberg min-max file skipping. Two pruning levels:
+    * (1) a RELATIONAL pre-filter drops every chunk whose time range
+    * [start_ts, start_ts + (n−1)·step] misses [from, to) BEFORE any decode
+    * runs — the `start_ts < to` half is a plain column predicate (parquet
+    * min/max pushable when chunks are stored); the end-bound arithmetic
+    * evaluates post-scan but still pre-decode, so excluded chunks never
+    * reach the codec;
+    * (2) within a surviving chunk the regular tier spacing makes the range
+    * slice index-computable, so only in-range points are emitted
+    * (sequential codecs decode front-to-back — random access INSIDE a
+    * chunk is what chunk sizing is for, per the TimescaleDB guidance).
+    */
+  def decodeRange(spark: SparkSession, chunks: Dataset[ChunkStruct],
+      tier: Tier, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    import spark.implicits._
+    val step = tier.millis
+    val fromMs = from.getTime
+    val toMs = to.getTime
+    require(toMs > fromMs, s"decodeRange: empty range [$from, $to)")
+    val pruned = chunks
+      .filter(unix_millis(col("start_ts")) < toMs &&
+        unix_millis(col("start_ts")) + (col("n") - 1).cast("long") * step >= fromMs)
+      .as[ChunkStruct]
+    pruned.flatMap { c =>
+      val t0 = c.start_ts.getTime
+      val i0 = if (fromMs <= t0) 0 else ((fromMs - t0 + step - 1) / step).toInt
+      val i1 = math.min(c.n - 1L, (toMs - 1 - t0) / step).toInt
+      val ts = GorillaCodec.decodeTimestamps(c.ts_payload)
+      val vs =
+        if (c.codec.startsWith("gorilla_lp")) GorillaCodec.decodeValuesLP(c.value_payload)
+        else GorillaCodec.decodeValues(c.value_payload)
+      require(ts.length == c.n && vs.length == c.n,
+        s"chunk ${c.conv_id}/${c.tier}: decoded ${ts.length}/${vs.length} != ${c.n}")
+      Iterator.range(i0, i1 + 1).map(i =>
+        (c.conv_id, ts(i), Option(vs(i)).map(_.doubleValue())))
+    }.toDF("conv_id", "t", "value")
+      .select(col("conv_id"), timestamp_millis(col("t")).as("bucket_ts"), col("value"))
+  }
+
   /** chunks → grid (conv_id, bucket_ts, value) — exact inverse of [[encode]]. */
   def decode(spark: SparkSession, chunks: Dataset[ChunkStruct]): DataFrame = {
     import spark.implicits._

@@ -430,6 +430,37 @@ class Round3Spec extends AnyFunSuite {
     assert(once.find(_._1 == 4L).get._2 == u1)
   }
 
+  test("decodeRange: chunk exclusion skips out-of-range chunks entirely; in-chunk slice is exact") {
+    import graft.model.{ChunkStruct, Tier}
+    import graft.operators.ChunkStore
+    import graft.functions.GorillaCodec
+    val step = Tier.M1.millis
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    def chunk(conv: String, startMs: Long, vals: Array[Double]) =
+      ChunkStruct(conv, "1m", new java.sql.Timestamp(startMs), vals.length,
+        "gorilla_lp+dod",
+        GorillaCodec.encodeRegularTimestamps(startMs, step, vals.length),
+        GorillaCodec.encodeValuesLP(vals))
+    val good = chunk("in", t0, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // a chunk fully OUTSIDE the range with a CORRUPT payload: decodeRange
+    // must prune it relationally — if it ever reached the codec it would throw
+    val poisoned = chunk("out", t0 + 100 * step,
+      Array(9.0, 9.0)).copy(value_payload = Array[Byte](1, 2, 3))
+    val ds = spark.createDataset(Seq(good, poisoned))(
+      org.apache.spark.sql.Encoders.product[ChunkStruct])
+    // range covers indices 2..4 of the good chunk only
+    val out = ChunkStore.decodeRange(spark, ds, Tier.M1,
+      new java.sql.Timestamp(t0 + 2 * step), new java.sql.Timestamp(t0 + 5 * step))
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    assert(out.toSeq == Seq(("in", t0 + 2 * step, 3.0), ("in", t0 + 3 * step, 4.0),
+      ("in", t0 + 4 * step, 5.0)))
+    // sanity: the poisoned chunk DOES blow up an unpruned full decode
+    intercept[org.apache.spark.SparkException] {
+      ChunkStore.decode(spark, ds).count()
+    }
+  }
+
   test("optimizer rule rewrites the self-product HOF fold into ArrayDot; general case untouched") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(50).select(
