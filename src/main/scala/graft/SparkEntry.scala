@@ -551,10 +551,14 @@ object SparkEntry {
     // §2.8 sits_cluster_dendro: single-linkage clustering over pairwise DTW
     // distances (distributed distance matrix, driver-side dendrogram cut —
     // not SQL-expressible; deterministic; rows-only driver check)
+    // deterministic conv % 3 sample set (the reference clusters sample
+    // tibbles) — bounded pair count keeps the full pairwise-DTW +
+    // single-linkage replay SQL-feasible at every SF
     "ts_cluster" -> ((s, dir) =>
       ChangeDetect.clusterDendro(s,
-        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"),
-        nClusters = 5).orderBy("conv_id")),
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+          .filter(substring(col("conv_id"), 2, 6).cast("int") % 3 === 0),
+        nClusters = 3).orderBy("conv_id")),
     // §2.3 arbitrary ISO period grid (P16D, the reference's MODIS default):
     // full timeline rule (max-min..min-max extent, snapped origin, buckets
     // [t_i, t_i+P), cut() drop outside [t_1, t_last+P)) — bucket assignment
@@ -1177,6 +1181,80 @@ private object Oracles {
   }
 
   private lazy val dtwSql: String = dtwOracle("", "parr")
+
+  // ---- ts_cluster oracle: full pairwise symmetric-2 DTW matrix (the same
+  // wavefront recursion as dtwOracle, keyed by the pair (i, j) instead of
+  // (conv, label)) followed by an exact single-linkage replay — a second
+  // recursive CTE walks the edge list sorted by (raw dist, i, j) carrying
+  // the per-node root-label list as state, merging max-root into min-root
+  // while more than nClusters groups remain (Gower & Ross 1969: single
+  // linkage ≡ Kruskal on the distance graph — the engine's distributed-MST
+  // candidate filter changes WHAT the driver collects, not the result, as
+  // Round3Spec proves against the brute-force triangle). Raw (unrounded)
+  // distances order the edges: kernel DTW and the SQL replay agree to the
+  // last ulp (abs*abs ≡ pow(x,2), sqrt exact-rounding — dtwOracle's
+  // established contract). Output renumbers roots by dense rank. ----
+  private lazy val clusterSql: String = {
+    val kCl = 3
+    val c = "(abs(sa[i] - sb[k + 3 - i]) * abs(sa[i] - sb[k + 3 - i]))"
+    val cell =
+      s"""CASE WHEN k + 2 - i < 0 OR k + 2 - i >= m THEN NULL
+         |           WHEN i = 1 AND k + 2 - i = 0 THEN $c
+         |           WHEN i = 1 THEN d1[1] + $c
+         |           WHEN k + 2 - i = 0 THEN d1[i - 1] + $c
+         |           ELSE least(least(d1[i - 1] + $c, d1[i] + $c), d2[i - 1] + 2 * $c) END""".stripMargin
+    cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+      s""", days AS (
+         |  SELECT conv_id,
+         |         date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+         |         avg(text_len) AS value
+         |  FROM metrics
+         |  WHERE cast(substring(conv_id, 2, 6) AS int) % 3 = 0
+         |  GROUP BY 1, 2
+         |), sarr AS MATERIALIZED (
+         |  SELECT conv_id, list(value ORDER BY idx) AS sa, count(*) AS n FROM days GROUP BY 1
+         |), ids AS MATERIALIZED (
+         |  SELECT conv_id, cast(row_number() OVER (ORDER BY conv_id) AS int) AS nid FROM sarr
+         |), pp AS (
+         |  SELECT ia.nid AS i, ib.nid AS j, a.sa, a.n, b.sa AS sb, b.n AS m
+         |  FROM sarr a JOIN ids ia USING (conv_id)
+         |  CROSS JOIN sarr b JOIN ids ib ON b.conv_id = ib.conv_id
+         |  WHERE ia.nid < ib.nid
+         |), dp AS (
+         |  SELECT i, j, sa, n, sb, m, -1 AS k,
+         |         cast(NULL AS double[]) AS d1, cast(NULL AS double[]) AS d2
+         |  FROM pp
+         |  UNION ALL
+         |  SELECT i, j, sa, n, sb, m, k + 1,
+         |    list_transform(generate_series(1, cast(n AS int)), i ->
+         |      $cell),
+         |    d1
+         |  FROM dp WHERE k < n + m - 2
+         |), e AS MATERIALIZED (
+         |  SELECT i, j, sqrt(d1[cast(n AS int)]) AS dist,
+         |         cast(row_number() OVER (ORDER BY sqrt(d1[cast(n AS int)]), i, j) AS int) AS eidx
+         |  FROM dp WHERE k = n + m - 2
+         |), merge AS (
+         |  SELECT 0 AS step,
+         |         (SELECT list(nid ORDER BY nid) FROM ids) AS labels,
+         |         (SELECT cast(count(*) AS int) FROM ids) AS groups
+         |  UNION ALL
+         |  SELECT m.step + 1,
+         |    CASE WHEN m.groups > $kCl AND m.labels[e.i] <> m.labels[e.j]
+         |      THEN list_transform(m.labels, l ->
+         |        CASE WHEN l = greatest(m.labels[e.i], m.labels[e.j])
+         |             THEN least(m.labels[e.i], m.labels[e.j]) ELSE l END)
+         |      ELSE m.labels END,
+         |    CASE WHEN m.groups > $kCl AND m.labels[e.i] <> m.labels[e.j]
+         |         THEN m.groups - 1 ELSE m.groups END
+         |  FROM merge m JOIN e ON e.eidx = m.step + 1
+         |), fin AS (
+         |  SELECT labels FROM merge ORDER BY step DESC LIMIT 1
+         |)
+         |SELECT i.conv_id,
+         |  cast(dense_rank() OVER (ORDER BY f.labels[i.nid]) AS int) AS cluster
+         |FROM ids i CROSS JOIN fin f ORDER BY conv_id""".stripMargin
+  }
 
   // Whittaker smoothing of the label prototypes replayed in SQL: the
   // pentadiagonal LDLᵀ factorization (SeriesKernels.whittaker:154-208) is
@@ -1902,6 +1980,7 @@ private object Oracles {
     // wavefront DP over Whittaker-smoothed (λ=1) prototypes, with the
     // pentadiagonal LDLᵀ solve itself replayed as three sweep recursions
     "ts_dtw" -> dtwLambdaSql,
+    "ts_cluster" -> clusterSql,
     // optimal-partitioning DP replay — see segmentSql builders
     "ts_segment" -> segmentSql,
     // unrolled quantized-GD replay — see trainSql builders
