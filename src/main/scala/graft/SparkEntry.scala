@@ -877,7 +877,6 @@ object SparkEntry {
       Summary.summarize(
         Regularize.withMetrics(transcripts(s, dir)).select("text_len", "is_tool"),
         Seq("text_len", "is_tool")).orderBy("metric")),
-    // §2.1 hist() verb: 20 fixed bins over the global text_len range
     // deterministic linear-counting distinct estimate (m=1024 buckets)
     "ts_approx_distinct" -> ((s, dir) =>
       Summary.linearCountDistinct(transcripts(s, dir), "conv_id", m = 1024)),
@@ -885,6 +884,7 @@ object SparkEntry {
     "ts_approx_quantiles" -> ((s, dir) =>
       Summary.histQuantiles(metrics(s, dir), "text_len", nBins = 64,
         ps = Seq(0.25, 0.5, 0.75, 0.9)).orderBy("p")),
+    // §2.1 hist() verb: 20 fixed bins over the global text_len range
     "ts_histogram" -> ((s, dir) =>
       Summary.histogram(metrics(s, dir), "text_len", nBins = 20).orderBy("bin")),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment

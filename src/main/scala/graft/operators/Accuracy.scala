@@ -61,8 +61,16 @@ object Accuracy {
     * time series never straddles folds.
     */
   def kfoldAssign(key: Column, k: Int): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(k.toLong)).cast("int")
+    pmod(u32Md5(key), lit(k.toLong)).cast("int")
+
+  /** First 8 md5 hex chars as an unsigned 32-bit value — THE engine-parity
+    * hash primitive (md5 is identical in Spark and DuckDB; oracles replay
+    * it with the hex digit-sum recipe). Every deterministic
+    * bucketing/sampling/counting verb derives from this single expression
+    * so the cross-engine contract lives in one place.
+    */
+  def u32Md5(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** `sits_kfold_validate` evaluation half (R/sits_validate.R:68,
     * api_validate.R): fold assignment + per-fold holdout confusion of a

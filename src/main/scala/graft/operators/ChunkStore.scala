@@ -104,6 +104,19 @@ object ChunkStore {
         else GorillaCodec.decodeValues(c.value_payload)
       require(ts.length == c.n && vs.length == c.n,
         s"chunk ${c.conv_id}/${c.tier}: decoded ${ts.length}/${vs.length} != ${c.n}")
+      // both the chunk-level exclusion filter and the index-computed slice
+      // assume REGULAR spacing (the tier store's encodeFilled contract); an
+      // irregular chunk (raw encode() of a gappy series) would silently
+      // mis-slice AND could be wrongly excluded by the span arithmetic —
+      // fail loudly instead
+      var j = 0
+      while (j < c.n) {
+        require(ts(j) == t0 + j.toLong * step,
+          s"decodeRange: chunk ${c.conv_id}/${c.tier} is not ${step}ms-regular " +
+            s"at index $j (${ts(j)} != ${t0 + j.toLong * step}) — range reads " +
+            "are defined on regular tier chunks; use decode() + filter")
+        j += 1
+      }
       Iterator.range(i0, i1 + 1).map(i =>
         (c.conv_id, ts(i), Option(vs(i)).map(_.doubleValue())))
     }.toDF("conv_id", "t", "value")

@@ -78,15 +78,19 @@ object Summary {
     */
   def linearCountDistinct(df: DataFrame, colName: String,
       m: Int = 1024): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col(colName).cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(m))
+    val bucket = Accuracy.kfoldAssign(col(colName), m)
     df.filter(col(colName).isNotNull)
       .select(bucket.as("bucket"))
       .agg(countDistinct(col("bucket")).as("occupied"))
       .select(lit(m).as("m"), col("occupied"),
-        round(lit(m.toDouble) *
-          log(lit(m.toDouble) / (lit(m) - col("occupied"))) + lit(1e-9), 4)
+        when(col("occupied") < m,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m) - col("occupied"))) + lit(1e-9), 4))
+          // saturated table: the estimator is undefined — fail loudly
+          // instead of returning Infinity (raise m for larger cardinalities)
+          .otherwise(raise_error(lit(
+            s"linearCountDistinct: all $m buckets occupied — estimator " +
+              "saturated, increase m")).cast("double"))
           .as("est_distinct"))
   }
 

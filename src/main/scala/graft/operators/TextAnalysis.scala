@@ -338,10 +338,11 @@ object TextAnalysis {
         coalesce(sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"), col("offset"),
-        (col("offset") / capacity).cast("long").as("seq_id"),
+        // integer `div`, not double `/`+cast: exact at any offset magnitude
+        expr(s"`offset` div $capacity").as("seq_id"),
         (col("offset") % capacity).as("seq_offset"),
-        ((col("offset") + col("n_tok") - 1) / capacity).cast("long") =!=
-          (col("offset") / capacity).cast("long") as "straddles")
+        expr(s"(`offset` + n_tok - 1) div $capacity") =!=
+          expr(s"`offset` div $capacity") as "straddles")
   }
 
   private val Window = org.apache.spark.sql.expressions.Window
@@ -380,9 +381,7 @@ object TextAnalysis {
         when(col("lang") === l, lit(u32Threshold(f))).otherwise(acc)
     }
     docs
-      .withColumn("u",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"))
+      .withColumn("u", Accuracy.u32Md5(col("doc_id")))
       .filter(col("u") < thr)
       .select(col("doc_id"), col("lang"), col("u"))
   }

@@ -80,9 +80,7 @@ object Train {
       candidates: Seq[(Double, Int)], nFolds: Int = 5): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
-    val fold = pmod(
-      conv(substring(md5(col("conv_id")), 1, 8), 16, 10).cast("long"),
-      lit(nFolds))
+    val fold = Accuracy.kfoldAssign(col("conv_id"), nFolds)
     val withFold = feats.withColumn("__fold", fold).persist()
     try {
       val tr = withFold.filter(col("__fold") =!= 0)
@@ -93,10 +91,13 @@ object Train {
           case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
         }
         val pred = lit(1.0) / (lit(1.0) + exp(-margin))
-        val valAcc = va.agg(
+        val vr = va.agg(
           round(avg(when((pred >= 0.5) === (col(labelCol) === 1.0), 1.0)
-            .otherwise(0.0)) + lit(1e-9), 4)).head().getDouble(0)
-        (eta, iters, trainAcc, valAcc)
+            .otherwise(0.0)) + lit(1e-9), 4)).head()
+        require(!vr.isNullAt(0),
+          s"gridSearch: validation fold (hash % $nFolds == 0) is empty — " +
+            "too few conversations for a holdout; lower nFolds")
+        (eta, iters, trainAcc, vr.getDouble(0))
       }
       rows.sortBy { case (e, i, _, v) => (-v, e, i) }.zipWithIndex
         .map { case ((e, i, t, v), r) => (e, i, t, v, r + 1) }

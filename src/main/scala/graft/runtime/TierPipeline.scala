@@ -227,9 +227,24 @@ object TierPipeline {
   def compactTier(spark: SparkSession, outRoot: String, tier: String,
       snapshotId: Long): Option[String] = {
     val live = committedPaths(outRoot, tier, snapshotId)
-    val target = s"$outRoot/$tier/compact_$snapshotId"
-    if (live.contains(target)) return Some(target) // already compacted
-    if (live.size <= 1) return None
+    if (live.size <= 1) return None // nothing to merge (incl. fresh post-compact)
+    // GENERATIONAL target name: batches committed after a compaction (a
+    // live stream keeps appending) must be compactable again, so each pass
+    // gets the next generation number derived from the manifest — a crash
+    // before the manifest append recomputes the same name and overwrites
+    // (idempotent); after the append the merged result is the single live
+    // path and the next call no-ops until new batches arrive.
+    val genRe = (java.util.regex.Pattern.quote(s"$outRoot/$tier/compact_${snapshotId}_g") + "(\\d+)").r
+    val gen = {
+      import scala.jdk.CollectionConverters._
+      val p = manifestPath(outRoot, tier)
+      val prior = if (!Files.exists(p)) Nil
+        else Files.readAllLines(p).asScala
+          .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
+          .flatMap { case genRe(g) => Some(g.toInt); case _ => None }
+      if (prior.isEmpty) 1 else prior.max + 1
+    }
+    val target = s"$outRoot/$tier/compact_${snapshotId}_g$gen"
     val t0 = System.nanoTime()
     // the (bucket, window) commits being replayed onto the consolidated path
     import scala.jdk.CollectionConverters._

@@ -63,8 +63,13 @@ object Exports {
           "summary relations; use parquet/csv for data-scale output")
       (name, df.columns.toSeq, rows)
     }
-    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
-      .replace(">", "&gt;").replace("\"", "&quot;")
+    def esc(s: String): String = {
+      val cleaned = s.map(ch =>
+        // XML 1.0 forbids most C0 controls even escaped — substitute
+        if (ch < 0x20 && ch != '\t' && ch != '\n' && ch != '\r') '\ufffd' else ch)
+      cleaned.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;").replace("\"", "&quot;")
+    }
     def colRef(i: Int): String = { // 0-based index → A, B, …, Z, AA, …
       var n = i + 1; val sb = new StringBuilder
       while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
@@ -72,6 +77,11 @@ object Exports {
     }
     def cell(ref: String, v: Any): String = v match {
       case null => ""
+      // NaN/Infinity are not valid OOXML numbers — write them as text
+      case n: Double if n.isNaN || n.isInfinite =>
+        s"""<c r="$ref" t="inlineStr"><is><t>$n</t></is></c>"""
+      case n: Float if n.isNaN || n.isInfinite =>
+        s"""<c r="$ref" t="inlineStr"><is><t>$n</t></is></c>"""
       case n: Byte => s"""<c r="$ref"><v>$n</v></c>"""
       case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
       case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
@@ -101,8 +111,12 @@ object Exports {
       val clean = name.replaceAll("[\\\\/?*\\[\\]:]", "_").take(31)
       if (clean.isEmpty) s"sheet${i + 1}" else clean
     }
-    require(names.distinct.length == names.length,
-      s"toXlsx: duplicate sheet names after cleaning: $names")
+    // Excel requires case-insensitively unique sheet names and reserves
+    // the name "History"
+    require(names.map(_.toLowerCase).distinct.length == names.length,
+      s"toXlsx: sheet names clash case-insensitively after cleaning: $names")
+    require(!names.exists(_.equalsIgnoreCase("History")),
+      "toXlsx: 'History' is a reserved sheet name in Excel")
     val zos = new java.util.zip.ZipOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
     def part(name: String, content: String): Unit = {

@@ -114,25 +114,37 @@ class RetentionSpec extends AnyFunSuite {
       assert(r.processed.isEmpty, s"window d$d was re-ingested after compaction")
     }
 
-    // idempotent re-run; single live batch → nothing further to merge
-    assert(TierPipeline.compactTier(spark, out, "1h-state", snap) == target)
+    // single live batch → nothing further to merge
+    assert(TierPipeline.compactTier(spark, out, "1h-state", snap).isEmpty)
 
-    // vacuum reclaims the five replaced dirs, keeps the consolidated one
+    // batches committed AFTER a compaction must be compactable again
+    // (generation 2) — the live-stream companion case
+    TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+      dayDf(day1Ms + 5 * 86400000L), window = Some("d5"))
+    assert(TierPipeline.committedPaths(out, "1h-state", snap).size == 2)
+    val target2 = TierPipeline.compactTier(spark, out, "1h-state", snap)
+    assert(target2.exists(_.contains("_g2")), s"no second generation: $target2")
+    assert(TierPipeline.committedPaths(out, "1h-state", snap) == Seq(target2.get))
+    assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 6 * 48)
+
+    // vacuum reclaims the five original dirs AND the replaced generation-1
+    // compact dir, keeps only the live generation-2 one
     val deleted = TierPipeline.vacuumTier(out, "1h-state")
-    assert(deleted.size == 5 && !deleted.contains(target.get))
+    assert(deleted.size == 7 && deleted.contains(target.get) &&
+      !deleted.contains(target2.get), s"vacuumed: $deleted")
     deleted.foreach(p =>
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
-    assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 5 * 48)
+    assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 6 * 48)
 
     // retention after compaction: whole-batch granularity — the global
-    // [minTs,maxTs] spans all five days, so a mid-range cutoff expires
+    // [minTs,maxTs] spans all six days, so a mid-range cutoff expires
     // nothing, and a past-the-end cutoff expires the whole batch
     TierPipeline.runTier(spark, out, "1d-state", snap, 4, dayDf(day1Ms))
     assert(TierPipeline.expireBatches(out, "1h-state", snap,
       day1Ms + 3 * 86400000L, Some("1d-state"), 4).isEmpty)
     val all = TierPipeline.expireBatches(out, "1h-state", snap,
       day1Ms + 10 * 86400000L, Some("1d-state"), 4)
-    assert(all == Seq(target.get))
+    assert(all == Seq(target2.get))
   }
 
   test("vacuum refuses manifest paths that escape the tier root") {
