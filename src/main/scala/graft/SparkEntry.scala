@@ -809,6 +809,30 @@ object SparkEntry {
     "txt_pack" -> ((s, dir) =>
       TextAnalysis.packSequences(documents(s, dir), capacity = 128,
         nShards = 8).orderBy("doc_id")),
+    // END-TO-END curation composition: quality floor + repetition ceiling +
+    // benchmark decontamination (bench slice excluded) + exact-dedup
+    // canonicals + deterministic en-downsampling — the full corpus-prep
+    // pipeline as one plan (each verb keeps its own oracle; this query
+    // verifies they COMPOSE)
+    "txt_curate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val q = TextAnalysis.quality(d).select(col("doc_id"), col("q_score"))
+      val rep = TextAnalysis.repetition(d)
+        .select(col("doc_id"), col("frac_dup_2g"))
+      val dec = TextAnalysis.decontaminate(
+        d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0))
+        .select(col("doc_id"), col("contaminated"))
+      val canon = TextAnalysis.fingerprint(d)
+        .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      TextAnalysis.mixSample(d, Map("en" -> 0.5)).select("doc_id", "lang")
+        .join(q, "doc_id").join(rep, "doc_id")
+        .join(dec, "doc_id").join(canon, "doc_id")
+        .filter(col("q_score") >= 0.5 && col("frac_dup_2g") <= 0.8 &&
+          !col("contaminated"))
+        .select(col("doc_id"), col("lang"), col("q_score"))
+        .orderBy("doc_id")
+    }),
     // top-k search ON the int8-quantized vectors: integer dot products,
     // bit-exact ranking across engines
     "ann_quant_topk" -> ((s, dir) =>
@@ -2756,6 +2780,61 @@ private object Oracles {
     // counts over the segmented vocab + deterministic best-pair + the same
     // double-space replace; pure string/integer ops, zero float contract
     "txt_bpe" -> bpeSql,
+    // end-to-end curation composition — every stage replays its own verb's
+    // established SQL fragment
+    "txt_curate" ->
+      ("""WITH t AS (
+          |  SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
+          |), q AS (
+          |  SELECT doc_id,
+          |    round(0.4 * least(1.0, cast(len(ws) AS double) / 100) +
+          |          0.3 * (1.0 - cast(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS double) / len(ws)) +
+          |          0.3 * least(1.0, (list_sum(list_transform(ws, x -> cast(length(x) AS double))) / len(ws)) / 8) + 1e-9, 4) AS q_score
+          |  FROM t
+          |), rep AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(ws) - 1 > 0
+          |      THEN round(cast(len(ws) - 1 - len(list_distinct(
+          |             list_transform(generate_series(1, len(ws) - 1), i ->
+          |               ws[cast(i AS int)] || ' ' || ws[cast(i + 1 AS int)]))) AS double)
+          |           / (len(ws) - 1) + 1e-9, 4)
+          |      ELSE cast(0.0 AS double) END AS frac_dup_2g
+          |  FROM t
+          |), g AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(generate_series(1, len(ws) - 2), i ->
+          |      array_to_string(ws[cast(i AS int):cast(i + 2 AS int)], ' '))) AS gs
+          |  FROM t WHERE len(ws) >= 3
+          |), bench AS (
+          |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 17 = 0
+          |), train AS (
+          |  SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 17 <> 0
+          |), dec AS (
+          |  SELECT tr.doc_id,
+          |    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS double)
+          |      / count(*) >= 0.5 AS contaminated
+          |  FROM train tr LEFT JOIN bench b USING (gram)
+          |  GROUP BY tr.doc_id
+          |), canon AS (
+          |  SELECT min(doc_id) AS doc_id FROM documents
+          |  GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+          |), samp AS (
+          |  SELECT doc_id, lang FROM (
+          |    SELECT doc_id, lang,
+          |      CAST(list_sum(list_transform(generate_series(1, 8), d ->
+          |        cast(strpos('0123456789abcdef',
+          |               substr(substr(md5(cast(doc_id AS varchar)), 1, 8),
+          |                      cast(d AS int), 1)) - 1 AS bigint)
+          |          * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) AS u
+          |    FROM documents)
+          |  WHERE u < CASE WHEN lang = 'en' THEN 2147483648 ELSE 4294967296 END
+          |)
+          |SELECT s.doc_id, s.lang, q.q_score
+          |FROM samp s
+          |JOIN q USING (doc_id) JOIN rep USING (doc_id)
+          |JOIN dec USING (doc_id) JOIN canon USING (doc_id)
+          |WHERE q.q_score >= 0.5 AND rep.frac_dup_2g <= 0.8 AND NOT dec.contaminated
+          |ORDER BY doc_id""".stripMargin),
     // sequence packing: per-shard running token offsets (window cumsum),
     // integer-only; the windowed sum is HUGEINT in DuckDB → cast
     "txt_pack" ->

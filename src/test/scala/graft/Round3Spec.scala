@@ -518,6 +518,28 @@ class Round3Spec extends AnyFunSuite {
     assert(out(1L) == (0L, 0L, 0L, false)) // different shard starts fresh
   }
 
+  test("BPE double-space replace ≡ token-level greedy merge on random sequences (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // reference semantics: left-to-right non-overlapping merge on the token list
+    def greedy(toks: List[String], a: String, b: String): List[String] = toks match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: greedy(rest, a, b)
+      case x :: rest => x :: greedy(rest, a, b)
+      case Nil => Nil
+    }
+    // the engine's contract: double-space join + plain string replace
+    def viaReplace(toks: List[String], a: String, b: String): List[String] =
+      ("  " + toks.mkString("  ") + "  ")
+        .replace(s" $a  $b ", s" $a$b ")
+        .split(" ").filter(_.nonEmpty).toList
+    val tok = Gen.oneOf("a", "b", "ab", "aa", "ba", "c")
+    val prop = Prop.forAll(Gen.listOfN(12, tok), tok, tok) { (toks, a, b) =>
+      viaReplace(toks, a, b) == greedy(toks, a, b)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("BPE training: greedy merge contract on overlapping runs (aaa → [aa, a])") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
