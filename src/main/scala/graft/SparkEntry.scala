@@ -678,6 +678,11 @@ object SparkEntry {
     // MinHash+LSH near-dup candidate pairs (md5 minhashes, banded join)
     "dd_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
+    // signature-only Jaccard estimate for the LSH candidates (Broder '97):
+    // the screen that reads 8 minhashes per doc instead of re-shuffling
+    // shingles — integer agree-count / 8, exact cross-engine
+    "dd_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimate(docsPlanted(s, dir)).orderBy("id1", "id2")),
     // n-gram Jaccard verification of the LSH candidates
     "dd_ngram_jaccard" -> ((s, dir) => {
       val d = docsPlanted(s, dir)
@@ -804,6 +809,15 @@ object SparkEntry {
     // relation, greedy double-space replace contract (no float anywhere)
     "txt_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTrain(documents(s, dir), 8).orderBy("step")),
+    // tokenizer ENCODE with the trained merges: train 8 merges, collect the
+    // (vocab-sized) merge list, apply it corpus-wide in one map-only pass
+    "txt_bpe_encode" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, 8).orderBy("step")
+        .select("pair").collect().toSeq
+        .map { r => val Array(a, b) = r.getString(0).split(" "); (a, b) }
+      TextAnalysis.bpeEncode(d, merges).orderBy("doc_id")
+    }),
     // sequence packing: concat-and-chunk into capacity-128 sequences over
     // 8 parallel shards
     "txt_pack" -> ((s, dir) =>
@@ -2439,6 +2453,19 @@ private object Oracles {
           |SELECT u.doc_id FROM uniq u
           |WHERE u.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
           |ORDER BY doc_id""".stripMargin),
+    "dd_minhash_est" ->
+      (plantedCte + shingleCtes + bandCtes +
+        """, est AS (
+          |  SELECT p.id1, p.id2,
+          |    CAST(list_sum(list_transform(generate_series(1, 8), j ->
+          |      CASE WHEN a.m[j] = b.m[j] THEN 1 ELSE 0 END)) AS BIGINT) AS n_eq
+          |  FROM pairs p
+          |  JOIN mh a ON a.doc_id = p.id1
+          |  JOIN mh b ON b.doc_id = p.id2
+          |)
+          |SELECT id1, id2, n_eq,
+          |  round(CAST(n_eq AS double) / 8 + 1e-9, 4) AS est_jaccard
+          |FROM est ORDER BY id1, id2""".stripMargin),
     "dd_ngram_jaccard" ->
       (plantedCte + shingleCtes + bandCtes +
         """, shx AS (
@@ -2780,6 +2807,7 @@ private object Oracles {
     // counts over the segmented vocab + deterministic best-pair + the same
     // double-space replace; pure string/integer ops, zero float contract
     "txt_bpe" -> bpeSql,
+    "txt_bpe_encode" -> bpeEncodeSql,
     // end-to-end curation composition — every stage replays its own verb's
     // established SQL fragment
     "txt_curate" ->
@@ -3154,8 +3182,7 @@ private object Oracles {
   private[graft] lazy val tuneCandidates: Seq[(Double, Int)] =
     Seq((0.1, 3), (0.05, 3), (0.3, 2), (0.1, 1))
 
-  private lazy val bpeSql: String = {
-    val nMerges = 8
+  private def bpeTrainCtes(nMerges: Int): String = {
     def stage(k: Int): String = {
       val prev = s"seg${k - 1}"
       s""", pc$k AS MATERIALIZED (
@@ -3187,10 +3214,47 @@ private object Oracles {
       |      i -> substr(word, cast(i AS int), 1)), '  ') || '  ' AS s
       |  FROM wc
       |)""".stripMargin +
-      (1 to nMerges).map(stage).mkString +
+      (1 to nMerges).map(stage).mkString
+  }
+
+  private lazy val bpeSql: String = {
+    val nMerges = 8
+    bpeTrainCtes(nMerges) +
       (1 to nMerges).map(k =>
         s"SELECT $k AS step, pair, replace(pair, ' ', '') AS merged, pcnt AS cnt FROM best$k")
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+  }
+
+  // encode = the train chain's best1..bestN merges folded into chained
+  // replaces over each document's char segmentation — the same double-space
+  // contract, so the replay is byte-identical (see TextAnalysis.bpeEncode)
+  private lazy val bpeEncodeSql: String = {
+    val nMerges = 8
+    def encStage(k: Int): String =
+      s""", enc$k AS (
+         |  SELECT doc_id, replace(s,
+         |    ' ' || (SELECT string_split(pair, ' ')[1] FROM best$k) || '  ' ||
+         |           (SELECT string_split(pair, ' ')[2] FROM best$k) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '') FROM best$k) || ' ') AS s
+         |  FROM enc${k - 1}
+         |)""".stripMargin
+    bpeTrainCtes(nMerges) +
+      """, enc0 AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      list_filter(string_split(text, ' '), w -> w <> ''),
+        |      w -> '  ' || array_to_string(list_transform(
+        |        generate_series(1, length(w)),
+        |        i -> substr(w, cast(i AS int), 1)), '  ') || '  '), '') AS s
+        |  FROM documents
+        |)""".stripMargin +
+      (1 to nMerges).map(encStage).mkString +
+      s"""
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(s, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(s, ' '), t -> length(t) > 1)) AS BIGINT) AS n_merged,
+         |  md5(s) AS tok_fp
+         |FROM enc$nMerges ORDER BY doc_id""".stripMargin
   }
 
   private lazy val tuningSql: String = {

@@ -110,6 +110,29 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Jaccard similarity ESTIMATED from the MinHash signatures themselves
+    * (Broder '97: P[mh_j(A) = mh_j(B)] = J(A,B), so the fraction of agreeing
+    * signature slots is an unbiased estimate) for the LSH candidate pairs.
+    * This is the production screening step that never touches document
+    * content a second time: after the band join, the verify pass reads only
+    * the numHashes-sized signatures — no shingle re-shuffle (contrast
+    * [[ngramJaccard]], the exact verifier). Integer agreement count over a
+    * power-of-two denominator → exact in any engine.
+    * Returns (id1, id2, n_eq, est_jaccard).
+    */
+  def minhashEstimate(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(docs, numHashes)
+    minhashPairs(docs, numHashes, rowsPerBand)
+      .join(sig.select(col("doc_id").as("id1"), col("mh").as("mh1")), "id1")
+      .join(sig.select(col("doc_id").as("id2"), col("mh").as("mh2")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("aggregate(zip_with(mh1, mh2, (a, b) -> IF(a = b, 1, 0)), 0, " +
+          "(acc, x) -> acc + x)").cast("long").as("n_eq"))
+      .withColumn("est_jaccard",
+        round(col("n_eq").cast("double") / numHashes + lit(1e-9), 4))
+  }
+
   /** Connected components over near-dup pairs → duplicate GROUPS with a
     * canonical doc each: iterative min-label propagation (every round each
     * node takes the min of its own and its neighbors' labels; converges in

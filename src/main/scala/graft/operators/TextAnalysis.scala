@@ -315,6 +315,40 @@ object TextAnalysis {
     } finally { wc.unpersist(); () }
   }
 
+  /** BPE tokenizer APPLICATION — the encode half of the [[bpeTrain]]
+    * lifecycle (train → encode → pack): segment every word of every document
+    * to characters under the same double-space contract and fold the ordered
+    * merge list in as chained literal `replace` calls — one map-only pass
+    * over the corpus, zero shuffles, and byte-identical greedy-BPE output in
+    * JVM/Spark/DuckDB (see the [[bpeTrain]] contract note). Words are
+    * separated by the concatenated sentinels (4 spaces), which no merge
+    * pattern (exactly 2 inner spaces) can match across — merges never cross
+    * word boundaries, as in the real tokenizer.
+    *
+    * `merges` is the trained (a, b) list in step order — vocabulary-sized
+    * driver metadata, exactly what a production encoder broadcasts.
+    * Output per doc: token count, merged-token count (length > 1), and an
+    * md5 fingerprint of the final segmentation (the full token stream,
+    * order-sensitive — a cross-engine-checkable stand-in for emitting the
+    * token id array).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seg0 = expr(
+      """array_join(transform(filter(split(text, ' '), w -> w != ''), w ->
+        |  concat('  ', array_join(transform(sequence(1, char_length(w)),
+        |    i -> substring(w, i, 1)), '  '), '  ')), '')""".stripMargin)
+    val enc = merges.foldLeft(seg0) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    docs.select(col("doc_id"), enc.as("s"))
+      .select(col("doc_id"),
+        size(expr("filter(split(s, ' '), t -> t != '')")).cast("long")
+          .as("n_tokens"),
+        size(expr("filter(split(s, ' '), t -> char_length(t) > 1)")).cast("long")
+          .as("n_merged"),
+        md5(col("s")).as("tok_fp"))
+  }
+
   /** Sequence packing for pretraining (the GPT-2/PaLM concat-and-chunk
     * contract): documents are laid out in a deterministic order — shard by
     * doc_id % nShards, then (doc_id) within the shard — token offsets are

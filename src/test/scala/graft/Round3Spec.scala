@@ -174,6 +174,27 @@ class Round3Spec extends AnyFunSuite {
     assert(!typed.contains(3L) && !typed.contains(8L))
   }
 
+  test("minhash Jaccard estimate: exact dup agrees on all slots, est = n_eq/8") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (4L, "completely different content with other words entirely here")
+    ).toDF("doc_id", "text")
+    val est = graft.operators.Dedup.minhashEstimate(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // the exact dup surfaces via LSH and agrees on every signature slot
+    assert(est((1L, 2L)) == ((8L, 1.0)))
+    est.values.foreach { case (nEq, e) =>
+      // any LSH candidate shares at least one full band = rowsPerBand slots
+      assert(nEq >= 2 && nEq <= 8)
+      // n_eq/8 is an exact 3-decimal binary fraction — estimate is exact
+      assert(e == nEq / 8.0)
+    }
+  }
+
   test("typed w_* kernel ≡ expression form on random-ish series (incl. n ≤ k)") {
     val k = 2; val m = 2 * k + 1
     val grid = (for (c <- Seq("a", "b", "tiny"); i <- 0 until (if (c == "tiny") 2 else 25))
@@ -550,6 +571,29 @@ class Round3Spec extends AnyFunSuite {
     // step 2: (aa,a) ×2 beats (a,b) ×1; step 3: the leftover (a,b)
     assert(merges == Seq(
       (1, "a a", "aa", 4L), (2, "aa a", "aaa", 2L), (3, "a b", "ab", 1L)))
+  }
+
+  test("BPE encode: trained merges applied corpus-wide, never across words") {
+    import graft.operators.TextAnalysis
+    val train = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, 2).orderBy("step").collect()
+      .map { r => val Array(a, b) = r.getString(1).split(" "); (a, b) }.toSeq
+    assert(merges == Seq(("a", "a"), ("aa", "a")))
+    val docs = Seq(
+      (1L, "aaa aaa ab"), // [aaa][aaa][a b] → 4 tokens, 2 merged
+      (2L, "a a"),        // adjacent single-char WORDS: merge must not cross
+      (3L, ""),           // empty doc → 0 tokens
+      (4L, "baaab")       // greedy inside a word: b aa a b → b aaa b
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert((out(1L)._1, out(1L)._2) == ((4L, 2L)))
+    assert((out(2L)._1, out(2L)._2) == ((2L, 0L)))
+    assert(out(3L)._1 == 0L)
+    assert((out(4L)._1, out(4L)._2) == ((3L, 1L)))
+    // fingerprints are over the full token stream — distinct docs differ
+    assert(out.values.map(_._3).toSet.size == 4)
   }
 
   test("xlsx export: two-sheet workbook round-trips values/types through a standard XML parse") {
