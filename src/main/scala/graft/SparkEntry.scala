@@ -749,6 +749,17 @@ object SparkEntry {
       Similarity.nearDupPairs(planted, col("vec_id") % 97 === 0, threshold = 0.999)
         .orderBy("id1", "id2")
     }),
+    // SemDeDup: k-means-bucketed semantic dedup over the planted embedding
+    // corpus (2 quantized Lloyd iters from the %97 seeds, cos ≥ 0.999 inside
+    // a cluster ⇒ lower-id representative wins)
+    "dd_semdedup" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(
+        e.filter(col("vec_id") % 37 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.semDedup(planted, col("vec_id") % 97 === 0, iters = 2,
+        threshold = 0.999).orderBy("vec_id")
+    }),
     // language ID by stopword-hit heuristic
     "txt_langid" -> ((s, dir) =>
       TextAnalysis.langId(documents(s, dir)).orderBy("doc_id")),
@@ -787,6 +798,14 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // inverted-index collection statistics: per-term df + cf, top-100
+    "txt_index" -> ((s, dir) =>
+      TextAnalysis.indexStats(documents(s, dir), 100)),
+    // BM25 keyword retrieval: three fixed keyword queries, top-10 docs each
+    // (quantized-idf determinism contract; per-doc term fold in term order)
+    "txt_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(documents(s, dir), bm25Queries, k = 10)
+        .orderBy("qid", "rn")),
     // benchmark decontamination: docs with doc_id % 17 == 0 act as the held
     // benchmark corpus; the rest are training docs scored by 3-gram overlap
     "txt_decontam" -> ((s, dir) => {
@@ -962,6 +981,14 @@ object SparkEntry {
       .agg(round(avg("text_len") / 100.0 + lit(1e-9), 4).as("f1"),
         round(avg("is_tool") + lit(1e-9), 4).as("f2"),
         round(count(lit(1)) / 10.0 + lit(1e-9), 4).as("f3"))
+
+  /** Fixed keyword queries for the BM25 retrieval demo (corpus-vocabulary
+    * terms; `dup` is the rare high-idf term). Mirrored in the oracle SQL.
+    */
+  private[graft] val bm25Queries: Seq[(Int, String)] = Seq(
+    (1, "spark window scan"),
+    (2, "hash join merge dup"),
+    (3, "stream batch the"))
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -2523,6 +2550,7 @@ private object Oracles {
           |  FROM sc) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     // exact replay of quantized-Lloyd training + final assignment
     "ann_kmeans" -> kmeansSql,
+    "dd_semdedup" -> semdedupSql,
     // full PQ replay: per-subspace Lloyd, encode, ADC search
     "ann_pq" -> pqSql,
     "ann_ivf" ->
@@ -2618,6 +2646,17 @@ private object Oracles {
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           |WHERE word != '' GROUP BY 1
           |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    "txt_index" ->
+      ("""WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+          |  FROM documents
+          |), tfr AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+          |)
+          |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+          |FROM tfr GROUP BY 1
+          |ORDER BY df DESC, cf DESC, term LIMIT 100""".stripMargin),
+    "txt_bm25" -> bm25Sql,
     "dd_embed_cosine" ->
       ("""WITH emb2 AS (
           |  SELECT vec_id, embedding FROM embeddings
@@ -3060,6 +3099,86 @@ private object Oracles {
       steps + kmAsg(iters + 1, s"cents$iters") +
       s"""
          |SELECT vec_id, cell, cos FROM asg${iters + 1} ORDER BY vec_id""".stripMargin
+  }
+
+  // SemDeDup oracle: planted-dup embeddings → the kmeansSql replay (2
+  // quantized Lloyd iterations from the %97 seeds) → within-cell pairs at
+  // rounded cos ≥ 0.999 → lower-id dominator counts.
+  private lazy val semdedupSql: String = {
+    val iters = 2
+    val steps = (1 to iters).map(j =>
+      kmAsg(j, if (j == 1) "cents0" else s"cents${j - 1}") + kmUpdate(j)).mkString
+    """WITH emb2 AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 37 = 0
+      |)""".stripMargin + embCtes("emb2").replaceFirst("WITH ", ", ") +
+      """, cents0 AS (
+        |  SELECT vec_id AS cid, v AS cv FROM nrm WHERE vec_id % 97 = 0
+        |)""".stripMargin +
+      steps + kmAsg(iters + 1, s"cents$iters") +
+      s"""
+         |, cc AS (
+         |  SELECT n.vec_id, n.v, n.nm, a.cell
+         |  FROM nrm n JOIN asg${iters + 1} a USING (vec_id)
+         |), dom AS (
+         |  SELECT b.vec_id, count(*) AS nd
+         |  FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> a.v[i] * b.v[i])) / (a.nm * b.nm) + 1e-9, 6) >= 0.999
+         |  GROUP BY 1
+         |)
+         |SELECT c.vec_id, c.cell, coalesce(d.nd, 0) AS n_dominators,
+         |  d.nd IS NULL AS kept
+         |FROM cc c LEFT JOIN dom d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+  }
+
+  // BM25 oracle: quantized idf (6 dp), per-term part as the identical
+  // left-assoc double chain (all literals cast to double — DuckDB decimal
+  // literals would silently switch the arithmetic to DECIMAL), per-doc sum
+  // over term-ordered parts, 4-dp round before ranking.
+  private lazy val bm25Sql: String = {
+    val qvals = SparkEntry.bm25Queries
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+       |  FROM documents
+       |), tfr AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dlr AS (
+       |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+       |), stats AS (
+       |  SELECT CAST(count(*) AS double) AS n_docs,
+       |         CAST(sum(dl) AS double) / count(*) AS avgdl
+       |  FROM dlr
+       |), idf AS (
+       |  SELECT term, avgdl,
+       |    round(ln(CAST(1.0 AS double) +
+       |      (n_docs - CAST(df AS double) + CAST(0.5 AS double)) /
+       |      (CAST(df AS double) + CAST(0.5 AS double))) + 1e-9, 6) AS idf
+       |  FROM (SELECT term, count(*) AS df FROM tfr GROUP BY 1) CROSS JOIN stats
+       |), q AS (
+       |  SELECT DISTINCT qid,
+       |    unnest(list_filter(string_split(qtext, ' '), w -> w <> '')) AS term
+       |  FROM (VALUES $qvals) v(qid, qtext)
+       |), parts AS (
+       |  SELECT q.qid, tfr.doc_id, tfr.term,
+       |    idf.idf * (CAST(tfr.tf AS double) * (CAST(1.2 AS double) + 1)) /
+       |      (CAST(tfr.tf AS double) + CAST(1.2 AS double) *
+       |        (CAST(0.25 AS double) +
+       |         CAST(0.75 AS double) * CAST(dlr.dl AS double) / idf.avgdl)) AS part
+       |  FROM tfr JOIN q USING (term) JOIN dlr USING (doc_id) JOIN idf USING (term)
+       |), scored AS (
+       |  SELECT qid, doc_id,
+       |    round(list_sum(list(part ORDER BY term)) + 1e-9, 4) AS score
+       |  FROM parts GROUP BY 1, 2
+       |)
+       |SELECT qid, doc_id, score, rn FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
   }
 
   // PQ oracle: unrolled quantized-Lloyd per subspace + encode + ADC search.

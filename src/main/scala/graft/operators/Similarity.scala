@@ -290,6 +290,41 @@ object Similarity {
       .select(col("qid"), col("eid"), col("adist"), col("rn"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv 2303.09540):
+    * semantic deduplication of an embedding corpus — k-means-cluster the
+    * embeddings ([[kmeansCentroids]], quantized-iteration contract), then
+    * inside each cluster mark every vector that has a LOWER-id neighbor
+    * with cosine ≥ `threshold` as a duplicate (the paper keeps one
+    * representative per ε-ball; lowest id is the deterministic stand-in for
+    * its random choice). The pair join is a cell equi-join — the cluster
+    * count grows with the corpus, so per-cell pair volume stays bounded and
+    * the all-pairs shape never appears (the whole point of the algorithm at
+    * 100 TB).
+    *
+    * Output: (vec_id, cell, n_dominators, kept) — `n_dominators` = how many
+    * lower-id in-cell neighbors sit above the threshold, `kept` =
+    * (n_dominators = 0), i.e. the deduplicated corpus is `filter(kept)`.
+    */
+  def semDedup(emb: DataFrame, seedPred: org.apache.spark.sql.Column,
+      iters: Int, threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(emb, seedPred, iters)
+    val cells = ivfAssignTo(emb, cents).select(col("vec_id"), col("cell"))
+    val e = withNorm(dims(emb, "embedding")).join(cells, "vec_id")
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("qv"),
+      col("norm").as("qn"), col("cell"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("ev"),
+      col("norm").as("en"), col("cell"))
+    val dominated = a.join(b, Seq("cell")).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id2").as("vec_id")).agg(count(lit(1)).as("nd"))
+    cells.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("nd"), lit(0L)).as("n_dominators"),
+        col("nd").isNull.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs inside IVF cells (cell equi-join,
     * never a corpus cross join) above a threshold.
     */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data curation over
   * `documents(doc_id, text, lang, source, n_chars)` — engine addition
@@ -158,6 +159,75 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(k)
+
+  /** Collection statistics / inverted-index head (the IR index-build
+    * relation): per term, document frequency (df) and collection frequency
+    * (cf), top-`k` by (df desc, cf desc, term). Plans as two stacked partial
+    * aggregates + TakeOrderedAndProject — the index over a 100 TB corpus is
+    * one shuffle on the term key, never a global sort.
+    */
+  def indexStats(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .orderBy(col("df").desc, col("cf").desc, col("term")).limit(k)
+
+  /** BM25 ranked keyword retrieval (Robertson-Spärck Jones probabilistic
+    * relevance; the Lucene `k1`/`b` parameterization with the +1-smoothed
+    * idf, `ln(1 + (N - df + 0.5)/(df + 0.5))`) — the retrieval half of the
+    * training-data pipeline (mining domain-relevant documents from the raw
+    * corpus by keyword query).
+    *
+    * Scale shape: tf is one partial-aggregable groupBy over the exploded
+    * corpus (the inverted-index build); the query set and the per-term idf
+    * relation are tiny and BROADCAST, so scoring touches only postings of
+    * the query terms; per-query top-k plans as WindowGroupLimit (partial +
+    * final per-partition top-k). No cross join, no global sort anywhere.
+    *
+    * Determinism contract (engine-replayable): idf is quantized to 6
+    * decimals before use; each per-term score part is then a fixed chain of
+    * correctly-rounded double ops (bit-identical across engines); the
+    * per-document sum folds parts in lexicographic TERM order
+    * (`aggregate(array_sort(...))` — a sequential left fold both engines
+    * replay); the final score is rounded to 4 decimals with the +1e-9 HALF_UP
+    * bias before ranking, doc_id tie-break.
+    */
+  def bm25(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> w != '')")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("avgdl"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) + lit(1e-9), 6).as("idf"))
+    val q = queries.toDF("qid", "qtext")
+      .select(col("qid"),
+        explode(expr("filter(split(qtext, ' '), w -> w != '')")).as("term"))
+      .distinct()
+    val parts = tf.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(idf), "term")
+      .withColumn("part",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val scored = parts.groupBy("qid", "doc_id")
+      .agg(round(expr("aggregate(array_sort(collect_list(struct(term, part)))," +
+        " cast(0 as double), (acc, x) -> acc + x.part)") + lit(1e-9), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+  }
 
   /** Token counting by regex classes (the BPE-ish pre-tokenizer pattern:
     * letter runs, digit runs, single punctuation) alongside plain

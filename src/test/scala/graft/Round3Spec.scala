@@ -195,6 +195,56 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("BM25: hand-computed score, tf ordering, rare-term idf dominance") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "dup dup common"),
+      (2L, "dup common common"),
+      (3L, "common common common"),
+      (4L, "other words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs,
+        Seq((1, "dup"), (2, "common other")), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    // q1 "dup": N=4, df=2 → idf=round(ln(2),6)=0.693147; dl=3=avgdl →
+    // score(doc1, tf=2) = 0.693147·(2·2.2)/(2+1.2) = 0.953077… → 0.9531
+    assert(out((1, 1L))._1 == 0.9531 && out((1, 1L))._2 == 1)
+    assert(out((1, 2L))._2 == 2 && out((1, 2L))._1 < 0.9531)
+    assert(!out.contains((1, 3L)) && !out.contains((1, 4L)))
+    // q2: "other" (df=1, idf=ln(1+3.5/1.5)) outweighs "common" (df=3,
+    // idf=ln(1+1.5/3.5)) → doc4 beats the common-only docs
+    assert(out((2, 4L))._2 == 1)
+    assert(Set(2L, 3L).contains(
+      out.collectFirst { case ((2, d), (_, 2)) => d }.get))
+  }
+
+  test("indexStats: df/cf per term with (df desc, cf desc, term) order") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b  b")).toDF("doc_id", "text")
+    val out = TextAnalysis.indexStats(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: df 2 cf 3; b: df 2 cf 3; c: df 1 cf 1 — tie broken by term
+    assert(out.toSeq == Seq(("a", 2L, 3L), ("b", 2L, 3L), ("c", 1L, 1L)))
+  }
+
+  test("semDedup: exact dup drops (lower id wins), distinct vectors kept") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),  // exact dup of 0 → dominated
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)) // cos≈0.994 < 0.999 → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, col("vec_id") % 2 === 0, iters = 1,
+        threshold = 0.999).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L) == ((0L, true)))
+  }
+
   test("typed w_* kernel ≡ expression form on random-ish series (incl. n ≤ k)") {
     val k = 2; val m = 2 * k + 1
     val grid = (for (c <- Seq("a", "b", "tiny"); i <- 0 until (if (c == "tiny") 2 else 25))
