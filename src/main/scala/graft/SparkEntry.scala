@@ -706,6 +706,13 @@ object SparkEntry {
           Seq("doc_id"), "left_anti")
         .select("doc_id").orderBy("doc_id")
     }),
+    // exact substring duplicate-span detection (Lee+ ACL'22 ExactSubstr,
+    // stride-sampled gram grid): per doc, how many sampled 20-char grams
+    // occur ≥2 times corpus-wide and exactly how many characters those
+    // duplicated grams cover (interval union) — the planted full-copy and
+    // tail-append docs make every column non-vacuous
+    "dd_substr" -> ((s, dir) =>
+      Dedup.substringDups(docsPlanted(s, dir)).orderBy("doc_id")),
     // SimHash (32-bit, md5-parity votes) near-dup pairs, Hamming 0
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
@@ -2514,6 +2521,33 @@ private object Oracles {
           |JOIN sizes s1 ON s1.doc_id = p.id1
           |JOIN sizes s2 ON s2.doc_id = p.id2
           |ORDER BY p.id1, p.id2""".stripMargin),
+    "dd_substr" ->
+      (plantedCte +
+        """, nrm AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM docs
+          |), base AS (
+          |  SELECT doc_id, s, length(s) AS len FROM nrm WHERE length(s) >= 20
+          |), g AS (
+          |  SELECT doc_id, CAST((j - 1) * 8 AS int) AS i,
+          |         md5(substr(s, (j - 1) * 8 + 1, 20)) AS h
+          |  FROM base, unnest(generate_series(1, (len - 20) // 8 + 1)) AS t(j)
+          |), dup AS (
+          |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+          |), dp AS (
+          |  SELECT g.doc_id, g.i FROM g JOIN dup USING (h)
+          |), sw AS (
+          |  SELECT doc_id, i,
+          |         i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS gap
+          |  FROM dp
+          |), per AS (
+          |  SELECT doc_id, CAST(count(*) AS bigint) AS n_dup,
+          |         CAST(sum(CASE WHEN gap IS NULL OR gap >= 20 THEN 20 ELSE gap END) AS bigint) AS dup_chars
+          |  FROM sw GROUP BY doc_id
+          |)
+          |SELECT b.doc_id, CAST((b.len - 20) // 8 + 1 AS bigint) AS n_grams,
+          |       coalesce(p.n_dup, CAST(0 AS bigint)) AS n_dup,
+          |       coalesce(p.dup_chars, CAST(0 AS bigint)) AS dup_chars
+          |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""".stripMargin),
     "dd_simhash" ->
       (plantedCte + simhashCtes +
         """

@@ -277,6 +277,72 @@ object Dedup {
       .select("id1", "id2", "sig")
   }
 
+  /** Exact substring duplicate-span detection — the Spark re-expression of
+    * suffix-array ExactSubstr dedup (Lee et al. ACL'22, "Deduplicating
+    * Training Data Makes Language Models Better"): find character k-grams
+    * occurring ≥2 times anywhere in the corpus (across docs OR repeated
+    * inside one doc) and report, per document, the sampled-gram duplication
+    * count and the exact number of characters covered by duplicated grams
+    * (union of their [i, i+k) intervals).
+    *
+    * Instead of one global suffix array (inherently sequential to build),
+    * gram start positions are sampled on a fixed stride grid: any duplicated
+    * substring of length ≥ k + stride − 1 is guaranteed to contain at least
+    * one grid-aligned gram on both occurrences, so detection degrades
+    * gracefully (shorter dups may be missed — the standard sampled-gram
+    * trade). Shuffle topology: one partially-aggregable count per gram hash
+    * + one candidate equi-join back to positions — both keyed on the md5
+    * hash, never a cross join; the interval-union sweep is a per-doc lag
+    * window over ≤ len/stride sampled positions (integer math, exact across
+    * engines). At 10^12 docs the hex key would be packed into an int64 and
+    * singleton grams pre-dropped map-side; semantics unchanged.
+    */
+  def substringDups(docs: DataFrame, k: Int = 20, stride: Int = 8): DataFrame = {
+    require(k >= 1 && stride >= 1, "k and stride must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = docs.select(col("doc_id").cast("long"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("s"))
+      .filter(length(col("s")) >= k)
+    // typed kernel (one reused digest, no interpreted HOF md5 per element)
+    val grams = norm.as[(Long, String)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexc = "0123456789abcdef".toCharArray
+      it.flatMap { case (id, s) =>
+        val n = (s.length - k) / stride + 1
+        (0 until n).iterator.map { j =>
+          val i = j * stride
+          val d = md.digest(s.substring(i, i + k)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            out(2 * b) = hexc((d(b) >> 4) & 0xf)
+            out(2 * b + 1) = hexc(d(b) & 0xf)
+            b += 1
+          }
+          (id, i, new String(out))
+        }
+      }
+    }.toDF("doc_id", "i", "h")
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val dupPos = grams.join(dup, "h").select("doc_id", "i")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val perDoc = dupPos
+      .withColumn("gap", col("i") - lag("i", 1).over(w))
+      .withColumn("add",
+        when(col("gap").isNull || col("gap") >= k, k).otherwise(col("gap")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_dup"),
+        sum("add").cast("long").as("dup_chars"))
+    norm.select(col("doc_id"),
+        (((length(col("s")) - k) / stride) + 1).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup", "dup_chars"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming via banding
     * (the pigeonhole construction: split the 32 bits into maxHamming+1
     * segments — two signatures within distance k must agree EXACTLY on at

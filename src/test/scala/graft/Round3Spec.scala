@@ -701,4 +701,52 @@ class Round3Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxRows"))
   }
+
+  test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
+    // k=20, stride=8. Unique filler built from doc-specific characters so
+    // no accidental cross-doc grams; SHARED is a 40-char span planted in
+    // docs 1 and 2 at different offsets.
+    val shared = "the quick brown fox jumps over lazy dogs" // 40 chars
+    def filler(c: Char, n: Int) = {
+      val rnd = new scala.util.Random(c.toInt) // doc-unique, non-periodic
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val d1 = filler('x', 24) + shared + filler('y', 24)
+    val d2 = filler('q', 48) + shared + filler('r', 8)
+    val d3 = filler('m', 90) // no dup anywhere
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.substringDups(docs, k = 20, stride = 8)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 3: clean
+    assert(byId(3L) == ((9L, 0L, 0L)))
+    // docs 1 and 2: at least one sampled gram falls inside the shared span
+    // in BOTH docs (span length 40 ≥ k + stride − 1 = 27 guarantees it),
+    // and the covered chars never exceed the span (no false positives
+    // outside, union ≤ 40) and are at least k (one full gram)
+    for (id <- Seq(1L, 2L)) {
+      val (_, nDup, dupChars) = byId(id)
+      assert(nDup >= 1, s"doc $id: shared span not detected")
+      assert(dupChars >= 20 && dupChars <= 40,
+        s"doc $id: dup_chars=$dupChars outside [k, span]")
+    }
+    // interval-union math: adjacent sampled dup grams (gap 8 < k) merge —
+    // a doc duplicated WHOLE gives dup_chars == n_grams-cover exactly
+    val twin = Seq((10L, d3), (11L, d3)).toDF("doc_id", "text")
+    val t = Dedup.substringDups(twin, k = 20, stride = 8)
+      .orderBy("doc_id").collect()
+    // 9 grams at stride 8: union = 8*8 + 20 = 84 chars of the 90
+    assert(t.forall(r => r.getLong(1) == 9L && r.getLong(2) == 9L &&
+      r.getLong(3) == 84L))
+    // short duplicate (< k+stride−1) may be missed: 10-char shared span
+    val s10 = "0123456789"
+    val m1 = filler('a', 30) + s10 + filler('b', 32)
+    val m2 = filler('c', 37) + s10 + filler('d', 25)
+    val miss = Dedup.substringDups(
+      Seq((20L, m1), (21L, m2)).toDF("doc_id", "text"), k = 20, stride = 8)
+      .agg(sum("n_dup")).collect()(0).getLong(0)
+    assert(miss == 0L, "sub-threshold span should not produce dup grams")
+  }
 }
