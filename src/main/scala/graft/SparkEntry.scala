@@ -831,6 +831,20 @@ object SparkEntry {
     "txt_mix_sample" -> ((s, dir) =>
       TextAnalysis.mixSample(documents(s, dir), Map("en" -> 0.35))
         .orderBy("doc_id")),
+    // temperature-scaled source mixing (p_i ∝ n_i^(1/2), target 3/5 of the
+    // corpus): per-source keep rates from corpus counts, hash-deterministic
+    // keep — the oracle recomputes the identical integer thresholds from
+    // the same correctly-rounded sqrt/·// sequence. The fixture's sources
+    // are uniform, so a deterministic skew is planted (single-digit sources
+    // keep only doc_id<100 → 5 docs each vs 25+ → ≥5:1 imbalance) to make
+    // the √n up-weighting non-vacuous: small sources land a strictly
+    // higher keep rate (capped at 1.0 — the cap branch is exercised too).
+    // (doc_id >= 100, not a %-residue: source ≡ doc_id mod 20, so any
+    // residue-based skew either empties a source or keeps it whole)
+    "txt_mix_temp" -> ((s, dir) =>
+      TextAnalysis.mixTemperature(documents(s, dir)
+          .filter(!(length(col("source")) === 4 && col("doc_id") >= 100)))
+        .orderBy("doc_id")),
     // distributed BPE tokenizer training: 8 merges over the word-count
     // relation, greedy double-space replace contract (no float anywhere)
     "txt_bpe" -> ((s, dir) =>
@@ -2876,6 +2890,37 @@ private object Oracles {
           |WHERE u < ${graft.operators.TextAnalysis.mixThresholdSql(
              Map("en" -> 0.35), 1.0)}
           |ORDER BY doc_id""".stripMargin),
+    "txt_mix_temp" ->
+      ("""WITH sk AS (
+          |  SELECT doc_id, source FROM documents
+          |  WHERE NOT (length(source) = 4 AND doc_id >= 100)
+          |), c AS (
+          |  SELECT source, CAST(count(*) AS bigint) AS n
+          |  FROM sk GROUP BY source
+          |), d AS (
+          |  SELECT list_reduce(list(sqrt(CAST(n AS double)) ORDER BY source),
+          |           (a, b) -> a + b) AS denom,
+          |         CAST(sum(n) AS bigint) * 3 // 5 AS target
+          |  FROM c
+          |), thr AS (
+          |  SELECT c.source,
+          |    CAST(floor(least(1.0,
+          |      (CAST(d.target AS double) * (sqrt(CAST(c.n AS double)) / d.denom))
+          |        / CAST(c.n AS double)) * 4294967296.0) AS bigint) AS t
+          |  FROM c, d
+          |), u AS (
+          |  SELECT doc_id, source,
+          |    CAST(list_sum(list_transform(generate_series(1, 8), dd ->
+          |      cast(strpos('0123456789abcdef',
+          |             substr(substr(md5(cast(doc_id AS varchar)), 1, 8),
+          |                    cast(dd AS int), 1)) - 1 AS bigint)
+          |        * cast(pow(16, 8 - dd) AS bigint))) AS BIGINT) AS u
+          |  FROM sk
+          |)
+          |SELECT u.doc_id, u.source, u.u
+          |FROM u JOIN thr ON u.source = thr.source
+          |WHERE u.u < thr.t
+          |ORDER BY u.doc_id""".stripMargin),
     // BPE training replay: 8 unrolled merge stages, each = weighted pair
     // counts over the segmented vocab + deterministic best-pair + the same
     // double-space replace; pure string/integer ops, zero float contract

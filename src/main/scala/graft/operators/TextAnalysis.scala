@@ -490,6 +490,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("u"))
   }
 
+  /** Temperature-scaled source mixing (the multinomial data-mixing rule of
+    * multilingual/multi-domain pretraining — sampling probability
+    * p_i ∝ n_i^τ with τ = 1/2, the standard up-weight-the-tail setting):
+    * per-source keep rate r_i = min(1, target · (√n_i / Σ_j √n_j) / n_i),
+    * applied as the same deterministic u32(md5(doc_id)) < floor(r_i·2^32)
+    * hash filter as [[mixSample]]. target = ⌊3/5 · Σ n_j⌋ (integer math).
+    *
+    * Float-parity contract: τ = 1/2 uses ONLY IEEE correctly-rounded ops
+    * (sqrt, ·, /) and the Σ√n_j denominator is folded left-to-right in
+    * source order on both engines (Scala foldLeft ≡ DuckDB list_reduce over
+    * a source-ORDERed list), so the integer thresholds are bit-identical —
+    * a general τ via pow() would not be (libm pow is not correctly rounded).
+    *
+    * Scale shape: one partially-aggregable count per source (collected —
+    * source cardinality is metadata-scale, the k-means-centroids contract),
+    * then a shuffle-free broadcast-literal filter over the corpus.
+    */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "mixTemperature: empty corpus")
+    val denom = counts.foldLeft(0.0) { case (a, (_, n)) =>
+      a + math.sqrt(n.toDouble)
+    }
+    val target = counts.map(_._2).sum * 3 / 5
+    val thr = counts.map { case (s, n) =>
+      val r = math.min(1.0,
+        target.toDouble * (math.sqrt(n.toDouble) / denom) / n.toDouble)
+      s -> math.floor(r * 4294967296.0).toLong
+    }
+    val thrCol = thr.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+      case (acc, (s, t)) => when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    docs
+      .withColumn("u", Accuracy.u32Md5(col("doc_id")))
+      .filter(col("u") < thrCol)
+      .select(col("doc_id"), col("source"), col("u"))
+  }
+
   /** The mix-sample thresholds as SQL CASE text, so the oracle replays the
     * exact integer constants this engine filtered with.
     */

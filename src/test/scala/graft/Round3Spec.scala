@@ -702,6 +702,29 @@ class Round3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("maxRows"))
   }
 
+  test("mixTemperature: √n up-weights small sources, caps at 1.0, hash-deterministic") {
+    // 2 sources, 9:1 skew: big=180 docs, small=20 docs → total 200,
+    // target 120, denom = √180+√20 ≈ 17.888
+    val docs = ((0 until 180).map(i => (i.toLong, "big")) ++
+      (200 until 220).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val out = graft.operators.TextAnalysis.mixTemperature(docs)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected rates: r_small = 120·(√20/denom)/20 = 1.5 → capped 1.0;
+    // r_big = 120·(√180/denom)/180 = 0.5 → small keeps ALL, big ~half
+    assert(kept("small") == 20L, s"small source not fully kept: $kept")
+    assert(kept("big") > 60L && kept("big") < 120L,
+      s"big source keep count implausible for rate 0.5: $kept")
+    // proportional (τ=1) would keep both at 0.6 — the observed rates differ
+    // across sources, so the temperature reweighting is live
+    // determinism: same input → identical kept set
+    val again = graft.operators.TextAnalysis.mixTemperature(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val first = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(java.util.Arrays.equals(first, again))
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
