@@ -892,6 +892,23 @@ object SparkEntry {
     "ann_quant_topk" -> ((s, dir) =>
       Similarity.quantTopK(embeddings(s, dir), col("vec_id") % 50 === 0, k = 5)
         .orderBy("qid", "rn")),
+    // sign-random-projection LSH pairs (Charikar hyperplanes) over the
+    // quantized vectors: data-independent signatures, pigeonhole-banded
+    // Hamming ≤ 3 candidates, exact LONG dot on survivors. Planted exact
+    // copies (%37) pin Hamming 0; dim-0-perturbed copies (%41) exercise
+    // the near-but-not-identical band path
+    "ann_srp" -> ((s0, dir) => {
+      val e = embeddings(s0, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = e
+        .unionByName(e.filter(col("vec_id") % 37 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 41 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            expr("transform(embedding, (x, i) -> IF(i = 0, x + 0.3D, x))")
+              .as("embedding")))
+      Similarity.srpPairs(planted).orderBy("id1", "id2")
+    }),
     // product quantization end-to-end (train m=4 subspace codebooks with
     // quantized Lloyd, encode the corpus to m code ids, ADC top-k search);
     // the oracle replays all of it via unrolled CTE stages
@@ -2689,6 +2706,62 @@ private object Oracles {
           |         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, eid) AS rn
           |  FROM sc2)
           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "ann_srp" ->
+      ("""WITH e0 AS (
+          |  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+          |), e AS (
+          |  SELECT vec_id, v FROM e0
+          |  UNION ALL
+          |  SELECT vec_id + 100000, v FROM e0 WHERE vec_id % 37 = 0
+          |  UNION ALL
+          |  SELECT vec_id + 200000,
+          |    list_transform(generate_series(1, len(v)), i ->
+          |      CASE WHEN i = 1 THEN v[i] + 0.3 ELSE v[i] END)
+          |  FROM e0 WHERE vec_id % 41 = 0
+          |), sc AS (
+          |  SELECT vec_id, v,
+          |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) / 127.0 AS scale
+          |  FROM e
+          |), q AS (
+          |  SELECT vec_id, list_transform(v, x -> cast(round(x / scale) AS int)) AS qvec
+          |  FROM sc
+          |), wm AS (
+          |  SELECT d, b,
+          |    ((strpos('0123456789abcdef',
+          |        substr(md5(cast(d AS varchar)), cast(b + 1 AS int), 1)) - 1) % 2) * 2 - 1 AS w
+          |  FROM (SELECT unnest(generate_series(0, 63)) AS d),
+          |       (SELECT unnest(generate_series(0, 31)) AS b)
+          |), qd AS (
+          |  SELECT vec_id, CAST(i - 1 AS int) AS d, qvec[i] AS qv
+          |  FROM q, unnest(generate_series(1, len(qvec))) AS t(i)
+          |), acc AS (
+          |  SELECT qd.vec_id, wm.b, sum(CAST(wm.w AS bigint) * qd.qv) AS a
+          |  FROM qd JOIN wm ON wm.d = qd.d
+          |  GROUP BY qd.vec_id, wm.b
+          |), sig AS (
+          |  SELECT vec_id,
+          |    CAST(sum(CASE WHEN a > 0 THEN (CAST(1 AS bigint) << b)
+          |             ELSE CAST(0 AS bigint) END) AS bigint) AS sig
+          |  FROM acc GROUP BY vec_id
+          |), seg AS (
+          |  SELECT vec_id, sig, b AS bidx, (sig >> (b * 8)) & 255 AS bval
+          |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+          |), cand AS (
+          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+          |    bit_count(xor(a.sig, b.sig)) AS hamming
+          |  FROM seg a JOIN seg b
+          |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.vec_id < b.vec_id
+          |), pr AS (
+          |  SELECT id1, id2, CAST(hamming AS int) AS hamming
+          |  FROM cand WHERE hamming <= 3
+          |)
+          |SELECT p.id1, p.id2, p.hamming,
+          |  CAST(list_sum(list_transform(generate_series(1, len(q1.qvec)), i ->
+          |    CAST(q1.qvec[i] AS bigint) * q2.qvec[i])) AS BIGINT) AS dot_q
+          |FROM pr p
+          |JOIN q q1 ON q1.vec_id = p.id1
+          |JOIN q q2 ON q2.vec_id = p.id2
+          |ORDER BY p.id1, p.id2""".stripMargin),
     "txt_vocab" ->
       ("""SELECT word, count(*) AS cnt FROM (
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)

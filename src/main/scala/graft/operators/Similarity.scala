@@ -204,6 +204,88 @@ object Similarity {
       .select(col("qid"), col("eid"), col("qcos"), col("rn"))
   }
 
+  /** Sign-random-projection LSH (Charikar STOC'02 hyperplane rounding) over
+    * the int8-QUANTIZED vectors: bit b of the 32-bit signature is
+    * sign(Σ_d w_{b,d}·qvec_d) with hyperplane weights w_{b,d} ∈ {+1,−1}
+    * taken from md5-nibble parity of the DIMENSION index (the same
+    * nibble-parity material as [[Dedup.simhash]], so the weight matrix is a
+    * pure (bit, dim) constant both engines recompute identically).
+    * Candidate pairs come from pigeonhole banding of the signature
+    * (maxHamming+1 segments — two signatures within Hamming k agree exactly
+    * on ≥1 segment), i.e. a segment-key equi-join, never a cross join; the
+    * exact Hamming distance then filters, and the surviving pairs carry
+    * their exact LONG integer dot product (order-free, bit-exact
+    * cross-engine — zero float anywhere in this operator).
+    *
+    * vs [[ivfTopK]]: SRP needs no trained centroids (data-independent
+    * hashing — the right tool when the corpus drifts faster than centroids
+    * can be retrained) and its collision probability 1−θ/π is
+    * angle-calibrated. Accumulation over int8 quantized components in LONG
+    * cannot overflow (64 · 127² « 2^63).
+    * Output: (id1, id2, hamming, dot_q).
+    */
+  def srpPairs(emb: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(32 % bands == 0, s"maxHamming+1=$bands must divide 32")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q8 = quantizeInt8(emb).select(col("vec_id").cast("long"), col("qvec"))
+    val sig = q8.as[(Long, Seq[Int])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var w: Array[Array[Int]] = null // (dim)(bit), lazily sized per schema
+      it.map { case (id, qv) =>
+        if (w == null || w.length < qv.length) {
+          w = Array.tabulate(qv.length) { d =>
+            val dg = md.digest(String.valueOf(d)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Array.tabulate(32) { b =>
+              val nib = if (b % 2 == 0) (dg(b / 2) >> 4) & 1 else dg(b / 2) & 1
+              nib * 2 - 1
+            }
+          }
+        }
+        val acc = new Array[Long](32)
+        var d = 0
+        while (d < qv.length) {
+          val q = qv(d).toLong
+          val wd = w(d)
+          var b = 0
+          while (b < 32) { acc(b) += wd(b) * q; b += 1 }
+          d += 1
+        }
+        var s = 0L
+        var b = 0
+        while (b < 32) { if (acc(b) > 0) s += 1L << b; b += 1 }
+        (id, s)
+      }
+    }.toDF("vec_id", "sig")
+    val keyed = sig.select(col("vec_id"), col("sig"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  struct(b as idx, shiftright(sig, b * $width) & $mask as bval))""".stripMargin))
+        .as("band"))
+      .select(col("vec_id"), col("sig"),
+        col("band.idx").as("bidx"), col("band.bval").as("bval"))
+    val a = keyed.select(col("bidx"), col("bval"),
+      col("vec_id").as("id1"), col("sig").as("sig1"))
+    val b = keyed.select(col("bidx"), col("bval"),
+      col("vec_id").as("id2"), col("sig").as("sig2"))
+    val pairs = a.join(b, Seq("bidx", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    pairs
+      .join(q8.select(col("vec_id").as("id1"), col("qvec").as("qv1")), "id1")
+      .join(q8.select(col("vec_id").as("id2"), col("qvec").as("qv2")), "id2")
+      .select(col("id1"), col("id2"), col("hamming"),
+        expr("aggregate(zip_with(qv1, qv2, (x, y) -> CAST(x AS LONG) * y)," +
+          " 0L, (s, x) -> s + x)").as("dot_q"))
+  }
+
   // ---- product quantization (Jégou, Douze, Schmid, "Product Quantization
   // for Nearest Neighbor Search", TPAMI 2011) — the canonical ANN
   // compression at petabyte scale: split each vector into m subvectors,

@@ -702,6 +702,30 @@ class Round3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("maxRows"))
   }
 
+  test("srpPairs: copies collide at Hamming 0, antipodes never pair, dot_q is the exact integer dot") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val other = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val rows = Seq(
+      (1L, base.toSeq), (2L, base.toSeq),                 // exact copy pair
+      (3L, base.map(-_).toSeq),                           // antipode of 1/2
+      (4L, other.toSeq)                                   // unrelated
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.srpPairs(rows, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // the copy pair survives at Hamming 0
+    val copy = out.find(p => p._1 == 1L && p._2 == 2L)
+    assert(copy.isDefined && copy.get._3 == 0, s"copy pair missing: ${out.toSeq}")
+    // dot_q equals the manual integer dot of the quantized copy with itself
+    val q = Similarity.quantizeInt8(rows.filter($"vec_id" === 1L))
+      .select("qvec").collect()(0).getSeq[Int](0)
+    val expectDot = q.map(x => x.toLong * x).sum
+    assert(copy.get._4 == expectDot, s"dot_q ${copy.get._4} != $expectDot")
+    // sign flip complements every signature bit → Hamming 32, never banded
+    assert(!out.exists(p => p._2 == 3L || p._1 == 3L),
+      s"antipode paired: ${out.toSeq}")
+  }
+
   test("mixTemperature: √n up-weights small sources, caps at 1.0, hash-deterministic") {
     // 2 sources, 9:1 skew: big=180 docs, small=20 docs → total 200,
     // target 120, denom = √180+√20 ≈ 17.888
