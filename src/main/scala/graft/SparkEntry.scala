@@ -802,6 +802,11 @@ object SparkEntry {
     "txt_lm" -> ((s, dir) =>
       TextAnalysis.lmScore(documents(s, dir).select("doc_id", "text"))
         .orderBy("doc_id")),
+    // CCNet head/middle/tail perplexity bucketing: per-language tercile
+    // boundaries (exact parallel quantiles — never a per-language rank
+    // window), shuffle-free threshold labeling
+    "txt_ppl_bucket" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(documents(s, dir)).orderBy("doc_id")),
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
@@ -2912,6 +2917,33 @@ private object Oracles {
           |SELECT doc_id, count(*) AS n_tri, round(avg(lp) + 1e-9, 4) AS lm_score
           |FROM tris JOIN lp USING (tri)
           |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    "txt_ppl_bucket" ->
+      ("""WITH tris AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(generate_series(1, length(text) - 2),
+          |                          i -> substring(text, i, 3))) AS tri
+          |  FROM documents
+          |), tot AS (
+          |  SELECT cast(sum(greatest(length(text) - 2, 0)) AS double) AS t FROM documents
+          |), lp AS (
+          |  SELECT tri, round(ln(cast(count(*) AS double) / (SELECT t FROM tot)) + 1e-9, 6) AS lp
+          |  FROM tris GROUP BY tri
+          |), sc AS (
+          |  SELECT t.doc_id, d.lang, round(avg(t_lp.lp) + 1e-9, 4) AS lm_score
+          |  FROM tris t JOIN lp t_lp USING (tri)
+          |  JOIN documents d ON d.doc_id = t.doc_id
+          |  GROUP BY t.doc_id, d.lang
+          |), q AS (
+          |  SELECT lang, quantile_cont(lm_score, 1.0/3) AS b1,
+          |         quantile_cont(lm_score, 2.0/3) AS b2
+          |  FROM sc GROUP BY lang
+          |)
+          |SELECT sc.doc_id, sc.lang, sc.lm_score,
+          |  CASE WHEN sc.lm_score >= q.b2 THEN 'head'
+          |       WHEN sc.lm_score >= q.b1 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM sc JOIN q USING (lang)
+          |ORDER BY sc.doc_id""".stripMargin),
     // benchmark decontamination: distinct 3-gram overlap vs the doc_id%17
     // benchmark slice; sum(CASE) is HUGEINT in DuckDB → cast to BIGINT
     "txt_decontam" ->

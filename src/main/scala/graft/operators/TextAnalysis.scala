@@ -490,6 +490,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("u"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek+ LREC'20): split each
+    * language's corpus into head / middle / tail thirds by LM score (here
+    * [[lmScore]]'s char-trigram mean logprob — higher = more natural text;
+    * CCNet keeps "head" for pretraining). Boundaries are per-language
+    * tercile VALUES (quantile_cont semantics, bit-identical cross-engine
+    * via [[Predictors.exactQuantiles]]' interpolation contract), then the
+    * labeling pass is a shuffle-free broadcast-threshold comparison —
+    * deliberately NOT a per-language rank window, which would put an entire
+    * language (at web scale: most of the corpus) in one task. Ties at a
+    * boundary resolve upward (score ≥ b2 → head, ≥ b1 → middle).
+    * exactQuantiles runs once per language — language cardinality is
+    * metadata-scale. Output: (doc_id, lang, lm_score, bucket).
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // normalizeQ contract: persist only for the duration of the stats pass,
+    // release before returning — the returned plan recomputes the scoring
+    // subtree once when materialized; no cache handle escapes.
+    scored.persist()
+    val bounds =
+      try {
+        val langs = scored.select("lang").distinct()
+          .orderBy("lang").collect().map(_.getString(0))
+        langs.map { l =>
+          val qs = Predictors.exactQuantiles(
+            scored.filter(col("lang") === l), "lm_score",
+            Seq(1.0 / 3, 2.0 / 3))
+          (l, qs(0), qs(1))
+        }
+      } finally { scored.unpersist(); () }
+    val bucket = bounds.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, b1, b2)) =>
+        when(col("lang") === l,
+          when(col("lm_score") >= b2, "head")
+            .when(col("lm_score") >= b1, "middle")
+            .otherwise("tail")).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang"), col("lm_score"),
+      bucket.as("bucket"))
+  }
+
   /** Temperature-scaled source mixing (the multinomial data-mixing rule of
     * multilingual/multi-domain pretraining — sampling probability
     * p_i ∝ n_i^τ with τ = 1/2, the standard up-weight-the-tail setting):

@@ -702,6 +702,30 @@ class Round3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("maxRows"))
   }
 
+  test("pplBuckets: per-lang thirds are score-monotone (head ≥ middle ≥ tail) and cover every doc") {
+    // common trigrams ("aaa...") score high; rare mixtures score low —
+    // 12 docs per lang spanning a natural-ness gradient
+    val docs = (for {
+      lang <- Seq("xx", "yy")
+      i <- 0 until 12
+    } yield {
+      val common = "aaaa" * 6
+      val rare = ('b' + i).toChar.toString * 2 + ('n' + i).toChar + ('f' + i).toChar
+      val id = (if (lang == "xx") 0 else 100) + i.toLong
+      (id, common.take(24 - 2 * i) + rare * i, lang)
+    }).toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis.pplBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.length == 24, s"coverage: ${out.length} != 24")
+    for (l <- Seq("xx", "yy")) {
+      val g = out.filter(_._2 == l).groupBy(_._4)
+        .map { case (b, rs) => b -> rs.map(_._3) }
+      assert(Set("head", "middle", "tail").subsetOf(g.keySet), s"$l: $g")
+      assert(g("head").min >= g("middle").max, s"$l head/middle overlap")
+      assert(g("middle").min >= g("tail").max, s"$l middle/tail overlap")
+    }
+  }
+
   test("srpPairs: copies collide at Hamming 0, antipodes never pair, dot_q is the exact integer dot") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
