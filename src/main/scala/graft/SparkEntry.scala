@@ -775,6 +775,17 @@ object SparkEntry {
       TextAnalysis.quality(documents(s, dir))
         .join(TextAnalysis.tokenCounts(documents(s, dir)), "doc_id")
         .orderBy("doc_id")),
+    // the full Gopher rule battery (Rae+ '21 A1) as per-rule integer flags;
+    // five planted docs each violate a different rule (word count, symbol
+    // ratio + alpha, alpha + stopwords, bullet lines, ellipsis lines) so
+    // every flag fails somewhere and passes elsewhere
+    "txt_gopher" -> ((s, dir) => {
+      import s.implicits._
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.gopherRules(
+          d.unionByName(gopherPlants.toDF("doc_id", "text")))
+        .orderBy("doc_id")
+    }),
     // content fingerprint (normalized md5)
     "txt_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(documents(s, dir)).orderBy("doc_id")),
@@ -1055,6 +1066,32 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Gopher-rule-violating plants shared by the txt_gopher query AND its
+    * oracle (one constant → byte-identical text on both sides). Each doc
+    * breaks a different rule; ids live far above the corpus range.
+    */
+  lazy val gopherPlants: Seq[(Long, String)] = Seq(
+    900001L -> "short doc only five words",
+    900002L -> (("the be to of and that have with " * 4) + ("### " * 30)).trim,
+    900003L -> ("12345 67890 24680 13579 99999 " * 12).trim,
+    900004L -> (Seq("the be of items to start") ++
+      (1 to 11).map(_ => "• item item item item item item")).mkString("\n"),
+    900005L -> (Seq("the words with have that be of and stay normal here today now") ++
+      (1 to 4).map(_ => "line ends here...") ++
+      (1 to 5).map(_ => "plain extra line words here")).mkString("\n"),
+    // passes every rule (the fixture's word-salad corpus lacks the Gopher
+    // stop list, so the all-pass branch — keep = 1 — needs a plant too)
+    900006L -> ("the data table holds numbers and shows report values with good care " * 5).trim,
+    // mean word length 1 → fails f_mwl (and f_stop), passes f_wc/f_alpha
+    900007L -> (("a b c d e f g h i j " * 6).trim))
+
+  /** The same plants as SQL VALUES rows (no apostrophes in any plant, so
+    * plain single-quoting is safe; real newlines pass through the JSON
+    * escaper).
+    */
+  lazy val gopherPlantsSql: String = gopherPlants
+    .map { case (id, t) => s"($id, '$t')" }.mkString(",\n    ")
+
   def oracleSql: Map[String, String] = Oracles.all
 }
 
@@ -2848,6 +2885,46 @@ private object Oracles {
           |        0.3 * least(1.0, mean_len / 8) + 1e-9, 4) AS q_score,
           |  n_words, n_subwords
           |FROM b ORDER BY doc_id""".stripMargin),
+    "txt_gopher" ->
+      (s"""WITH base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT * FROM (VALUES
+          |    ${SparkEntry.gopherPlantsSql}) v(doc_id, text)
+          |), f AS (
+          |  SELECT doc_id,
+          |    regexp_split_to_array(text, '\\s+') AS ws,
+          |    string_split(text, chr(10)) AS lns,
+          |    length(text) - length(replace(text, '#', '')) AS nhash,
+          |    len(regexp_extract_all(text, '\\.\\.\\.')) AS nell3
+          |  FROM base
+          |), c AS (
+          |  SELECT doc_id,
+          |    CAST(len(ws) AS bigint) AS n_words,
+          |    CAST(list_sum(list_transform(ws, w -> length(w))) AS bigint) AS sum_wlen,
+          |    CAST(nhash + nell3 AS bigint) AS n_sym,
+          |    CAST(len(list_filter(lns, l -> regexp_matches(l, '^[-*•]'))) AS bigint) AS n_bullet,
+          |    CAST(len(lns) AS bigint) AS n_lines,
+          |    CAST(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS bigint) AS n_ellend,
+          |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS bigint) AS n_alpha,
+          |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+          |                         s -> list_contains(ws, s))) AS bigint) AS n_stop
+          |  FROM f
+          |), fl AS (
+          |  SELECT doc_id, n_words,
+          |    CAST(n_words >= 50 AND n_words <= 100000 AS int) AS f_wc,
+          |    CAST(sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10 AS int) AS f_mwl,
+          |    CAST(n_sym * 10 <= n_words AS int) AS f_sym,
+          |    CAST(n_bullet * 10 <= n_lines AS int) AS f_bullet,
+          |    CAST(n_ellend * 10 <= n_lines * 3 AS int) AS f_ell,
+          |    CAST(n_alpha * 5 >= n_words * 4 AS int) AS f_alpha,
+          |    CAST(n_stop >= 2 AS int) AS f_stop
+          |  FROM c
+          |)
+          |SELECT doc_id, n_words, f_wc, f_mwl, f_sym, f_bullet, f_ell,
+          |       f_alpha, f_stop,
+          |       f_wc * f_mwl * f_sym * f_bullet * f_ell * f_alpha * f_stop AS keep
+          |FROM fl ORDER BY doc_id""".stripMargin),
     "txt_fingerprint" ->
       ("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin),

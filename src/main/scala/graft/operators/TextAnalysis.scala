@@ -490,6 +490,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("u"))
   }
 
+  /** The Gopher quality-rule battery (Rae+ '21, Table A1) — the canonical
+    * pretraining document filters, emitted as per-rule 0/1 flags plus the
+    * conjunction:
+    *  f_wc     word count in [50, 100000]
+    *  f_mwl    mean word length in [3, 10]
+    *  f_sym    symbol-to-word ratio ('#' chars + non-overlapping "...")
+    *           ≤ 0.1
+    *  f_bullet ≤ 10% of lines start with a bullet (•, -, *)
+    *  f_ell    ≤ 30% of lines end with "..."
+    *  f_alpha  ≥ 80% of words contain an alphabetic character
+    *  f_stop   ≥ 2 distinct hits from the 8-word Gopher stop list
+    *
+    * Every ratio test is evaluated by INTEGER cross-multiplication
+    * (10·sym ≤ words, 5·alpha ≥ 4·words, …) — zero float anywhere, so the
+    * flags are exact in any engine. Shuffle-free expressions; words split
+    * on \s+, lines on \n.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopsArr = stops.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("ws", split(col("text"), "\\s+"))
+      .withColumn("lns", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("sum_wlen",
+        expr("aggregate(ws, 0L, (s, w) -> s + length(w))"))
+      .withColumn("n_sym",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long") +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+          .cast("long"))
+      .withColumn("n_bullet",
+        expr("size(filter(lns, l -> l rlike '^[-*•]'))").cast("long"))
+      .withColumn("n_lines", size(col("lns")).cast("long"))
+      .withColumn("n_ellend",
+        expr("size(filter(lns, l -> l rlike '\\\\.\\\\.\\\\.$'))").cast("long"))
+      .withColumn("n_alpha",
+        expr("size(filter(ws, w -> w rlike '[A-Za-z]'))").cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter($stopsArr, s -> array_contains(ws, s)))")
+          .cast("long"))
+      .withColumn("f_wc",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("f_mwl",
+        (col("sum_wlen") >= col("n_words") * 3 &&
+          col("sum_wlen") <= col("n_words") * 10).cast("int"))
+      .withColumn("f_sym", (col("n_sym") * 10 <= col("n_words")).cast("int"))
+      .withColumn("f_bullet",
+        (col("n_bullet") * 10 <= col("n_lines")).cast("int"))
+      .withColumn("f_ell",
+        (col("n_ellend") * 10 <= col("n_lines") * 3).cast("int"))
+      .withColumn("f_alpha",
+        (col("n_alpha") * 5 >= col("n_words") * 4).cast("int"))
+      .withColumn("f_stop", (col("n_stop") >= 2).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("f_wc"), col("f_mwl"),
+        col("f_sym"), col("f_bullet"), col("f_ell"), col("f_alpha"),
+        col("f_stop"),
+        (col("f_wc") * col("f_mwl") * col("f_sym") * col("f_bullet") *
+          col("f_ell") * col("f_alpha") * col("f_stop")).as("keep"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek+ LREC'20): split each
     * language's corpus into head / middle / tail thirds by LM score (here
     * [[lmScore]]'s char-trigram mean logprob — higher = more natural text;

@@ -702,6 +702,29 @@ class Round3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("maxRows"))
   }
 
+  test("gopherRules: exact integer boundaries (50 words, mwl 3.0/10.0, 10% symbols) decide inclusively") {
+    val w49 = ("word " * 49).trim             // 49 words → f_wc 0
+    val w50 = ("word " * 50).trim             // 50 words → f_wc 1 (inclusive)
+    // exactly 10% symbols: 5 '#' chars in 50 words → 50 ≤ 50 passes;
+    // 6 '#' → 60 > 50 fails. '#####' is ONE word of the 50.
+    val sym10 = ("word " * 49).trim + " #####"
+    val sym12 = ("word " * 49).trim + " ######"
+    // mean word length exactly 3 (inclusive low bound) and exactly >10
+    val mwl3 = ("abc " * 50).trim
+    val mwl11 = ("abcdefghijk " * 50).trim
+    val docs = Seq((1L, w49), (2L, w50), (3L, sym10), (4L, sym12),
+      (5L, mwl3), (6L, mwl11)).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("f_wc") == 0 && m(2L).getAs[Int]("f_wc") == 1)
+    assert(m(3L).getAs[Int]("f_sym") == 1 && m(4L).getAs[Int]("f_sym") == 0)
+    assert(m(5L).getAs[Int]("f_mwl") == 1 && m(6L).getAs[Int]("f_mwl") == 0)
+    // the symbol word '#####' has no alphabetic char: 49/50 < 0.8? no —
+    // 49·5 = 245 ≥ 200 → alpha still passes (sanity that rules are
+    // independent)
+    assert(m(3L).getAs[Int]("f_alpha") == 1)
+  }
+
   test("pplBuckets: per-lang thirds are score-monotone (head ≥ middle ≥ tail) and cover every doc") {
     // common trigrams ("aaa...") score high; rare mixtures score low —
     // 12 docs per lang spanning a natural-ness gradient
