@@ -713,6 +713,14 @@ object SparkEntry {
     // tail-append docs make every column non-vacuous
     "dd_substr" -> ((s, dir) =>
       Dedup.substringDups(docsPlanted(s, dir)).orderBy("doc_id")),
+    // CCNet paragraph dedup adapted to chat transcripts (dedup unit = turn):
+    // per-conv count of turns whose normalized content (conv-local prefix
+    // stripped) recurs in ≥ half of all conversations — the scale-relative
+    // threshold keeps both branches non-vacuous at every sf (the fixture's
+    // payload vocabulary is fixed-cardinality, so absolute counts grow
+    // linearly with corpus size)
+    "dd_boilerplate" -> ((s, dir) =>
+      Dedup.turnBoilerplate(transcripts(s, dir)).orderBy("conv_id")),
     // SimHash (32-bit, md5-parity votes) near-dup pairs, Hamming 0
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
@@ -2621,6 +2629,27 @@ private object Oracles {
           |       coalesce(p.n_dup, CAST(0 AS bigint)) AS n_dup,
           |       coalesce(p.dup_chars, CAST(0 AS bigint)) AS dup_chars
           |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""".stripMargin),
+    "dd_boilerplate" ->
+      (cte +
+        """, fps AS (
+          |  SELECT conv_id, turn_idx,
+          |         md5(lower(regexp_replace(
+          |           regexp_replace(text, '^[^:]*:[^:]*:', ''), '\s+', ' ', 'g'))) AS fp
+          |  FROM transcripts
+          |), tot AS (
+          |  SELECT count(DISTINCT conv_id) AS n FROM transcripts
+          |), boiler AS (
+          |  SELECT fp FROM fps GROUP BY fp
+          |  HAVING count(DISTINCT conv_id) * 2 >= (SELECT n FROM tot)
+          |)
+          |SELECT f.conv_id,
+          |       CAST(count(*) AS bigint) AS n_turns,
+          |       CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_boiler,
+          |       CAST(sum(CASE WHEN b.fp IS NOT NULL THEN f.turn_idx ELSE 0 END) AS bigint) AS boiler_idx_sum,
+          |       round(cast(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS double)
+          |             / count(*) + 1e-9, 4) AS frac_boiler
+          |FROM fps f LEFT JOIN boiler b USING (fp)
+          |GROUP BY f.conv_id ORDER BY f.conv_id""".stripMargin),
     "dd_simhash" ->
       (plantedCte + simhashCtes +
         """

@@ -375,4 +375,42 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Turn-level boilerplate detection over `transcripts` — the CCNet/Dolma
+    * paragraph-dedup stage (Wenzek+ LREC'20 §4.1) adapted to chat data,
+    * where the dedup unit is the TURN: canned responses, repeated system
+    * prompts and templated tool outputs repeat across conversations and
+    * must be flagged before training. A turn is boilerplate when its
+    * normalized content (conversation-local `conv:idx:` prefix stripped,
+    * lowercased, whitespace-collapsed) appears in at least half of all
+    * conversations — the threshold is RELATIVE to corpus size (a fixed
+    * count is meaningless at 10^12 turns), and the comparison is integer
+    * cross-multiplication `2·n_convs ≥ total_convs` (zero float).
+    *
+    * Shuffle topology at scale: (1) the fingerprint pass is map-only;
+    * (2) `count(DISTINCT conv_id)` is Spark's two-level partial aggregate
+    * on (fp, conv); (3) total_convs is one scalar agg; (4) the thresholded
+    * boilerplate relation is tiny by construction (only contents crossing
+    * half the corpus) → the join back is broadcast-shaped, AQE picks it;
+    * (5) the final per-conv rollup partial-aggregates map-side.
+    */
+  def turnBoilerplate(turns: DataFrame): DataFrame = {
+    val fps = turns.select(col("conv_id"), col("turn_idx"),
+      md5(lower(regexp_replace(
+        regexp_replace(col("text"), "^[^:]*:[^:]*:", ""), "\\s+", " ")))
+        .as("fp"))
+    val totalConvs = turns.select(countDistinct(col("conv_id"))).first().getLong(0)
+    val boiler = fps.groupBy("fp")
+      .agg(countDistinct(col("conv_id")).as("n_convs"))
+      .filter(col("n_convs") * 2 >= totalConvs)
+      .select(col("fp"), lit(true).as("is_boiler"))
+    fps.join(boiler, Seq("fp"), "left")
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("is_boiler"), col("turn_idx").cast("long")).otherwise(0L))
+          .as("boiler_idx_sum"))
+      .withColumn("frac_boiler",
+        round(col("n_boiler").cast("double") / col("n_turns") + lit(1e-9), 4))
+  }
 }

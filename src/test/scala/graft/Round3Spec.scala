@@ -796,6 +796,33 @@ class Round3Spec extends AnyFunSuite {
     assert(java.util.Arrays.equals(first, again))
   }
 
+  test("turnBoilerplate: scale-relative threshold flags cross-conv repeated content only") {
+    // 4 conversations; content "HELLO" appears in 3 of 4 (≥ half → boiler),
+    // "rare" in 1 of 4 (< half → clean). Normalization strips the conv:idx:
+    // prefix, lowercases, collapses whitespace.
+    val turns = Seq(
+      ("c1", 0, "u", "c1:0:HELLO   world", null, ts(0)),
+      ("c1", 1, "a", "c1:1:rare", null, ts(1)),
+      ("c2", 0, "u", "c2:0:hello world", null, ts(2)),
+      ("c3", 0, "u", "c3:0:Hello World", null, ts(3)),
+      ("c4", 0, "u", "c4:0:other", null, ts(4)),
+      ("c4", 1, "a", "c4:1:hello world", null, ts(5))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Dedup.turnBoilerplate(turns).orderBy("conv_id").collect()
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // hello-world appears in convs {c1,c2,c3,c4} = 4 of 4 ≥ 2 → boiler;
+    // "rare"/"other" in 1 conv each → clean
+    assert(m("c1") == ((2L, 1L, 0L)), s"c1: ${m("c1")}")
+    assert(m("c2") == ((1L, 1L, 0L)))
+    assert(m("c3") == ((1L, 1L, 0L)))
+    assert(m("c4") == ((2L, 1L, 1L)), "boiler_idx_sum must point at turn 1")
+    // frac is int/int exact
+    assert(out.find(_.getString(0) == "c1").get.getDouble(4) == 0.5)
+  }
+
+  private def ts(sec: Int) = new java.sql.Timestamp(1735689600000L + sec * 1000L)
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
