@@ -436,6 +436,19 @@ object SparkEntry {
       Accuracy.samplingDesign(
         Regularize.withMetrics(transcripts(s, dir)), "role", "text_len", 1000)
         .orderBy("stratum")),
+    // §2.9 sits_stratified_sampling: the design's alloc_prop column turned
+    // into an actual per-stratum sample set — ceil(alloc×1.2) turns per
+    // role, drawn in deterministic u32(md5(conv:idx)) order (the engine's
+    // seeded-RNG replacement); design feeds selection in ONE plan
+    "ts_strat_sample" -> ((s, dir) => {
+      val m = Regularize.withMetrics(transcripts(s, dir))
+      val design = Accuracy.samplingDesign(m, "role", "text_len", 60)
+        .select(col("stratum").as("label"), col("alloc_prop").as("alloc"))
+      Accuracy.stratifiedSampling(
+        m.withColumn("key",
+          concat_ws(":", col("conv_id"), col("turn_idx").cast("string"))),
+        design, "role", "key").orderBy("label", "rn")
+    }),
     // §2.9 uncertainty sampling: global top-20 highest-entropy cells —
     // orderBy().limit() = TakeOrderedAndProject (per-partition top-k +
     // merge), the scale-safe shape; the rank is assigned AFTER the limit by
@@ -1897,6 +1910,30 @@ private object Oracles {
           |  round(1000 * n_h / sum(n_h) OVER () + 1e-9, 4) AS alloc_prop,
           |  round(1000 * (n_h * s_h) / sum(n_h * s_h) OVER () + 1e-9, 4) AS alloc_neyman
           |FROM sd ORDER BY stratum""".stripMargin),
+    "ts_strat_sample" ->
+      (cte + metricsCte +
+        """, sd AS (
+          |  SELECT role AS stratum, count(*) AS n_h FROM metrics GROUP BY 1
+          |), want AS (
+          |  SELECT stratum AS label,
+          |    CAST(ceil(round(60 * n_h / sum(n_h) OVER () + 1e-9, 4) * 1.2) AS bigint) AS n_want
+          |  FROM sd
+          |), keyed AS (
+          |  SELECT conv_id || ':' || cast(turn_idx AS varchar) AS key, role,
+          |    CAST(list_sum(list_transform(generate_series(1, 8), d ->
+          |      cast(strpos('0123456789abcdef',
+          |             substr(substr(md5(conv_id || ':' || cast(turn_idx AS varchar)), 1, 8),
+          |                    cast(d AS int), 1)) - 1 AS bigint)
+          |        * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) AS u
+          |  FROM metrics
+          |), r AS (
+          |  SELECT key, role AS label,
+          |    row_number() OVER (PARTITION BY role ORDER BY u, key) AS rn
+          |  FROM keyed
+          |)
+          |SELECT r.key, r.label, CAST(r.rn AS int) AS rn
+          |FROM r JOIN want ON r.label = want.label
+          |WHERE r.rn <= want.n_want ORDER BY r.label, rn""".stripMargin),
     "ts_topk_uncertain" ->
       (cte + probsCte +
         """, u AS (

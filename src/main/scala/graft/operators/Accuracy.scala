@@ -89,6 +89,37 @@ object Accuracy {
       .withColumn("acc", r4(col("n_correct").cast("double") / col("n")))
   }
 
+  /** `sits_stratified_sampling` (R/sits_sample_functions.R:450; strata
+    * allocation in R/api_samples.R:327): select ceil(alloc × overhead)
+    * samples per stratum from the class relation — the verb that turns a
+    * `sits_sampling_design` row into an actual sample set. The reference
+    * draws seeded weighted-random cells per class
+    * (C_sampling_stratified_generate_weights/select_cells); the engine's
+    * deterministic contract replaces the seeded RNG with [[u32Md5]] hash
+    * order (the same engine-parity primitive as kfold/mix sampling), so the
+    * draw is reproducible across engines, runs, and cluster sizes. Overhead
+    * mirrors the reference's 1.2 default with ceiling AFTER the multiply
+    * (sits_sample_functions.R:535 `ceiling(alloc * overhead)`).
+    *
+    * Scale shape: the per-stratum rank window is bounded by the CONSTANT
+    * global max allocation first (that literal bound lets Spark plan
+    * WindowGroupLimit — partial top-k per partition, nothing sorts a whole
+    * stratum in one task), then the exact per-stratum bound filters; the
+    * allocation relation is label-bounded → broadcast.
+    */
+  def stratifiedSampling(classes: DataFrame, alloc: DataFrame,
+      labelCol: String, keyCol: String, overhead: Double = 1.2): DataFrame = {
+    val want = alloc.select(col("label"),
+      ceil(col("alloc") * lit(overhead)).cast("long").as("n_want"))
+    val maxWant = want.agg(max("n_want")).first().getLong(0)
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(u32Md5(col(keyCol)), col(keyCol))
+    classes.join(broadcast(want), classes(labelCol) === want("label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(maxWant) && col("rn") <= col("n_want"))
+      .select(col(keyCol).as("key"), col("label"), col("rn"))
+  }
+
   /** Area-weighted accuracy + unbiased area estimation — the reference's
     * `method = "olofsson"` (R/sits_accuracy.R:179,253-254; estimators in
     * R/api_accuracy.R:43-113, eq. 1-7 of Olofsson et al. 2014):

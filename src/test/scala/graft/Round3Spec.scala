@@ -823,6 +823,30 @@ class Round3Spec extends AnyFunSuite {
 
   private def ts(sec: Int) = new java.sql.Timestamp(1735689600000L + sec * 1000L)
 
+  test("stratifiedSampling: ceil(alloc*overhead) per stratum in hash order; WindowGroupLimit plan") {
+    import graft.operators.Accuracy
+    val classes = (0 until 200).map { i =>
+      (s"k$i", if (i % 2 == 0) "a" else "b")
+    }.toDF("key", "lab")
+    val alloc = Seq(("a", 10.0), ("b", 2.5)).toDF("label", "alloc")
+    val out = Accuracy.stratifiedSampling(classes, alloc, "lab", "key")
+    val got = out.collect()
+    // ceil(10*1.2)=12 for a, ceil(2.5*1.2)=3 for b
+    val byLab = got.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    assert(byLab == Map("a" -> 12, "b" -> 3), s"got $byLab")
+    // deterministic: the selected keys are the smallest by u32(md5(key))
+    val expectA = (0 until 200).filter(_ % 2 == 0).map(i => s"k$i")
+      .sortBy { k =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(h, 16), k)
+      }.take(12).toSet
+    assert(got.filter(_.getString(1) == "a").map(_.getString(0)).toSet == expectA)
+    // plan: the constant max-want bound must plan a WindowGroupLimit
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-stratum top-k must be a partial WindowGroupLimit, not a full sort")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
