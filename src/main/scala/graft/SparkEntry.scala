@@ -726,6 +726,15 @@ object SparkEntry {
     // tail-append docs make every column non-vacuous
     "dd_substr" -> ((s, dir) =>
       Dedup.substringDups(docsPlanted(s, dir)).orderBy("doc_id")),
+    // Bloom-filter membership screen: filter built over the original corpus
+    // fingerprints (m = next pow2 ≥ 16·n, k = 4), probed by the planted
+    // slice — exact copies hit all 4 positions, near-dup tails miss;
+    // is_member (the exact join the filter avoids) exposes any FP
+    "dd_bloom" -> ((s, dir) =>
+      Dedup.bloomScreen(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        docsPlanted(s, dir).filter(col("doc_id") >= 100000))
+        .orderBy("doc_id")),
     // CCNet paragraph dedup adapted to chat transcripts (dedup unit = turn):
     // per-conv count of turns whose normalized content (conv-local prefix
     // stripped) recurs in ≥ half of all conversations — the scale-relative
@@ -2666,6 +2675,40 @@ private object Oracles {
           |       coalesce(p.n_dup, CAST(0 AS bigint)) AS n_dup,
           |       coalesce(p.dup_chars, CAST(0 AS bigint)) AS dup_chars
           |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY b.doc_id""".stripMargin),
+    "dd_bloom" ->
+      (plantedCte +
+        s""", nrm AS (
+          |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          |  FROM documents
+          |), mm AS (
+          |  SELECT min(CAST(pow(2, p) AS bigint)) AS m
+          |  FROM (SELECT unnest(generate_series(0, 40)) AS p),
+          |       (SELECT count(*) AS n FROM nrm)
+          |  WHERE CAST(pow(2, p) AS bigint) >= 16 * n
+          |), ai AS (
+          |  SELECT fp, unnest(generate_series(0, 3)) AS i FROM nrm
+          |), apos AS (
+          |  SELECT DISTINCT
+          |    ${u32Sql("cast(i AS varchar) || ':' || fp")} % (SELECT m FROM mm) AS pos
+          |  FROM ai
+          |), pr AS (
+          |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          |  FROM docs WHERE doc_id >= 100000
+          |), pi AS (
+          |  SELECT doc_id, fp, unnest(generate_series(0, 3)) AS i FROM pr
+          |), pp AS (
+          |  SELECT doc_id, fp,
+          |    ${u32Sql("cast(i AS varchar) || ':' || fp")} % (SELECT m FROM mm) AS pos
+          |  FROM pi
+          |), hits AS (
+          |  SELECT doc_id, fp,
+          |    CAST(sum(CASE WHEN a.pos IS NOT NULL THEN 1 ELSE 0 END) AS int) AS n_hits
+          |  FROM pp LEFT JOIN apos a USING (pos) GROUP BY doc_id, fp
+          |)
+          |SELECT h.doc_id, h.n_hits, h.n_hits = 4 AS maybe_seen,
+          |       (t.fp IS NOT NULL) AS is_member
+          |FROM hits h LEFT JOIN (SELECT DISTINCT fp FROM nrm) t USING (fp)
+          |ORDER BY h.doc_id""".stripMargin),
     "dd_boilerplate" ->
       (cte +
         """, fps AS (
@@ -3348,6 +3391,15 @@ private object Oracles {
   /** Planted-duplicate corpus shared by the dd_* oracles (mirrors
     * SparkEntry.docsPlanted exactly).
     */
+  /** u32 from the first 8 md5 hex digits of `arg` — DuckDB replay of
+    * Accuracy.u32Md5 (digit-sum recipe; DuckDB has no conv()).
+    */
+  private def u32Sql(arg: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8), d ->
+       |      cast(strpos('0123456789abcdef',
+       |             substr(substr(md5($arg), 1, 8), cast(d AS int), 1)) - 1 AS bigint)
+       |        * cast(pow(16, 8 - d) AS bigint))) AS BIGINT)""".stripMargin
+
   private lazy val plantedCte =
     """WITH docs AS (
       |  SELECT doc_id, text FROM documents

@@ -376,6 +376,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Bloom-filter membership screen (Bloom CACM'70) — the incremental-ingest
+    * "seen before?" stage: build an m-bit filter over the BUILD corpus's
+    * content fingerprints, probe every PROBE doc with k=4 hash functions.
+    * At 100 TB the filter is the SMALL artifact (m bits ≪ corpus) that new
+    * batches stream against without ever joining the full historical corpus.
+    *
+    * Deterministic/engine-parity construction: fingerprint = md5 of
+    * normalized text; position_i = u32(md5(i:fp)) mod m; m = smallest power
+    * of two ≥ bitsPerKey·|build| (sized from one scalar count — 16 bits/key
+    * at k=4 gives FP ≈ 0.24%, and the power-of-two rule is replayed
+    * integer-exactly by the oracle). Relationally the filter is the DISTINCT
+    * occupied-position set (≤ m rows, bounded → broadcast); a probe doc is
+    * `maybe_seen` iff all k positions hit. `is_member` (exact fp join) is
+    * emitted as the verification column — it is precisely the join the
+    * filter exists to avoid, kept here so false positives are observable.
+    */
+  def bloomScreen(build: DataFrame, probe: DataFrame,
+      bitsPerKey: Int = 16, k: Int = 4): DataFrame = {
+    def fp(d: DataFrame) = d.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+    val a = fp(build)
+    val nA = a.count()
+    var m = 1L
+    while (m < nA * bitsPerKey) m <<= 1
+    def pos(i: Int) = pmod(
+      Accuracy.u32Md5(concat(lit(s"$i:"), col("fp"))), lit(m))
+    val bits = a.select(explode(array((0 until k).map(pos): _*)).as("pos"))
+      .distinct()
+    val probed = fp(probe)
+      .select(col("doc_id"), col("fp"),
+        explode(array((0 until k).map(pos): _*)).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy("doc_id", "fp")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+    val truth = a.select("fp").distinct().withColumn("is_member", lit(true))
+    probed.join(truth, Seq("fp"), "left")
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === k).as("maybe_seen"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
+  }
+
   /** Turn-level boilerplate detection over `transcripts` — the CCNet/Dolma
     * paragraph-dedup stage (Wenzek+ LREC'20 §4.1) adapted to chat data,
     * where the dedup unit is the TURN: canned responses, repeated system

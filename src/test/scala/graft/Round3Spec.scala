@@ -847,6 +847,35 @@ class Round3Spec extends AnyFunSuite {
       "per-stratum top-k must be a partial WindowGroupLimit, not a full sort")
   }
 
+  test("bloomScreen: no false negatives, near-dups clean at 16 bits/key, saturated filter flags everything") {
+    val build = (0 until 64).map(i => (i.toLong, s"base document number $i with words"))
+      .toDF("doc_id", "text")
+    val exact = (0 until 64 by 7).map(i =>
+      (i + 1000L, s"base document number $i with words"))
+    val novel = (0 until 8).map(i => (i + 2000L, s"entirely new text $i"))
+    val probe = (exact ++ novel).toDF("doc_id", "text")
+    val out = Dedup.bloomScreen(build, probe).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // members: all 4 bits hit, flagged, is_member true — a Bloom filter
+    // NEVER false-negatives
+    exact.foreach { case (id, _) =>
+      assert(out(id) == ((4, true, true)), s"member $id: ${out(id)}") }
+    // 16 bits/key, 64 keys → m = 1024, fill ≈ 0.22: the 8 novel docs all
+    // clean at these constants (fixed md5 → deterministic)
+    novel.foreach { case (id, _) =>
+      val (_, seen, member) = out(id)
+      assert(!member, s"novel doc $id cannot be a true member")
+      assert(!seen, s"novel doc $id flagged at 16 bits/key")
+    }
+    // saturation: 0 bits/key is clamped to m=1 → every position collides →
+    // everything maybe_seen (the FP branch is reachable and detected by
+    // is_member disagreeing)
+    val sat = Dedup.bloomScreen(build, probe, bitsPerKey = 0).collect()
+    assert(sat.forall(_.getBoolean(2)), "m=1 filter must flag every probe")
+    assert(sat.exists(r => r.getBoolean(2) && !r.getBoolean(3)),
+      "saturated filter must show observable false positives")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
