@@ -851,6 +851,11 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // DSIR importance resampling: en docs act as the target distribution,
+    // the rest are raw; hashed uni+bigram bucket models, integer-micro
+    // log-ratio accumulation, top-50 most target-like raw docs
+    "txt_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(documents(s, dir), col("lang") === "en")),
     // inverted-index collection statistics: per-term df + cf, top-100
     "txt_index" -> ((s, dir) =>
       TextAnalysis.indexStats(documents(s, dir), 100)),
@@ -2918,6 +2923,44 @@ private object Oracles {
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           |WHERE word != '' GROUP BY 1
           |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    "txt_dsir" ->
+      (s"""WITH t AS (
+          |  SELECT doc_id, lang = 'en' AS is_target,
+          |         string_split(text, ' ') AS toks
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id, is_target, unnest(toks) AS gram FROM t
+          |  UNION ALL
+          |  SELECT doc_id, is_target,
+          |         unnest(list_transform(generate_series(1, len(toks) - 1),
+          |                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+          |  FROM t
+          |), b AS (
+          |  SELECT doc_id, is_target,
+          |         ${u32Sql("gram")} % 1024 AS bkt
+          |  FROM g
+          |), counts AS (
+          |  SELECT bkt,
+          |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS bigint) AS ct,
+          |    CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS bigint) AS cr
+          |  FROM b GROUP BY bkt
+          |), tot AS (
+          |  SELECT CAST(sum(ct) AS bigint) AS nt, CAST(sum(cr) AS bigint) AS nr
+          |  FROM counts
+          |), lr AS (
+          |  SELECT bkt,
+          |    CAST(round((ln(ct + 1) - ln(nt + 1024) - ln(cr + 1) + ln(nr + 1024))
+          |               * 1e6) AS bigint) AS lr_micro
+          |  FROM counts, tot
+          |)
+          |SELECT doc_id, CAST(count(*) AS bigint) AS n_grams,
+          |       CAST(sum(lr_micro) AS bigint) AS w_micro,
+          |       round(cast(sum(lr_micro) AS double) / count(*) / 1e6 + 1e-9, 4)
+          |         AS mean_lr
+          |FROM b JOIN lr USING (bkt)
+          |WHERE NOT is_target
+          |GROUP BY doc_id
+          |ORDER BY mean_lr DESC, doc_id LIMIT 50""".stripMargin),
     "txt_index" ->
       ("""WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term

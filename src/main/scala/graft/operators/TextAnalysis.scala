@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -148,6 +148,54 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"),
         round(avg("lp") + lit(1e-9), 4).as("lm_score"))
+  }
+
+  /** DSIR data selection (Xie+ NeurIPS'23 "Data Selection for Language
+    * Models via Importance Resampling"): score every RAW doc by how
+    * target-like its hashed n-gram distribution is, keep the top k. Bag of
+    * hashed word uni+bigrams into `buckets` buckets (b = u32(md5(gram)) mod
+    * B); bucket models for target p and raw q with +1 Laplace smoothing;
+    * per-doc importance = Σ_grams [ln p_b − ln q_b].
+    *
+    * Engine-parity contract: each bucket's log-ratio is quantized ONCE to
+    * integer MICROS (round(·×1e6) → bigint, absorbing the ≤1-ulp libm ln
+    * disagreement), and per-doc accumulation is a bigint sum — order-free
+    * and bit-exact across engines; the per-gram mean does a single double
+    * division at the very end. Shuffle topology at 100 TB: bucket-count agg
+    * is map-side partial into a B-bounded relation → the log-ratio lookup
+    * broadcasts; scoring is explode → broadcast join → partially-aggregated
+    * groupBy(doc); selection is TakeOrderedAndProject (per-partition top-k),
+    * never a global sort.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column, buckets: Int = 1024,
+      k: Int = 50): DataFrame = {
+    val t = docs.select(col("doc_id"), targetPred.as("is_target"),
+      split(col("text"), " ").as("toks"))
+    val grams = t.select(col("doc_id"), col("is_target"),
+      explode(concat(col("toks"),
+        expr("""zip_with(slice(toks, 1, size(toks) - 1),
+               |         slice(toks, 2, size(toks) - 1),
+               |         (a, b) -> concat(a, ' ', b))""".stripMargin)))
+        .as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(Accuracy.u32Md5(col("gram")), lit(buckets.toLong)).as("bkt"))
+    val counts = grams.groupBy("bkt").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val lr = counts.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        round((log(col("ct") + 1) - log(col("nt") + buckets)
+             - log(col("cr") + 1) + log(col("nr") + buckets)) * lit(1e6))
+          .cast("bigint").as("lr_micro"))
+    grams.filter(!col("is_target"))
+      .join(broadcast(lr), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("lr_micro").as("w_micro"))
+      .withColumn("mean_lr",
+        round(col("w_micro").cast("double") / col("n_grams") / lit(1e6)
+          + lit(1e-9), 4))
+      .orderBy(col("mean_lr").desc, col("doc_id")).limit(k)
   }
 
   /** Top-k vocabulary extraction (tokenizer-training prep): corpus word

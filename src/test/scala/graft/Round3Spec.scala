@@ -876,6 +876,24 @@ class Round3Spec extends AnyFunSuite {
       "saturated filter must show observable false positives")
   }
 
+  test("dsirSelect: target-like raw docs outrank target-unlike; weights are integer micros") {
+    import graft.operators.TextAnalysis
+    // target speaks "alpha beta", off-distribution raw speaks "zulu yankee"
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "alpha beta alpha beta alpha", "t")) ++
+      Seq((100L, "alpha beta alpha beta", "r"),      // target-like raw
+          (101L, "zulu yankee zulu yankee", "r"),    // off-distribution raw
+          (102L, "alpha zulu beta yankee", "r"))     // mixed
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirSelect(docs, col("lang") === "t", k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L, 102L, 101L),
+      s"ranking wrong: ${out.map(_.getLong(0)).toSeq}")
+    // the target-like doc must carry positive importance, the alien negative
+    val byId = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(100L) > 0, s"target-like weight not positive: ${byId(100L)}")
+    assert(byId(101L) < 0, s"alien weight not negative: ${byId(101L)}")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
