@@ -851,6 +851,12 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // model-based quality filter (FineWeb-Edu shape): logistic model trained
+    // on the Gopher word-count rule from cheap surface features, then the
+    // whole corpus scored by the model and the top-2/5 retained (rank
+    // gate — non-degenerate under any score distribution)
+    "txt_quality_model" -> ((s, dir) =>
+      TextAnalysis.qualityModelFilter(documents(s, dir))),
     // DSIR importance resampling: en docs act as the target distribution,
     // the rest are raw; hashed uni+bigram bucket models, integer-micro
     // log-ratio accumulation, top-50 most target-like raw docs
@@ -2923,6 +2929,7 @@ private object Oracles {
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           |WHERE word != '' GROUP BY 1
           |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    "txt_quality_model" -> qualityModelSql,
     "txt_dsir" ->
       (s"""WITH t AS (
           |  SELECT doc_id, lang = 'en' AS is_target,
@@ -3662,36 +3669,56 @@ private object Oracles {
   // ---- logistic-GD oracle machinery, parameterized by (tag, eta, iters,
   // training relation) so both the single trainer and the tuning grid
   // replay through the same unrolled-CTE generator ----
-  private def gdSig(w: String) =
-    s"1.0 / (1.0 + exp(-($w.b + $w.w1 * f_len + $w.w2 * f_tool + $w.w3 * f_rate)))"
-  private def gdChain(tag: String, etaSql: String, iters: Int,
-      rel: String): String = {
+  /** σ(w·x) SQL for an arbitrary feature list (weights live in relation `w`
+    * as b, w1..wn — the operand order matches Train.logisticGD's margin
+    * fold exactly).
+    */
+  private def gdSigF(feats: Seq[String], w: String) =
+    "1.0 / (1.0 + exp(-(" + feats.zipWithIndex.foldLeft(s"$w.b") {
+      case (acc, (f, j)) => s"$acc + $w.w${j + 1} * $f"
+    } + ")))"
+  /** Unrolled quantized-GD chain over `rel(featureCols..., y)` — one g/w CTE
+    * pair per iteration, weights rounded to 6 decimals each step (the
+    * engine-replay contract of Train.logisticGD).
+    */
+  private def gdChainF(feats: Seq[String], tag: String, etaSql: String,
+      iters: Int, rel: String): String = {
     def step(k: Int): String = {
       val pw = s"w$tag${k - 1}"
+      val gCols = ("sum(p - y) AS g0" +: feats.zipWithIndex.map {
+        case (f, j) => s"sum((p - y) * $f) AS g${j + 1}" }).mkString(", ")
+      val wCols = (s"round(w.b - $etaSql * (g.g0 / g.n) + 1e-9, 6) AS b" +:
+        feats.indices.map(j =>
+          s"round(w.w${j + 1} - $etaSql * (g.g${j + 1} / g.n) + 1e-9, 6) AS w${j + 1}"))
+        .mkString(", ")
       s""", g$tag$k AS (
-         |  SELECT sum(p - y) AS g0, sum((p - y) * f_len) AS g1,
-         |         sum((p - y) * f_tool) AS g2, sum((p - y) * f_rate) AS g3,
-         |         count(*) AS n
-         |  FROM (SELECT $rel.*, ${gdSig("w")} AS p FROM $rel CROSS JOIN $pw w)
+         |  SELECT $gCols, count(*) AS n
+         |  FROM (SELECT $rel.*, ${gdSigF(feats, "w")} AS p FROM $rel CROSS JOIN $pw w)
          |), w$tag$k AS (
-         |  SELECT round(w.b - $etaSql * (g.g0 / g.n) + 1e-9, 6) AS b,
-         |         round(w.w1 - $etaSql * (g.g1 / g.n) + 1e-9, 6) AS w1,
-         |         round(w.w2 - $etaSql * (g.g2 / g.n) + 1e-9, 6) AS w2,
-         |         round(w.w3 - $etaSql * (g.g3 / g.n) + 1e-9, 6) AS w3
+         |  SELECT $wCols
          |  FROM $pw w CROSS JOIN g$tag$k g
          |)""".stripMargin
     }
+    val zeros = ("cast(0.0 AS double) AS b" +:
+      feats.indices.map(j => s"cast(0.0 AS double) AS w${j + 1}")).mkString(", ")
     s""", w${tag}0 AS (
-       |  SELECT cast(0.0 AS double) AS b, cast(0.0 AS double) AS w1,
-       |         cast(0.0 AS double) AS w2, cast(0.0 AS double) AS w3
+       |  SELECT $zeros
        |)""".stripMargin + (1 to iters).map(step).mkString
   }
-  private def gdAccCte(name: String, wRel: String, rel: String): String =
+  private def gdAccCteF(feats: Seq[String], name: String, wRel: String,
+      rel: String): String =
     s""", $name AS (
        |  SELECT round(avg(CASE WHEN (p >= 0.5) = (y = 1.0)
        |                        THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS acc
-       |  FROM (SELECT $rel.*, ${gdSig("w")} AS p FROM $rel CROSS JOIN $wRel w)
+       |  FROM (SELECT $rel.*, ${gdSigF(feats, "w")} AS p FROM $rel CROSS JOIN $wRel w)
        |)""".stripMargin
+  // lazy: referenced from oracle strings evaluated during `all`'s init,
+  // which runs before plain vals declared this far down are assigned
+  private lazy val gdTsFeats = Seq("f_len", "f_tool", "f_rate")
+  private def gdChain(tag: String, etaSql: String, iters: Int,
+      rel: String): String = gdChainF(gdTsFeats, tag, etaSql, iters, rel)
+  private def gdAccCte(name: String, wRel: String, rel: String): String =
+    gdAccCteF(gdTsFeats, name, wRel, rel)
   private lazy val gdCf2Cte: String =
     """, cf2 AS (
       |  SELECT conv_id,
@@ -3703,6 +3730,43 @@ private object Oracles {
       |         THEN 1.0 ELSE 0.0 END AS y
       |  FROM metrics GROUP BY conv_id
       |)""".stripMargin
+  /** txt_quality_model oracle: quality-feature CTE + unrolled 3-iteration
+    * quantized-GD replay + scored/gated corpus (FineWeb-Edu shape).
+    */
+  private lazy val qualityModelSql: String = {
+    val feats = Seq("f_mwl", "f_stop", "f_digit")
+    val iters = 3
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id, len(toks) AS n_tok,
+       |    list_sum(list_transform(toks, x -> cast(length(x) AS double))) / len(toks) AS mean_len,
+       |    cast(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS double) / len(toks) AS stop_ratio,
+       |    cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS double) / length(text) AS digit_ratio
+       |  FROM t
+       |), qf AS (
+       |  SELECT doc_id,
+       |    round(mean_len + 1e-9, 4) / 10.0 AS f_mwl,
+       |    round(stop_ratio + 1e-9, 4) AS f_stop,
+       |    round(digit_ratio + 1e-9, 4) AS f_digit,
+       |    CASE WHEN n_tok >= 50 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM b
+       |)""".stripMargin +
+      gdChainF(feats, "", "0.1", iters, "qf") +
+      gdAccCteF(feats, "accq", s"w$iters", "qf") +
+      s"""
+         |SELECT doc_id, y, score, train_acc FROM (
+         |  SELECT doc_id, y, score, a.acc AS train_acc,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM (
+         |    SELECT doc_id, CAST(y AS int) AS y,
+         |           round(${gdSigF(feats, "w")} + 1e-9, 6) AS score
+         |    FROM qf CROSS JOIN w$iters w)
+         |  CROSS JOIN accq a)
+         |WHERE rn <= (SELECT count(*) * 2 // 5 FROM documents)
+         |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   private lazy val trainSql: String = {
     val iters = 3
     cte + metricsCte + gdCf2Cte +

@@ -198,6 +198,43 @@ object TextAnalysis {
       .orderBy(col("mean_lr").desc, col("doc_id")).limit(k)
   }
 
+  /** Model-based quality filtering (the FineWeb-Edu / DCLM shape): train an
+    * in-engine logistic classifier to approximate an expensive quality
+    * signal from cheap per-doc features, then score and gate the whole
+    * corpus with the model. Label = the Gopher word-count rule (n_tok ≥ 50,
+    * the battery's backbone rule); features = the quality() surface stats
+    * (mean word length, stopword ratio, digit ratio) — deliberately
+    * EXCLUDING the label's own n_tok, so the model genuinely generalizes
+    * rather than reading the answer. Training is [[Train.logisticGD]]'s
+    * quantized-weight contract (oracle-replayable); scoring is one map-only
+    * pass with literal weights; `keep` compares the 6-dp-rounded score so
+    * both engines gate on the identical value.
+    */
+  def qualityModelFilter(docs: DataFrame, keepNum: Int = 2,
+      keepDen: Int = 5): DataFrame = {
+    val featCols = Seq("f_mwl", "f_stop", "f_digit")
+    val feats = quality(docs).select(col("doc_id"),
+      (col("mean_len") / 10.0).as("f_mwl"),
+      col("stop_ratio").as("f_stop"),
+      col("digit_ratio").as("f_digit"),
+      when(col("n_tok") >= 50, 1.0).otherwise(0.0).as("y"))
+    val (w, acc) = Train.logisticGD(feats, featCols, "y")
+    val margin = featCols.zipWithIndex.foldLeft(lit(w(0))) {
+      case (a, (c, j)) => a + lit(w(j + 1)) * col(c)
+    }
+    // retention gate is a TOP-FRACTION rank (keepNum/keepDen of the corpus),
+    // not an absolute probability cut: FineWeb-Edu tunes its threshold to a
+    // retention target, and rank selection stays non-degenerate however the
+    // score distribution shifts; ties settle on doc_id so the selected set
+    // is identical cross-engine even when scores collide at 6 dp.
+    // Plans as TakeOrderedAndProject (per-partition top-k), never a global sort.
+    val nKeep = (docs.count() * keepNum / keepDen).toInt
+    feats.select(col("doc_id"), col("y").cast("int").as("y"),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)) + lit(1e-9), 6).as("score"))
+      .withColumn("train_acc", lit(acc))
+      .orderBy(col("score").desc, col("doc_id")).limit(nKeep)
+  }
+
   /** Top-k vocabulary extraction (tokenizer-training prep): corpus word
     * counts with a deterministic (count desc, word) order. Plans as partial
     * agg + TakeOrderedAndProject — never a global sort of the vocabulary.

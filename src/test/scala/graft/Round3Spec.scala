@@ -894,6 +894,26 @@ class Round3Spec extends AnyFunSuite {
     assert(byId(101L) < 0, s"alien weight not negative: ${byId(101L)}")
   }
 
+  test("qualityModelFilter: model ranks label-positive docs first, keeps exactly the top fraction") {
+    import graft.operators.TextAnalysis
+    // long docs (y=1) use long words → high f_mwl; short docs (y=0) short
+    // words → the mean-word-length feature carries the label signal
+    val docs = (
+      (0 until 10).map(i => (i.toLong, Seq.fill(60)("standard").mkString(" "), "en")) ++
+      (10 until 20).map(i => (i.toLong, Seq.fill(10)("aa").mkString(" "), "en"))
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.qualityModelFilter(docs).collect()
+    // 20 docs * 2/5 = 8 kept
+    assert(out.length == 8, s"expected 8 kept, got ${out.length}")
+    // all kept docs are the high-feature (y=1) class — the model's score
+    // ordering reflects training even when no score crosses 0.5
+    assert(out.forall(_.getInt(1) == 1),
+      s"kept set leaked label-0 docs: ${out.map(r => (r.getLong(0), r.getInt(1))).toSeq}")
+    // ties in score settle by doc_id: kept ids are the 8 smallest of class 1
+    assert(out.map(_.getLong(0)).sorted.toSeq == (0L until 8L),
+      s"tie-break by doc_id violated: ${out.map(_.getLong(0)).sorted.toSeq}")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
