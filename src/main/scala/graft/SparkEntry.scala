@@ -851,6 +851,11 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // count-min sketch frequency estimation: d=4 × w=1024 mergeable count
+    // relation, probed by common + absent words; overcount column exposes
+    // the one-sided error (est ≥ true always)
+    "txt_cms" -> ((s, dir) =>
+      Summary.cmsWordFreq(documents(s, dir), cmsProbes).orderBy("word")),
     // model-based quality filter (FineWeb-Edu shape): logistic model trained
     // on the Gopher word-count rule from cheap surface features, then the
     // whole corpus scored by the model and the top-2/5 retained (rank
@@ -1080,6 +1085,14 @@ object SparkEntry {
   /** Fixed keyword queries for the BM25 retrieval demo (corpus-vocabulary
     * terms; `dup` is the rare high-idf term). Mirrored in the oracle SQL.
     */
+  /** CMS probe set: high-frequency corpus words + two absent words (the
+    * absent ones exercise true_cnt = 0 and collision-only estimates).
+    * Shared with the oracle's VALUES list.
+    */
+  private[graft] val cmsProbes: Seq[String] = Seq(
+    "the", "data", "join", "merge", "spark", "window",
+    "ghostwordxyz", "notinthecorpus")
+
   private[graft] val bm25Queries: Seq[(Int, String)] = Seq(
     (1, "spark window scan"),
     (2, "hash join merge dup"),
@@ -2929,6 +2942,39 @@ private object Oracles {
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           |WHERE word != '' GROUP BY 1
           |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    "txt_cms" ->
+      (s"""WITH wf AS (
+          |  SELECT word FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |  WHERE word <> ''
+          |), ri AS (
+          |  SELECT word, unnest(generate_series(0, 3)) AS r FROM wf
+          |), cells AS (
+          |  SELECT r, ${u32Sql("cast(r AS varchar) || ':' || word")} % 1024 AS pos
+          |  FROM ri
+          |), cms AS (
+          |  SELECT r, pos, CAST(count(*) AS bigint) AS cnt
+          |  FROM cells GROUP BY r, pos
+          |), probes AS (
+          |  SELECT * FROM (VALUES ${SparkEntry.cmsProbes
+               .map(p => s"('$p')").mkString(", ")}) AS t(word)
+          |), pri AS (
+          |  SELECT word, unnest(generate_series(0, 3)) AS r FROM probes
+          |), pcells AS (
+          |  SELECT word, r,
+          |    ${u32Sql("cast(r AS varchar) || ':' || word")} % 1024 AS pos
+          |  FROM pri
+          |), est AS (
+          |  SELECT word, CAST(min(coalesce(cms.cnt, 0)) AS bigint) AS cms_est
+          |  FROM pcells LEFT JOIN cms USING (r, pos) GROUP BY word
+          |), truth AS (
+          |  SELECT word, CAST(count(*) AS bigint) AS true_cnt FROM wf GROUP BY word
+          |)
+          |SELECT e.word, coalesce(t.true_cnt, CAST(0 AS bigint)) AS true_cnt,
+          |       e.cms_est,
+          |       e.cms_est - coalesce(t.true_cnt, CAST(0 AS bigint)) AS overcount
+          |FROM est e LEFT JOIN truth t USING (word)
+          |ORDER BY e.word""".stripMargin),
     "txt_quality_model" -> qualityModelSql,
     "txt_dsir" ->
       (s"""WITH t AS (

@@ -150,4 +150,40 @@ object Summary {
         rb(lit(mn) + (col("bin") + 1) * (lit(mx) - lit(mn)) / nBins).as("hi"),
         col("cnt"))
   }
+
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan,
+    * J.Alg'05) — the third member of the approximate-aggregates family:
+    * point-frequency queries over a vocabulary too large to aggregate
+    * exactly. The sketch is a d×w count relation (≤ d·w rows — bounded,
+    * MERGEABLE across partitions/batches by plain addition, broadcastable);
+    * cell_r(x) = u32(md5(r:x)) mod w (the engine-parity hash primitive —
+    * deterministic, oracle-replayable); estimate(x) = min over the d rows
+    * of its cells, with the classic one-sided guarantee est ≥ true.
+    *
+    * `true_cnt` (the exact vocabulary aggregate the sketch exists to avoid
+    * at 10^12 tokens) is emitted as the verification column, same contract
+    * as bloomScreen.is_member.
+    */
+  def cmsWordFreq(docs: DataFrame, probeWords: Seq[String], d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    def cells = explode(array((0 until d).map(r => struct(lit(r).as("r"),
+      pmod(Accuracy.u32Md5(concat(lit(s"$r:"), col("word"))), lit(w.toLong))
+        .as("pos"))): _*)).as("cell")
+    val cms = words.select(cells)
+      .groupBy(col("cell.r").as("r"), col("cell.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = probeWords.toDF("word").select(col("word"), cells)
+      .select(col("word"), col("cell.r").as("r"), col("cell.pos").as("pos"))
+      .join(broadcast(cms), Seq("r", "pos"), "left")
+      .groupBy("word").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    val truth = words.groupBy("word").agg(count(lit(1)).as("true_cnt"))
+    est.join(truth, Seq("word"), "left")
+      .na.fill(0L, Seq("true_cnt"))
+      .select(col("word"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+  }
 }

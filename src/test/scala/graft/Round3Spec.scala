@@ -914,6 +914,27 @@ class Round3Spec extends AnyFunSuite {
       s"tie-break by doc_id violated: ${out.map(_.getLong(0)).sorted.toSeq}")
   }
 
+  test("cmsWordFreq: one-sided guarantee est >= true; tiny sketch shows collisions; absent words zero truth") {
+    import graft.operators.Summary
+    val docs = Seq(
+      (1L, "aa aa aa bb cc"), (2L, "aa bb dd ee ff"), (3L, "gg hh ii jj kk")
+    ).toDF("doc_id", "text")
+    val probes = Seq("aa", "bb", "gg", "zz")
+    val wide = Summary.cmsWordFreq(docs, probes).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(wide("aa")._1 == 4 && wide("bb")._1 == 2 && wide("zz")._1 == 0)
+    // est >= true everywhere (CMS never undercounts)
+    assert(wide.values.forall { case (t, e, o) => e >= t && o == e - t })
+    // at w=1024 and 11 distinct words, collisions are absent → est exact
+    assert(wide.values.forall { case (t, e, _) => e == t })
+    // w=2 forces collisions: estimates still >= true, and at least one probe
+    // overcounts (13 occurrences into 2 columns)
+    val tiny = Summary.cmsWordFreq(docs, probes, d = 2, w = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(tiny.forall { case (t, e) => e >= t })
+    assert(tiny.exists { case (t, e) => e > t }, "no collision at w=2?")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
