@@ -743,6 +743,19 @@ object SparkEntry {
     // linearly with corpus size)
     "dd_boilerplate" -> ((s, dir) =>
       Dedup.turnBoilerplate(transcripts(s, dir)).orderBy("conv_id")),
+    // end-to-end conversation curation: boiler screen → ≥4-surviving-turns
+    // floor → whole-conv content dedup. Plants make every stage bite:
+    // 'z'-prefixed full copies of the %1 convs collapse onto their
+    // originals (dedup), 'y'-prefixed 3-turn stubs fail the floor
+    "ts_curate_convs" -> ((s, dir) => {
+      val t = transcripts(s, dir).select("conv_id", "turn_idx", "text")
+      val z = t.filter(col("conv_id").endsWith("1"))
+        .withColumn("conv_id", concat(lit("z"), col("conv_id")))
+      val y = t.filter(col("conv_id").endsWith("1") && col("turn_idx") <= 2)
+        .withColumn("conv_id", concat(lit("y"), col("conv_id")))
+      Dedup.curateConversations(t.unionByName(z).unionByName(y))
+        .orderBy("conv_id")
+    }),
     // SimHash (32-bit, md5-parity votes) near-dup pairs, Hamming 0
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
@@ -2754,6 +2767,45 @@ private object Oracles {
           |             / count(*) + 1e-9, 4) AS frac_boiler
           |FROM fps f LEFT JOIN boiler b USING (fp)
           |GROUP BY f.conv_id ORDER BY f.conv_id""".stripMargin),
+    "ts_curate_convs" ->
+      (cte +
+        """, planted AS (
+          |  SELECT conv_id, turn_idx, text FROM transcripts
+          |  UNION ALL
+          |  SELECT 'z' || conv_id, turn_idx, text FROM transcripts
+          |  WHERE conv_id LIKE '%1'
+          |  UNION ALL
+          |  SELECT 'y' || conv_id, turn_idx, text FROM transcripts
+          |  WHERE conv_id LIKE '%1' AND turn_idx <= 2
+          |), fps AS (
+          |  SELECT conv_id, turn_idx,
+          |         md5(lower(regexp_replace(
+          |           regexp_replace(text, '^[^:]*:[^:]*:', ''), '\s+', ' ', 'g'))) AS fp
+          |  FROM planted
+          |), tot AS (
+          |  SELECT count(DISTINCT conv_id) AS n FROM planted
+          |), boiler AS (
+          |  SELECT fp FROM fps GROUP BY fp
+          |  HAVING count(DISTINCT conv_id) * 2 >= (SELECT n FROM tot)
+          |), kept AS (
+          |  SELECT f.conv_id, f.turn_idx, f.fp
+          |  FROM fps f LEFT JOIN boiler b USING (fp) WHERE b.fp IS NULL
+          |), conv AS (
+          |  SELECT conv_id, CAST(count(*) AS bigint) AS n_kept,
+          |         md5(string_agg(fp, '|' ORDER BY turn_idx)) AS conv_fp
+          |  FROM kept GROUP BY conv_id
+          |), totals AS (
+          |  SELECT conv_id, CAST(count(*) AS bigint) AS n_turns
+          |  FROM planted GROUP BY conv_id
+          |), qual AS (
+          |  SELECT c.conv_id, t.n_turns, c.n_kept, c.conv_fp
+          |  FROM conv c JOIN totals t USING (conv_id) WHERE c.n_kept >= 4
+          |), canon AS (
+          |  SELECT conv_fp, min(conv_id) AS conv_id FROM qual GROUP BY conv_fp
+          |)
+          |SELECT q.conv_id, q.n_turns, q.n_kept, q.conv_fp
+          |FROM qual q JOIN canon c ON q.conv_id = c.conv_id AND q.conv_fp = c.conv_fp
+          |ORDER BY q.conv_id""".stripMargin),
     "dd_simhash" ->
       (plantedCte + simhashCtes +
         """

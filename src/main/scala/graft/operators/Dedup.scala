@@ -435,16 +435,28 @@ object Dedup {
     * half the corpus) → the join back is broadcast-shaped, AQE picks it;
     * (5) the final per-conv rollup partial-aggregates map-side.
     */
-  def turnBoilerplate(turns: DataFrame): DataFrame = {
-    val fps = turns.select(col("conv_id"), col("turn_idx"),
+  /** Normalized-content fingerprints per turn: the conversation-local
+    * `conv:idx:` prefix stripped, lowercased, whitespace-collapsed, md5'd.
+    */
+  private def turnFps(turns: DataFrame): DataFrame =
+    turns.select(col("conv_id"), col("turn_idx"),
       md5(lower(regexp_replace(
         regexp_replace(col("text"), "^[^:]*:[^:]*:", ""), "\\s+", " ")))
         .as("fp"))
-    val totalConvs = turns.select(countDistinct(col("conv_id"))).first().getLong(0)
-    val boiler = fps.groupBy("fp")
+
+  /** The tiny thresholded boilerplate-fingerprint relation: contents seen in
+    * at least half of all conversations (integer cross-multiplication).
+    */
+  private def boilerFps(fps: DataFrame, totalConvs: Long): DataFrame =
+    fps.groupBy("fp")
       .agg(countDistinct(col("conv_id")).as("n_convs"))
       .filter(col("n_convs") * 2 >= totalConvs)
       .select(col("fp"), lit(true).as("is_boiler"))
+
+  def turnBoilerplate(turns: DataFrame): DataFrame = {
+    val fps = turnFps(turns)
+    val totalConvs = turns.select(countDistinct(col("conv_id"))).first().getLong(0)
+    val boiler = boilerFps(fps, totalConvs)
     fps.join(boiler, Seq("fp"), "left")
       .groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"),
@@ -453,5 +465,36 @@ object Dedup {
           .as("boiler_idx_sum"))
       .withColumn("frac_boiler",
         round(col("n_boiler").cast("double") / col("n_turns") + lit(1e-9), 4))
+  }
+
+  /** End-to-end CONVERSATION curation over `transcripts` — the chat-data
+    * analog of the txt_curate document pipeline, composing three stages in
+    * one plan: (1) boilerplate-turn removal ([[turnBoilerplate]]'s screen);
+    * (2) a minimum-surviving-turns floor (degenerate conversations out);
+    * (3) whole-conversation dedup by content fingerprint — md5 over the
+    * kept turns' fingerprints in turn order, smallest conv_id canonical
+    * (re-keyed copies of a conversation collapse to one).
+    *
+    * Scale shape: the boiler screen is the broadcast-shaped join from
+    * turnBoilerplate; the conversation fingerprint is one partially-
+    * aggregated groupBy(conv) (sort_array over a per-conv bounded list);
+    * canonical selection is a groupBy(conv_fp) min — all hash-partitioned,
+    * nothing driver-side but two scalar counts.
+    */
+  def curateConversations(turns: DataFrame, minTurns: Int = 4): DataFrame = {
+    val fps = turnFps(turns)
+    val totalConvs = turns.select(countDistinct(col("conv_id"))).first().getLong(0)
+    val kept = fps.join(boilerFps(fps, totalConvs), Seq("fp"), "left")
+      .filter(col("is_boiler").isNull)
+    val conv = kept.groupBy("conv_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws("|", expr(
+        "transform(sort_array(collect_list(struct(turn_idx, fp))), p -> p.fp)")))
+        .as("conv_fp"))
+    val totals = turns.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+    val qual = conv.join(totals, "conv_id").filter(col("n_kept") >= minTurns)
+    val canon = qual.groupBy("conv_fp").agg(min("conv_id").as("conv_id"))
+    qual.join(canon, Seq("conv_fp", "conv_id"))
+      .select(col("conv_id"), col("n_turns"), col("n_kept"), col("conv_fp"))
   }
 }

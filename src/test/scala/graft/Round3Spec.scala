@@ -935,6 +935,30 @@ class Round3Spec extends AnyFunSuite {
     assert(tiny.exists { case (t, e) => e > t }, "no collision at w=2?")
   }
 
+  test("curateConversations: boiler screen, turn floor, and whole-conv dedup each bite") {
+    def conv(id: String, contents: Seq[String]) =
+      contents.zipWithIndex.map { case (c, i) =>
+        (id, i, "u", s"$id:$i:$c", null: String, ts(i)) }
+    val boilerTxt = "please see our terms"
+    val rows =
+      conv("c1", boilerTxt +: (1 to 5).map(i => s"c1 unique $i")) ++
+      conv("c2", boilerTxt +: (1 to 5).map(i => s"c2 unique $i")) ++
+      conv("c3", boilerTxt +: (1 to 5).map(i => s"c3 unique $i")) ++
+      conv("c4", boilerTxt +: (1 to 5).map(i => s"c4 unique $i")) ++
+      conv("x9", boilerTxt +: (1 to 5).map(i => s"c1 unique $i")) ++ // c1 copy
+      conv("c0", (1 to 3).map(i => s"c0 unique $i"))                 // short
+    val turns = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Dedup.curateConversations(turns).orderBy("conv_id").collect()
+    // boiler: "please see our terms" sits in 5 of 6 convs (2·5 ≥ 6) →
+    // screened; each surviving conv keeps 5 of 6 turns. c0 dies on the
+    // floor (3 < 4); x9 collapses onto c1 (identical kept content).
+    assert(out.map(_.getString(0)).toSeq == Seq("c1", "c2", "c3", "c4"),
+      s"kept: ${out.map(_.getString(0)).toSeq}")
+    assert(out.forall(r => r.getLong(1) == 6L && r.getLong(2) == 5L))
+    // the copy's fingerprint equals the original's (same kept content)
+    assert(out.map(_.getString(3)).distinct.length == 4)
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
