@@ -123,4 +123,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "training grams shuffled against the benchmark side")
   }
+
+  test("bloom screen: occupied-position set broadcasts, probe never shuffles against history") {
+    val p = plan("dd_bloom")
+    assert(p.contains("BroadcastHashJoin"), s"position set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bloom probe:\n$p")
+  }
+
+  test("CMS probe joins the bounded sketch via broadcast") {
+    val p = plan("txt_cms")
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+  }
+
+  test("DSIR: log-ratio lookup broadcasts; selection is TakeOrderedAndProject") {
+    val p = plan("txt_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"lr lookup not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+  }
+
+  test("model quality gate: scoring is map-only with literal weights + TakeOrderedAndProject") {
+    val p = plan("txt_quality_model")
+    assert(p.contains("TakeOrderedAndProject"), s"rank gate is a global sort:\n$p")
+    // scoring embeds the trained weights as literals over one scan — no
+    // join, no shuffle, no aggregation in the returned plan (training ran
+    // as separate gradient jobs)
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"scoring pass is not map-only:\n$p")
+  }
 }
