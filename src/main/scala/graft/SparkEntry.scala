@@ -701,6 +701,13 @@ object SparkEntry {
       val d = docsPlanted(s, dir)
       Dedup.ngramJaccard(d, Dedup.minhashPairs(d)).orderBy("id1", "id2")
     }),
+    // containment (asymmetric): the planted tail-append near-dups are
+    // SUPERSETS of their originals — cont1 pins 1.0 where jaccard < 1,
+    // the quote/subset duplication the symmetric measure under-ranks
+    "dd_containment" -> ((s, dir) => {
+      val d = docsPlanted(s, dir)
+      Dedup.ngramContainment(d, Dedup.minhashPairs(d)).orderBy("id1", "id2")
+    }),
     // duplicate GROUPS: connected components over the LSH pairs with
     // canonical-doc selection (min-label propagation; oracle = recursive-CTE
     // transitive closure over the same pairs)
@@ -2680,6 +2687,29 @@ private object Oracles {
           |SELECT p.id1, p.id2,
           |  round(cast(coalesce(i.n_inter, 0) AS double) /
           |        (s1.n + s2.n - coalesce(i.n_inter, 0)) + 1e-9, 4) AS jaccard
+          |FROM pairs p
+          |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+          |JOIN sizes s1 ON s1.doc_id = p.id1
+          |JOIN sizes s2 ON s2.doc_id = p.id2
+          |ORDER BY p.id1, p.id2""".stripMargin),
+    "dd_containment" ->
+      (plantedCte + shingleCtes + bandCtes +
+        """, shx AS (
+          |  SELECT doc_id, unnest(sh) AS s FROM sgl
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n FROM shx GROUP BY 1
+          |), inter AS (
+          |  SELECT p.id1, p.id2, count(*) AS n_inter
+          |  FROM pairs p
+          |  JOIN shx a ON a.doc_id = p.id1
+          |  JOIN shx b2 ON b2.doc_id = p.id2 AND b2.s = a.s
+          |  GROUP BY 1, 2
+          |)
+          |SELECT p.id1, p.id2,
+          |  round(cast(coalesce(i.n_inter, 0) AS double) /
+          |        (s1.n + s2.n - coalesce(i.n_inter, 0)) + 1e-9, 4) AS jaccard,
+          |  round(cast(coalesce(i.n_inter, 0) AS double) / s1.n + 1e-9, 4) AS cont1,
+          |  round(cast(coalesce(i.n_inter, 0) AS double) / s2.n + 1e-9, 4) AS cont2
           |FROM pairs p
           |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
           |JOIN sizes s1 ON s1.doc_id = p.id1

@@ -230,6 +230,39 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")) + lit(1e-9), 4).as("jaccard"))
   }
 
+  /** n-gram containment (Broder '97's asymmetric companion to resemblance):
+    * c1 = |A∩B|/|A| and c2 = |A∩B|/|B| alongside Jaccard for candidate
+    * pairs. Containment catches SUBSET duplication — a doc quoted whole
+    * inside a longer one scores c1 = 1.0 while Jaccard stays low — the case
+    * the symmetric measure under-ranks. Same exploded-shingle equi-join
+    * shape as [[ngramJaccard]] (candidates only, never all pairs).
+    */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("s", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+          |  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          |            element_at(toks, i + 3))))""".stripMargin)))
+      .select(col("doc_id"), col("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("id1"), col("s")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    val r4 = (c: org.apache.spark.sql.Column) => round(c + lit(1e-9), 4)
+    pairs
+      .join(inter, Seq("id1", "id2"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        r4(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter"))).as("jaccard"),
+        r4(col("n_inter").cast("double") / col("n1")).as("cont1"),
+        r4(col("n_inter").cast("double") / col("n2")).as("cont2"))
+  }
+
   /** 32-bit SimHash from distinct word tokens: bit j votes by the parity of
     * hex digit j of md5(token) (md5 has exactly 32 hex digits); signature
     * bit set when the vote sum is positive. 32 bits keeps random collisions

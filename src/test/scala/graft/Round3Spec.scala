@@ -959,6 +959,21 @@ class Round3Spec extends AnyFunSuite {
     assert(out.map(_.getString(3)).distinct.length == 4)
   }
 
+  test("ngramContainment: subset duplication pins cont1=1.0 while jaccard stays below") {
+    // doc 2 contains doc 1 verbatim plus a long tail: every shingle of 1 is
+    // in 2, but 2 has many extra shingles
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " iota kappa lambda mu nu xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val r = Dedup.ngramContainment(docs, pairs).collect()(0)
+    assert(r.getDouble(3) == 1.0, s"cont1 != 1.0: $r") // A fully inside B
+    assert(r.getDouble(2) < 0.5, s"jaccard should stay low: $r")
+    assert(r.getDouble(4) < 1.0, s"cont2 must reflect B's extra content: $r")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
