@@ -164,6 +164,18 @@ object Summary {
     * at 10^12 tokens) is emitted as the verification column, same contract
     * as bloomScreen.is_member.
     */
+  /** The d hash cells of each word occurrence — shared by the batch sketch
+    * aggregation and the streaming (Complete-mode, d·w-bounded-state)
+    * variant in StreamingRollup.
+    */
+  private[graft] def cmsCells(docs: DataFrame, d: Int, w: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(explode(array((0 until d).map(r => struct(lit(r).as("r"),
+        pmod(Accuracy.u32Md5(concat(lit(s"$r:"), col("word"))), lit(w.toLong))
+          .as("pos"))): _*)).as("cell"))
+      .select(col("cell.r").as("r"), col("cell.pos").as("pos"))
+
   def cmsWordFreq(docs: DataFrame, probeWords: Seq[String], d: Int = 4,
       w: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
@@ -173,8 +185,8 @@ object Summary {
     def cells = explode(array((0 until d).map(r => struct(lit(r).as("r"),
       pmod(Accuracy.u32Md5(concat(lit(s"$r:"), col("word"))), lit(w.toLong))
         .as("pos"))): _*)).as("cell")
-    val cms = words.select(cells)
-      .groupBy(col("cell.r").as("r"), col("cell.pos").as("pos"))
+    val cms = cmsCells(docs, d, w)
+      .groupBy(col("r"), col("pos"))
       .agg(count(lit(1)).as("cnt"))
     val est = probeWords.toDF("word").select(col("word"), cells)
       .select(col("word"), col("cell.r").as("r"), col("cell.pos").as("pos"))

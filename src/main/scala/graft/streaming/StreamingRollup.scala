@@ -84,6 +84,22 @@ object StreamingRollup {
       }
   }
 
+  /** Streaming count-min sketch maintenance — the mergeable-summary contract
+    * of [[graft.operators.Summary.cmsWordFreq]] carried onto the stream:
+    * cell counts are a plain streaming aggregation whose state is BOUNDED
+    * by d·w cells regardless of stream length or vocabulary size (the whole
+    * point of the sketch — an exact streaming word count would hold
+    * unbounded vocabulary state). Complete output mode; no watermark needed
+    * because the state never grows past the grid. After any prefix of the
+    * stream, the emitted relation equals the batch sketch over the same
+    * rows (tested), so downstream probes are identical.
+    */
+  def cmsStream(docs: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
+    graft.operators.Summary.cmsCells(docs, d, w)
+      .groupBy("r", "pos")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+
   /** Streaming exact dedup on the natural key — the at-least-once-delivery
     * guard every streaming ingest needs (duplicate redelivery of the same
     * (conv_id, turn_idx) is dropped; state holds one row per key only

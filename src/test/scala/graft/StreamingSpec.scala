@@ -55,6 +55,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch equals the batch sketch after every prefix; state stays d*w-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "text")
+    val d = 2; val w = 8
+    val q = StreamingRollup.cmsStream(docsStream, d, w)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq((1L, "aa bb aa cc"), (2L, "dd aa ee"))
+      val b2 = Seq((3L, "bb bb ff gg hh ii"))
+      def streamedSketch() = spark.sql("SELECT r, pos, cnt FROM cms")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      def batchSketch(rows: Seq[(Long, String)]) =
+        graft.operators.Summary.cmsCells(rows.toDF("doc_id", "text"), d, w)
+          .groupBy("r", "pos").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(streamedSketch() == batchSketch(b1), "prefix-1 sketch mismatch")
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(streamedSketch() == batchSketch(b1 ++ b2), "prefix-2 sketch mismatch")
+      // bounded state: the sketch relation can never exceed d*w rows
+      assert(streamedSketch().size <= d * w)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops redelivered turns within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
