@@ -784,6 +784,16 @@ object SparkEntry {
     "ann_ivf2" -> ((s, dir) =>
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 50 === 0,
         col("vec_id") % 97 === 0, k = 3, nprobe = 2).orderBy("qid", "rn")),
+    // recall@3 of single-probe IVF against the brute-force ground truth —
+    // the eval loop every ANN index ships with; per-query bounded join
+    "ann_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.bruteTopK(e, col("vec_id") % 50 === 0, k = 3),
+        Similarity.ivfTopK(e, col("vec_id") % 50 === 0,
+          col("vec_id") % 97 === 0, k = 3), k = 3)
+        .orderBy("qid")
+    }),
     // spherical k-means (Lloyd, 2 quantized iterations from the %97 seeds)
     // trains the IVF centroids; output = final full-corpus assignment. The
     // oracle replays training exactly (quantized-iteration contract).
@@ -871,6 +881,15 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // encoding-sanity screen: U+FFFD and control chars planted on the %23
+    // and %29 residues; valid multi-byte text stays clean
+    "txt_mojibake" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 23 === 0, lit(" bad�byte")).otherwise(lit("")),
+        when(col("doc_id") % 29 === 0, lit(" x\u0001y\u0007")).otherwise(lit(""))))
+      TextAnalysis.encodingScreen(planted).orderBy("doc_id")
+    }),
     // count-min sketch frequency estimation: d=4 × w=1024 mergeable count
     // relation, probed by common + absent words; overcount column exposes
     // the one-sided error (est ≥ true always)
@@ -2870,6 +2889,40 @@ private object Oracles {
           |SELECT qid, eid, cos, rn FROM (
           |  SELECT qid, eid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
           |  FROM sc) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "ann_recall" ->
+      (embCtes("embeddings") + ivfCtes +
+        """, bq AS (
+          |  SELECT vec_id AS qid, v AS qv, nm AS qn FROM nrm WHERE vec_id % 50 = 0
+          |), bsc AS (
+          |  SELECT bq.qid, n2.vec_id AS eid,
+          |    round(list_sum(list_transform(generate_series(1, 64), i -> bq.qv[i] * n2.v[i]))
+          |          / (bq.qn * n2.nm) + 1e-9, 6) AS cos
+          |  FROM bq JOIN nrm n2 ON bq.qid != n2.vec_id
+          |), truth AS (
+          |  SELECT qid, eid FROM (
+          |    SELECT qid, eid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
+          |    FROM bsc) WHERE rn <= 3
+          |), iq AS (
+          |  SELECT n.vec_id AS qid, n.v AS qv, n.nm AS qn, a.cell
+          |  FROM nrm n JOIN asg a ON a.vec_id = n.vec_id WHERE n.vec_id % 50 = 0
+          |), ic2 AS (
+          |  SELECT n.vec_id AS eid, n.v AS ev, n.nm AS en, a.cell
+          |  FROM nrm n JOIN asg a ON a.vec_id = n.vec_id
+          |), isc AS (
+          |  SELECT iq.qid, ic2.eid,
+          |    round(list_sum(list_transform(generate_series(1, 64), i -> iq.qv[i] * ic2.ev[i]))
+          |          / (iq.qn * ic2.en) + 1e-9, 6) AS cos
+          |  FROM iq JOIN ic2 ON iq.cell = ic2.cell AND iq.qid != ic2.eid
+          |), approx AS (
+          |  SELECT qid, eid FROM (
+          |    SELECT qid, eid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
+          |    FROM isc) WHERE rn <= 3
+          |)
+          |SELECT t.qid,
+          |  CAST(sum(CASE WHEN a.eid IS NOT NULL THEN 1 ELSE 0 END) AS int) AS n_hit,
+          |  round(CAST(sum(CASE WHEN a.eid IS NOT NULL THEN 1 ELSE 0 END) AS int) / 3.0 + 1e-9, 4) AS recall
+          |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.eid = t.eid
+          |GROUP BY t.qid ORDER BY t.qid""".stripMargin),
     // exact replay of quantized-Lloyd training + final assignment
     "ann_kmeans" -> kmeansSql,
     "dd_semdedup" -> semdedupSql,
@@ -3024,6 +3077,20 @@ private object Oracles {
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           |WHERE word != '' GROUP BY 1
           |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    "txt_mojibake" ->
+      ("""WITH m AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 23 = 0 THEN ' bad' || chr(65533) || 'byte' ELSE '' END ||
+          |    CASE WHEN doc_id % 29 = 0 THEN ' x' || chr(1) || 'y' || chr(7) ELSE '' END AS text
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, chr(65533))) AS n_repl,
+          |    len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_ctrl
+          |  FROM m
+          |)
+          |SELECT doc_id, n_repl, n_ctrl, n_repl + n_ctrl = 0 AS is_clean
+          |FROM c ORDER BY doc_id""".stripMargin),
     "txt_cms" ->
       (s"""WITH wf AS (
           |  SELECT word FROM (

@@ -423,4 +423,20 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
+
+  /** Recall@k evaluation — the quality loop every approximate index needs:
+    * per query, the fraction of the EXACT top-k (truth) that the
+    * approximate result retrieved. Both inputs carry (qid, eid); the join
+    * is per-query bounded (≤ k rows each side per qid), so the evaluation
+    * costs one equi-join + one partially-aggregated groupBy however large
+    * the corpus that produced the lists was.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    truth.select(col("qid"), col("eid"))
+      .join(approx.select(col("qid"), col("eid"), lit(1).as("hit")),
+        Seq("qid", "eid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") / lit(k.toDouble) + lit(1e-9), 4))
 }

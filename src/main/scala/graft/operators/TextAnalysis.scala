@@ -103,6 +103,20 @@ object TextAnalysis {
         col("n_email") + col("n_url") + col("n_phone") > 0)
   }
 
+  /** Encoding-sanity screen (the C4/CCNet mojibake stage): per-doc counts of
+    * U+FFFD replacement characters (the scar a broken decode leaves) and
+    * raw C0 control characters (tab/newline/CR excluded), plus the clean
+    * flag. Valid non-ASCII text passes untouched — the screen keys on
+    * DAMAGE markers, not on being ASCII. Patterns live in the Java∩RE2
+    * common dialect (character classes only); shuffle-free.
+    */
+  def encodingScreen(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("�")).as("n_repl"),
+      regexp_count(col("text"), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+        .as("n_ctrl"))
+      .withColumn("is_clean", col("n_repl") + col("n_ctrl") === 0)
+
   /** Corpus-relative char-trigram language-model score — the KenLM-style
     * quality-filter baseline, fully relational: (1) corpus pass counts every
     * character trigram (vocabulary is charset³-bounded → broadcastable at

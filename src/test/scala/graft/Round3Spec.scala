@@ -974,6 +974,24 @@ class Round3Spec extends AnyFunSuite {
     assert(r.getDouble(4) < 1.0, s"cont2 must reflect B's extra content: $r")
   }
 
+  test("encodingScreen: replacement/control chars flagged, valid unicode passes, tab/newline exempt") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "héllo wörld ünicode"),       // valid non-ASCII
+      (3L, "broken � decode � here"),          // two replacements
+      (4L, "ctrl\u0001and\u0007bytes"),                  // two control chars
+      (5L, "tab\tnewline\ncr\r ok")                      // exempt whitespace
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingScreen(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((0, 0, true)))
+    assert(out(2L) == ((0, 0, true)), "valid unicode must not flag")
+    assert(out(3L) == ((2, 0, false)))
+    assert(out(4L) == ((0, 2, false)))
+    assert(out(5L) == ((0, 0, true)), "tab/newline/cr are exempt")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
