@@ -750,6 +750,11 @@ object SparkEntry {
     // linearly with corpus size)
     "dd_boilerplate" -> ((s, dir) =>
       Dedup.turnBoilerplate(transcripts(s, dir)).orderBy("conv_id")),
+    // chat-format lint: role-alternation structure per conversation (the
+    // events-derived roles are independent of turn order, so every counter
+    // varies naturally)
+    "ts_chat_lint" -> ((s, dir) =>
+      Select.chatLint(transcripts(s, dir)).orderBy("conv_id")),
     // end-to-end conversation curation: boiler screen → ≥4-surviving-turns
     // floor → whole-conv content dedup. Plants make every stage bite:
     // 'z'-prefixed full copies of the %1 convs collapse onto their
@@ -2816,6 +2821,25 @@ private object Oracles {
           |             / count(*) + 1e-9, 4) AS frac_boiler
           |FROM fps f LEFT JOIN boiler b USING (fp)
           |GROUP BY f.conv_id ORDER BY f.conv_id""".stripMargin),
+    "ts_chat_lint" ->
+      (cte +
+        """, lagged AS (
+          |  SELECT conv_id, turn_idx, role,
+          |         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+          |  FROM transcripts
+          |), agg AS (
+          |  SELECT conv_id,
+          |    CAST(count(*) AS bigint) AS n_turns,
+          |    bool_or(turn_idx = 0 AND role = 'user') AS starts_user,
+          |    CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS bigint)
+          |      AS n_same_adjacent,
+          |    CAST(sum(CASE WHEN role = 'tool' AND prev_role = 'user' THEN 1 ELSE 0 END) AS bigint)
+          |      AS n_tool_after_user
+          |  FROM lagged GROUP BY conv_id
+          |)
+          |SELECT conv_id, n_turns, starts_user, n_same_adjacent, n_tool_after_user,
+          |  round(cast(n_same_adjacent AS double) / n_turns + 1e-9, 4) AS frac_breaks
+          |FROM agg ORDER BY conv_id""".stripMargin),
     "ts_curate_convs" ->
       (cte +
         """, planted AS (

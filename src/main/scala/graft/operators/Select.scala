@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Projection / predicate operators ≙ the reference's metadata-pushdown
   * filter family (/root/reference/R/sits_select.R:38, R/api_select.R:6-140,
@@ -90,8 +91,31 @@ object Select {
     * order.
     */
   def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Chat-format lint — structural validation of conversations before they
+    * become training data (role-alternation checks are a standard
+    * assistant-data curation stage; no sits analog). Per conversation:
+    * whether it opens with a user turn, how many adjacent same-role turn
+    * pairs occur, how many tool turns directly follow a user turn (a tool
+    * result belongs to an assistant call), and the break fraction. One
+    * conv-partitioned lag window + one partially-aggregated groupBy; all
+    * ratios are int/int with the house 4-dp rounding.
+    */
+  def chatLint(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns.select(col("conv_id"), col("turn_idx"), col("role"))
+      .withColumn("prev_role", lag("role", 1).over(w))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        max(when(col("turn_idx") === 0, col("role") === "user")).as("starts_user"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_same_adjacent"),
+        sum(when(col("role") === "tool" && col("prev_role") === "user", 1L)
+          .otherwise(0L)).as("n_tool_after_user"))
+      .withColumn("frac_breaks",
+        round(col("n_same_adjacent").cast("double") / col("n_turns") + lit(1e-9), 4))
   }
 }

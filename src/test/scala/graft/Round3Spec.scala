@@ -992,6 +992,23 @@ class Round3Spec extends AnyFunSuite {
     assert(out(5L) == ((0, 0, true)), "tab/newline/cr are exempt")
   }
 
+  test("chatLint: role-alternation counters and opening-turn flag") {
+    val turns = Seq(
+      // c1: user→assistant→tool — clean
+      ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool"),
+      // c2: opens with assistant, double-assistant break, tool after user
+      ("c2", 0, "assistant"), ("c2", 1, "assistant"),
+      ("c2", 2, "user"), ("c2", 3, "tool")
+    ).map { case (c, i, r) => (c, i, r, s"$c:$i:x", null: String, ts(i)) }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = graft.operators.Select.chatLint(turns).orderBy("conv_id").collect()
+    val c1 = out(0); val c2 = out(1)
+    assert(c1.getLong(1) == 3 && c1.getBoolean(2) && c1.getLong(3) == 0 &&
+      c1.getLong(4) == 0 && c1.getDouble(5) == 0.0)
+    assert(c2.getLong(1) == 4 && !c2.getBoolean(2) && c2.getLong(3) == 1 &&
+      c2.getLong(4) == 1 && c2.getDouble(5) == 0.25)
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
