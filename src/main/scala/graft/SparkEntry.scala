@@ -886,6 +886,10 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // corpus-composition report: per (lang, source) doc/word/subword/char
+    // counts + corpus-word share — the table data-mixing decisions read
+    "txt_budget" -> ((s, dir) =>
+      TextAnalysis.corpusBudget(documents(s, dir)).orderBy("lang", "source")),
     // encoding-sanity screen: U+FFFD and control chars planted on the %23
     // and %29 residues; valid multi-byte text stays clean
     "txt_mojibake" -> ((s, dir) => {
@@ -3101,6 +3105,22 @@ private object Oracles {
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           |WHERE word != '' GROUP BY 1
           |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    "txt_budget" ->
+      ("""WITH t AS (
+          |  SELECT lang, source, text, string_split(text, ' ') AS toks FROM documents
+          |), cells AS (
+          |  SELECT lang, source,
+          |    CAST(count(*) AS bigint) AS n_docs,
+          |    CAST(sum(len(toks)) AS bigint) AS n_words,
+          |    CAST(sum(CAST(list_sum(list_transform(toks,
+          |        x -> cast(ceil(length(x) / 4.0) AS int))) AS bigint)) AS bigint) AS n_subwords,
+          |    CAST(sum(length(text)) AS bigint) AS n_chars
+          |  FROM t GROUP BY lang, source
+          |)
+          |SELECT lang, source, n_docs, n_words, n_subwords, n_chars,
+          |  round(cast(n_words AS double) / sum(n_words) OVER () * 100 + 1e-9, 4)
+          |    AS pct_words
+          |FROM cells ORDER BY lang, source""".stripMargin),
     "txt_mojibake" ->
       ("""WITH m AS (
           |  SELECT doc_id, text ||

@@ -103,6 +103,29 @@ object TextAnalysis {
         col("n_email") + col("n_url") + col("n_phone") > 0)
   }
 
+  /** Corpus-composition report (the Chinchilla-budget accounting verb every
+    * data-mixing decision reads): per (lang, source) cell — docs, words,
+    * subword-token estimate, chars, and each cell's share of corpus words.
+    * One partially-aggregated groupBy over cells bounded by
+    * |langs|×|sources|; the share denominator is a broadcast scalar.
+    */
+  def corpusBudget(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .withColumn("toks", split(col("text"), " "))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_words"),
+        sum(expr(
+          "aggregate(toks, 0L, (s, t) -> s + cast(ceil(length(t) / 4.0) as bigint))"))
+          .as("n_subwords"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    val tot = cells.agg(sum("n_words").as("__tw"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("pct_words",
+        round(col("n_words").cast("double") / col("__tw") * 100 + lit(1e-9), 4))
+      .drop("__tw")
+  }
+
   /** Encoding-sanity screen (the C4/CCNet mojibake stage): per-doc counts of
     * U+FFFD replacement characters (the scar a broken decode leaves) and
     * raw C0 control characters (tab/newline/CR excluded), plus the clean

@@ -1009,6 +1009,21 @@ class Round3Spec extends AnyFunSuite {
       c2.getLong(4) == 1 && c2.getDouble(5) == 0.25)
   }
 
+  test("corpusBudget: cell counts exact, word shares sum to 100") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "one two three", "en", "a"),
+      (2L, "four five", "en", "a"),
+      (3L, "six seven eight nine ten", "de", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.corpusBudget(docs).orderBy("lang", "source").collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    assert(m(("en", "a")) == ((2L, 5L, 50.0)))
+    assert(m(("de", "b")) == ((1L, 5L, 50.0)))
+    assert(math.abs(out.map(_.getDouble(6)).sum - 100.0) < 1e-6)
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
