@@ -572,6 +572,26 @@ object SparkEntry {
         ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
           .filter(substring(col("conv_id"), 2, 6).cast("int") % 3 === 0),
         nClusters = 3).orderBy("conv_id")),
+    // §2.8 sits_cluster_frequency: label × cluster contingency with Total
+    // margins via native CUBE grouping sets; labels = per-conv majority role
+    "ts_cluster_freq" -> ((s, dir) => {
+      val clustered = ChangeDetect.clusterDendro(s,
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+          .filter(substring(col("conv_id"), 2, 6).cast("int") % 3 === 0),
+        nClusters = 3)
+        .join(Select.majorityRole(transcripts(s, dir)), "conv_id")
+      ChangeDetect.clusterFrequency(clustered).orderBy("label", "cluster")
+    }),
+    // §2.8 sits_cluster_clean: keep each cluster's majority label only
+    "ts_cluster_clean" -> ((s, dir) => {
+      val clustered = ChangeDetect.clusterDendro(s,
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+          .filter(substring(col("conv_id"), 2, 6).cast("int") % 3 === 0),
+        nClusters = 3)
+        .join(Select.majorityRole(transcripts(s, dir)), "conv_id")
+      ChangeDetect.clusterClean(clustered)
+        .select("conv_id", "cluster", "label").orderBy("conv_id")
+    }),
     // §2.3 arbitrary ISO period grid (P16D, the reference's MODIS default):
     // full timeline rule (max-min..min-max extent, snapped origin, buckets
     // [t_i, t_i+P), cut() drop outside [t_1, t_last+P)) — bucket assignment
@@ -1441,7 +1461,7 @@ private object Oracles {
   // distances order the edges: kernel DTW and the SQL replay agree to the
   // last ulp (abs*abs ≡ pow(x,2), sqrt exact-rounding — dtwOracle's
   // established contract). Output renumbers roots by dense rank. ----
-  private lazy val clusterSql: String = {
+  private lazy val clusterCtes: String = {
     val kCl = 3
     val c = "(abs(sa[i] - sb[k + 3 - i]) * abs(sa[i] - sb[k + 3 - i]))"
     val cell =
@@ -1497,11 +1517,28 @@ private object Oracles {
          |  FROM merge m JOIN e ON e.eidx = m.step + 1
          |), fin AS (
          |  SELECT labels FROM merge ORDER BY step DESC LIMIT 1
-         |)
-         |SELECT i.conv_id,
-         |  cast(dense_rank() OVER (ORDER BY f.labels[i.nid]) AS int) AS cluster
-         |FROM ids i CROSS JOIN fin f ORDER BY conv_id""".stripMargin
+         |), assigned AS (
+         |  SELECT i.conv_id,
+         |    cast(dense_rank() OVER (ORDER BY f.labels[i.nid]) AS int) AS cluster
+         |  FROM ids i CROSS JOIN fin f
+         |)""".stripMargin
   }
+
+  private lazy val clusterSql: String =
+    clusterCtes + "\nSELECT conv_id, cluster FROM assigned ORDER BY conv_id"
+
+  /** Per-conv majority role (mode with count-desc/role-asc tie-break) —
+    * label side of the cluster frequency/clean oracles.
+    */
+  private lazy val majorityRoleCte: String =
+    """, rl AS (
+      |  SELECT conv_id, role, count(*) AS n FROM transcripts GROUP BY 1, 2
+      |), lab AS (
+      |  SELECT conv_id, role AS label FROM (
+      |    SELECT conv_id, role,
+      |           row_number() OVER (PARTITION BY conv_id ORDER BY n DESC, role) AS rn
+      |    FROM rl) WHERE rn = 1
+      |)""".stripMargin
 
   // Whittaker smoothing of the label prototypes replayed in SQL: the
   // pentadiagonal LDLᵀ factorization (SeriesKernels.whittaker:154-208) is
@@ -2252,6 +2289,31 @@ private object Oracles {
     // pentadiagonal LDLᵀ solve itself replayed as three sweep recursions
     "ts_dtw" -> dtwLambdaSql,
     "ts_cluster" -> clusterSql,
+    "ts_cluster_freq" ->
+      (clusterCtes + majorityRoleCte +
+        """, cl AS (
+          |  SELECT a.cluster, l.label FROM assigned a JOIN lab l USING (conv_id)
+          |)
+          |SELECT coalesce(label, 'Total') AS label,
+          |       coalesce(cast(cluster AS varchar), 'Total') AS cluster,
+          |       CAST(count(*) AS bigint) AS n
+          |FROM cl GROUP BY CUBE (label, cluster)
+          |ORDER BY 1, 2""".stripMargin),
+    "ts_cluster_clean" ->
+      (clusterCtes + majorityRoleCte +
+        """, cl AS (
+          |  SELECT a.conv_id, a.cluster, l.label
+          |  FROM assigned a JOIN lab l USING (conv_id)
+          |), top AS (
+          |  SELECT cluster, label FROM (
+          |    SELECT cluster, label, count(*) AS n,
+          |           row_number() OVER (PARTITION BY cluster
+          |                              ORDER BY count(*) DESC, label) AS rn
+          |    FROM cl GROUP BY cluster, label) WHERE rn = 1
+          |)
+          |SELECT c.conv_id, c.cluster, c.label
+          |FROM cl c JOIN top t ON c.cluster = t.cluster AND c.label = t.label
+          |ORDER BY c.conv_id""".stripMargin),
     // optimal-partitioning DP replay — see segmentSql builders
     "ts_segment" -> segmentSql,
     // unrolled quantized-GD replay — see trainSql builders

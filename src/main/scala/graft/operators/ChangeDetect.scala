@@ -226,6 +226,33 @@ object ChangeDetect {
     kept.toArray
   }
 
+  /** `sits_cluster_frequency` (R/sits_cluster.R:141): label × cluster
+    * contingency WITH margin totals — R's `addmargins` expressed with
+    * Spark's native CUBE grouping sets (nulls from the margin groupings
+    * become the 'Total' row/column). The contingency is label-set-bounded,
+    * so everything after the one partial-aggregated count is metadata.
+    */
+  def clusterFrequency(clustered: DataFrame): DataFrame =
+    clustered.cube(col("label"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("label"), lit("Total")).as("label"),
+        coalesce(col("cluster").cast("string"), lit("Total")).as("cluster"),
+        col("n"))
+
+  /** `sits_cluster_clean` (R/sits_cluster.R:185): keep only each cluster's
+    * majority label (R `which.max` takes the FIRST max over the
+    * label-sorted table → tie-break is smallest label). One bounded count
+    * agg → rank 1 per cluster → equi-join back; samples never collect.
+    */
+  def clusterClean(clustered: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("n").desc, col("label"))
+    val top = clustered.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("cluster", "label")
+    clustered.join(broadcast(top), Seq("cluster", "label"))
+  }
+
   /** Day-index series of a metric (shared input shape for this module). */
   def daySeries(transcripts: DataFrame, metric: String, origin: String): DataFrame =
     Regularize.withMetrics(transcripts)

@@ -95,6 +95,18 @@ object Select {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Per-conversation majority role (deterministic mode: count desc, role
+    * asc tie-break) — the conv-level label the cluster verbs consume.
+    */
+  def majorityRole(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id")
+      .orderBy(col("n").desc, col("role"))
+    turns.groupBy("conv_id", "role").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("conv_id"), col("role").as("label"))
+  }
+
   /** Chat-format lint — structural validation of conversations before they
     * become training data (role-alternation checks are a standard
     * assistant-data curation stage; no sits analog). Per conversation:

@@ -1024,6 +1024,24 @@ class Round3Spec extends AnyFunSuite {
     assert(math.abs(out.map(_.getDouble(6)).sum - 100.0) < 1e-6)
   }
 
+  test("clusterFrequency margins and clusterClean majority filter with R tie-break") {
+    val clustered = Seq(
+      ("c1", 1, "A"), ("c2", 1, "A"), ("c3", 1, "B"),
+      ("c4", 2, "B"), ("c5", 2, "A")  // cluster 2 tie A/B → first label 'A'
+    ).toDF("conv_id", "cluster", "label")
+    val freq = ChangeDetect.clusterFrequency(clustered).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(freq(("A", "1")) == 2 && freq(("B", "1")) == 1)
+    assert(freq(("Total", "1")) == 3 && freq(("A", "Total")) == 3)
+    assert(freq(("Total", "Total")) == 5)
+    val clean = ChangeDetect.clusterClean(clustered).collect()
+      .map(_.getString(2)).sorted
+    // cluster 1 keeps its two A's; cluster 2's tie resolves to A (which.max
+    // first-max over the label-sorted table) → c5 kept, c4 dropped
+    assert(clean.toSeq == Seq("c1", "c2", "c5"),
+      s"clean kept: ${clean.toSeq}")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
