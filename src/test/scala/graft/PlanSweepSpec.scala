@@ -28,7 +28,8 @@ class PlanSweepSpec extends AnyFunSuite {
   private val boundedSinglePartition = Set(
     "ts_accuracy", "ts_accuracy_area", "ts_approx_distinct",
     "ts_label_summary", "ts_sampling_design", "ts_strat_sample",
-    "txt_bm25", "txt_dsir")
+    "txt_bm25", "txt_dsir",
+    "txt_budget") // corpus-word total over |langs|×|sources| cells
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

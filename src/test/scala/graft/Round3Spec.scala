@@ -1042,6 +1042,44 @@ class Round3Spec extends AnyFunSuite {
       s"clean kept: ${clean.toSeq}")
   }
 
+  test("CMS mergeability: sketch(A ++ B) == cellwise sum of sketch(A) and sketch(B)") {
+    import graft.operators.Summary
+    val rnd = new scala.util.Random(11)
+    def corpus(idBase: Long, n: Int) = (0 until n).map(i =>
+      (idBase + i, Seq.fill(5 + rnd.nextInt(10))(s"w${rnd.nextInt(40)}").mkString(" ")))
+    val a = corpus(0, 30); val b = corpus(1000, 20)
+    def sketch(rows: Seq[(Long, String)]) =
+      Summary.cmsCells(rows.toDF("doc_id", "text"), 4, 64)
+        .groupBy("r", "pos").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sa = sketch(a); val sb = sketch(b); val sab = sketch(a ++ b)
+    val merged = (sa.keySet ++ sb.keySet).map(k =>
+      k -> (sa.getOrElse(k, 0L) + sb.getOrElse(k, 0L))).toMap
+    assert(sab == merged, "sketch is not additive across batches")
+  }
+
+  test("DSIR antisymmetry: swapping target and raw negates every bucket log-ratio") {
+    import graft.operators.TextAnalysis
+    // lr(b) = ln(ct+1) - ln(nt+B) - ln(cr+1) + ln(nr+B): exchanging the two
+    // corpora negates it exactly; per-doc micro sums must mirror too (same
+    // grams scored in both directions when both corpora share a doc text)
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, shared, "t"), (2L, "zulu yankee xray whisky victor", "t"),
+      (3L, "alpha alpha alpha beta", "t"), // asymmetry: nonzero ratios
+      (11L, shared, "r"), (12L, "zulu yankee xray whisky victor", "r"))
+      .toDF("doc_id", "text", "lang")
+    val fwd = TextAnalysis.dsirSelect(docs, col("lang") === "t", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rev = TextAnalysis.dsirSelect(docs, col("lang") === "r", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 11 scored against target-t ≡ doc 1 scored against target-r with
+    // the ratio flipped: same grams, mirrored corpora → negated micros
+    assert(fwd(11L) != 0L, "asymmetric corpora must give nonzero importance")
+    assert(fwd(11L) == -rev(1L), s"${fwd(11L)} vs ${-rev(1L)}")
+    assert(fwd(12L) == -rev(2L))
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
