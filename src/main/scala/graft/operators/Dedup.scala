@@ -96,13 +96,21 @@ object Dedup {
   /** LSH candidate pairs: band key = concat of `rowsPerBand` consecutive
     * minhashes; docs sharing any band key become a candidate pair.
     */
-  def minhashPairs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  /** LSH band keys per doc: (doc_id, band_idx, band_key) — the shared
+    * banding of [[minhashPairs]] and the streaming near-dup screen.
+    */
+  def bandedSignatures(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
     val bands = numHashes / rowsPerBand
-    val sig = minhashSignature(docs, numHashes)
+    minhashSignature(docs, numHashes)
       .withColumn("band", explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b ->
            |  struct(b as idx, concat_ws('', slice(mh, b * $rowsPerBand + 1, $rowsPerBand)) as key))""".stripMargin)))
       .select(col("doc_id"), col("band.idx").as("band_idx"), col("band.key").as("band_key"))
+  }
+
+  def minhashPairs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = bandedSignatures(docs, numHashes, rowsPerBand)
     val a = sig.select(col("band_idx"), col("band_key"), col("doc_id").as("id1"))
     val b = sig.select(col("band_idx"), col("band_key"), col("doc_id").as("id2"))
     a.join(b, Seq("band_idx", "band_key"))

@@ -100,6 +100,34 @@ object StreamingRollup {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("cnt"))
 
+  /** Streaming near-dup SCREEN: LSH-band every incoming doc and join it
+    * against the committed corpus's banded signatures (a stream-static
+    * equi-join — the supported streaming join shape; no stream-side state
+    * beyond the micro-batch). This is the ingest-time "is this new doc a
+    * near-copy of anything we already hold?" gate, the streaming
+    * counterpart of [[graft.operators.Dedup.minhashPairs]] — identical md5
+    * banding, so a candidate fires on the stream iff it would in batch.
+    * Band-level duplicates (two bands agreeing for one pair) are collapsed
+    * downstream per micro-batch (foreachBatch distinct) — a global
+    * `dropDuplicates` would need unbounded state. A production caller
+    * persists the banded-corpus side once rather than re-deriving it per
+    * micro-batch.
+    */
+  def lshScreenStream(newDocs: DataFrame, corpus: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val hist = graft.operators.Dedup
+      .bandedSignatures(corpus, numHashes, rowsPerBand)
+      .select(org.apache.spark.sql.functions.col("band_idx"),
+        org.apache.spark.sql.functions.col("band_key"),
+        org.apache.spark.sql.functions.col("doc_id").as("hist_id"))
+    graft.operators.Dedup.bandedSignatures(newDocs, numHashes, rowsPerBand)
+      .select(org.apache.spark.sql.functions.col("band_idx"),
+        org.apache.spark.sql.functions.col("band_key"),
+        org.apache.spark.sql.functions.col("doc_id").as("new_id"))
+      .join(hist, Seq("band_idx", "band_key"))
+      .select("new_id", "hist_id")
+  }
+
   /** Streaming exact dedup on the natural key — the at-least-once-delivery
     * guard every streaming ingest needs (duplicate redelivery of the same
     * (conv_id, turn_idx) is dropped; state holds one row per key only

@@ -82,6 +82,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH screen fires exactly the batch band-join candidates against the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mkText = (salt: String) =>
+      s"the quick brown fox jumps over the lazy dog again and again $salt"
+    val corpus = Seq(
+      (1L, mkText("")), (2L, "completely different content about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingRollup.lshScreenStream(
+        mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("lsh").outputMode("append").start()
+    try {
+      val newDocs = Seq(
+        (100L, mkText("")),          // exact copy of corpus doc 1 → must fire
+        (101L, "novel text that shares no shingles with anything at all"))
+      mem.addData(newDocs: _*); q.processAllAvailable()
+      val streamed = spark.sql("SELECT DISTINCT new_id, hist_id FROM lsh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.bandedSignatures(newDocs.toDF("doc_id", "text"))
+        .select(col("band_idx"), col("band_key"), col("doc_id").as("new_id"))
+        .join(graft.operators.Dedup.bandedSignatures(corpus)
+          .select(col("band_idx"), col("band_key"), col("doc_id").as("hist_id")),
+          Seq("band_idx", "band_key"))
+        .select("new_id", "hist_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.contains((100L, 1L)), "exact copy must fire the screen")
+      assert(!streamed.exists(_._1 == 101L), "novel doc must not fire")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops redelivered turns within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
