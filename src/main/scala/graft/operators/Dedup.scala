@@ -525,15 +525,19 @@ object Dedup {
   def curateConversations(turns: DataFrame, minTurns: Int = 4): DataFrame = {
     val fps = turnFps(turns)
     val totalConvs = turns.select(countDistinct(col("conv_id"))).first().getLong(0)
-    val kept = fps.join(boilerFps(fps, totalConvs), Seq("fp"), "left")
-      .filter(col("is_boiler").isNull)
-    val conv = kept.groupBy("conv_id").agg(
-      count(lit(1)).as("n_kept"),
-      md5(concat_ws("|", expr(
-        "transform(sort_array(collect_list(struct(turn_idx, fp))), p -> p.fp)")))
-        .as("conv_fp"))
-    val totals = turns.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
-    val qual = conv.join(totals, "conv_id").filter(col("n_kept") >= minTurns)
+    // ONE boiler-join pass feeds total count, kept count, and the kept-only
+    // content fingerprint (collect_list skips the CASE's nulls, so boiler
+    // turns drop out of the fingerprint without a second scan/shuffle)
+    val conv = fps.join(boilerFps(fps, totalConvs), Seq("fp"), "left")
+      .groupBy("conv_id").agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("|", expr(
+          """transform(sort_array(collect_list(
+            |  CASE WHEN is_boiler IS NULL THEN struct(turn_idx, fp) END)),
+            |  p -> p.fp)""".stripMargin)))
+          .as("conv_fp"))
+    val qual = conv.filter(col("n_kept") >= minTurns)
     val canon = qual.groupBy("conv_fp").agg(min("conv_id").as("conv_id"))
     qual.join(canon, Seq("conv_fp", "conv_id"))
       .select(col("conv_id"), col("n_turns"), col("n_kept"), col("conv_fp"))
