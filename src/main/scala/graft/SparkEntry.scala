@@ -796,6 +796,12 @@ object SparkEntry {
     "dd_simhash_h3" -> ((s, dir) =>
       Dedup.simhashBandPairs(docsPlanted(s, dir), maxHamming = 3)
         .orderBy("id1", "id2")),
+    // 64-bit SimHash (two md5 lanes) banded to Hamming ≤ 3 — the
+    // production-width variant; the doubled hash width separates random
+    // collisions from the planted near-dups far harder than 32 bits
+    "dd_simhash64" -> ((s, dir) =>
+      Dedup.simhash64BandPairs(docsPlanted(s, dir), maxHamming = 3)
+        .orderBy("id1", "id2")),
     // brute-force cosine top-5 per query vector (deterministic ranking)
     "ann_topk" -> ((s, dir) =>
       Similarity.bruteTopK(embeddings(s, dir), col("vec_id") % 50 === 0, k = 5)
@@ -2950,6 +2956,41 @@ private object Oracles {
         """
           |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(a.sig AS BIGINT) AS sig
           |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+          |ORDER BY 1, 2""".stripMargin),
+    "dd_simhash64" ->
+      (plantedCte +
+        """, tk AS (
+          |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM docs
+          |), sg AS (
+          |  SELECT doc_id,
+          |    list_sum(list_transform(generate_series(0, 31), j ->
+          |      cast(pow(2, j) AS bigint) * CASE WHEN
+          |        list_sum(list_transform(ts, t ->
+          |          ((strpos('0123456789abcdef', substr(md5('1:' || t), cast(j AS int) + 1, 1)) - 1) % 2) * 2 - 1)) > 0
+          |      THEN 1 ELSE 0 END)) AS sig_hi,
+          |    list_sum(list_transform(generate_series(0, 31), j ->
+          |      cast(pow(2, j) AS bigint) * CASE WHEN
+          |        list_sum(list_transform(ts, t ->
+          |          ((strpos('0123456789abcdef', substr(md5('0:' || t), cast(j AS int) + 1, 1)) - 1) % 2) * 2 - 1)) > 0
+          |      THEN 1 ELSE 0 END)) AS sig_lo
+          |  FROM tk
+          |), bb AS (
+          |  SELECT doc_id, sig_hi, sig_lo, unnest(generate_series(0, 3)) AS bidx FROM sg
+          |), bk AS (
+          |  SELECT doc_id, sig_hi, sig_lo, bidx,
+          |    CASE WHEN bidx * 16 < 32 THEN (sig_lo >> cast(bidx * 16 AS int)) & 65535
+          |         ELSE (sig_hi >> cast(bidx * 16 - 32 AS int)) & 65535 END AS bval
+          |  FROM bb
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          |    a.sig_hi AS h1, a.sig_lo AS l1, b.sig_hi AS h2, b.sig_lo AS l2
+          |  FROM bk a JOIN bk b
+          |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+          |)
+          |SELECT id1, id2,
+          |  CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS int) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3
           |ORDER BY 1, 2""".stripMargin),
     "dd_simhash_h3" ->
       (plantedCte + simhashCtes +

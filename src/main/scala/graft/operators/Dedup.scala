@@ -307,6 +307,77 @@ object Dedup {
       }.toDF("doc_id", "sig")
   }
 
+  /** 64-bit SimHash — the production-width variant the 32-bit kernel's
+    * Scaladoc defers to: two md5 passes per distinct token ("0:"+t votes
+    * bits 0–31, "1:"+t votes bits 32–63), emitted as two unsigned-32-bit
+    * halves (sig_hi, sig_lo) so neither engine touches the BIGINT sign bit.
+    * Same typed-kernel shape (embarrassingly parallel, bit-identical to the
+    * oracle's hex-parity replay).
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def votes(toks: Array[String], lane: String): Array[Int] = {
+          val v = new Array[Int](32)
+          toks.foreach { t =>
+            val d = md.digest((lane + t).getBytes("UTF-8"))
+            var j = 0
+            while (j < 16) {
+              v(2 * j) += ((d(j) >> 4) & 1) * 2 - 1
+              v(2 * j + 1) += (d(j) & 1) * 2 - 1
+              j += 1
+            }
+          }
+          v
+        }
+        def pack(v: Array[Int]): Long = {
+          var s = 0L; var j = 0
+          while (j < 32) { if (v(j) > 0) s += 1L << j; j += 1 }
+          s
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1).distinct
+          (id, pack(votes(toks, "1:")), pack(votes(toks, "0:")))
+        }
+      }.toDF("doc_id", "sig_hi", "sig_lo")
+  }
+
+  /** 64-bit SimHash near-dup pairs at Hamming ≤ maxHamming via the same
+    * pigeonhole banding as [[simhashBandPairs]]: maxHamming+1 segments of
+    * 64/(maxHamming+1) bits (segments 0–1 from sig_lo, 2–3 from sig_hi at
+    * the default k=3); candidates from the segment equi-join, true distance
+    * = bit_count(hi⊕hi) + bit_count(lo⊕lo).
+    */
+  def simhash64BandPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"segment width 64/$bands must pack whole halves")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val s = simhash64(docs)
+    val keyed = s.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> struct(b AS idx,
+           |  CASE WHEN b * $width < 32 THEN shiftright(sig_lo, b * $width) & $mask
+           |       ELSE shiftright(sig_hi, b * $width - 32) & $mask END AS bval))""".stripMargin))
+        .as("band"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        col("band.idx").as("bidx"), col("band.bval").as("bval"))
+    val a = keyed.select(col("bidx"), col("bval"), col("doc_id").as("id1"),
+      col("sig_hi").as("h1"), col("sig_lo").as("l1"))
+    val b = keyed.select(col("bidx"), col("bval"), col("doc_id").as("id2"),
+      col("sig_hi").as("h2"), col("sig_lo").as("l2"))
+    a.join(b, Seq("bidx", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs: identical signatures (Hamming distance 0; see
     * [[simhashBandPairs]] for the Hamming ≤ k generalization).
     */

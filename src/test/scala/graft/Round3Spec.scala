@@ -1080,6 +1080,27 @@ class Round3Spec extends AnyFunSuite {
     assert(fwd(12L) == -rev(2L))
   }
 
+  test("simhash64: identical docs at Hamming 0, near edit within band reach, halves unsigned") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "tok40x") // one-token edit
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // halves stay within unsigned 32-bit range (no BIGINT sign-bit games)
+    sigs.values.foreach { case (h, l) =>
+      assert(h >= 0 && h < (1L << 32) && l >= 0 && l < (1L << 32)) }
+    assert(sigs(1L) == sigs(2L), "identical docs must share the signature")
+    val pairs = Dedup.simhash64BandPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs(( 1L, 2L)) == 0, "exact pair at Hamming 0")
+    // a one-token edit flips few vote balances over 40 tokens; if within 3
+    // it must be found via banding; the alien doc must never pair
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"alien doc paired: ${pairs.keySet}")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
