@@ -431,6 +431,15 @@ object SparkEntry {
         (col("label") === 1 && col("p1") >= 0.6, 4)))
       Accuracy.confusion(labeled, "label", "label_new").orderBy("actual", "pred")
     }),
+    // §2.9 per-class accuracy + kappa (caret confusionMatrix statistics):
+    // same reclassified labels as ts_accuracy, per-class UA/PA, integer-pe
+    // kappa
+    "ts_accuracy_class" -> ((s, dir) => {
+      val labeled = Probs.reclassify(Probs.label(Probs.roleMix(transcripts(s, dir))), Seq(
+        (col("label") === 3 && col("p3") < 0.5, 2),
+        (col("label") === 1 && col("p1") >= 0.6, 4)))
+      Accuracy.classAccuracy(labeled, "label", "label_new").orderBy("class")
+    }),
     // §2.9 sampling design: proportional + Neyman allocation over roles
     "ts_sampling_design" -> ((s, dir) =>
       Accuracy.samplingDesign(
@@ -2023,6 +2032,45 @@ private object Oracles {
           |  round(n / sum(n) OVER () + 1e-9, 4) AS frac,
           |  round(sum(CASE WHEN actual = pred THEN n ELSE 0 END) OVER () / sum(n) OVER () + 1e-9, 4) AS overall_acc
           |FROM cm ORDER BY actual, pred""".stripMargin),
+    "ts_accuracy_class" ->
+      (cte + probsCte +
+        """, labeled AS (
+          |  SELECT conv_id, bucket_ts, p1, p2, p3,
+          |    CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1 WHEN p2 >= p3 THEN 2 ELSE 3 END AS label
+          |  FROM probs
+          |), rl AS (
+          |  SELECT label,
+          |    CASE WHEN label = 3 AND p3 < 0.5 THEN 2
+          |         WHEN label = 1 AND p1 >= 0.6 THEN 4
+          |         ELSE label END AS label_new
+          |  FROM labeled
+          |), cm AS (
+          |  SELECT label_new AS p, label AS a, CAST(count(*) AS bigint) AS n
+          |  FROM rl GROUP BY 1, 2
+          |), byp AS (
+          |  SELECT p AS class, CAST(sum(n) AS bigint) AS n_pred,
+          |         CAST(sum(CASE WHEN p = a THEN n ELSE 0 END) AS bigint) AS n_correct
+          |  FROM cm GROUP BY 1
+          |), byr AS (
+          |  SELECT a AS class, CAST(sum(n) AS bigint) AS n_ref FROM cm GROUP BY 1
+          |), cls AS (
+          |  SELECT coalesce(byr.class, byp.class) AS class,
+          |         coalesce(n_pred, 0) AS n_pred, coalesce(n_ref, 0) AS n_ref,
+          |         coalesce(n_correct, 0) AS n_correct
+          |  FROM byr FULL JOIN byp ON byr.class = byp.class
+          |), tot AS (
+          |  SELECT CAST(sum(n_ref) AS bigint) AS nn,
+          |         CAST(sum(n_correct) AS bigint) AS diag,
+          |         CAST(sum(n_pred * n_ref) AS bigint) AS pe_num
+          |  FROM cls
+          |)
+          |SELECT class, n_pred, n_ref, n_correct,
+          |  round(n_correct / nullif(n_pred, 0) + 1e-9, 4) AS user_acc,
+          |  round(n_correct / nullif(n_ref, 0) + 1e-9, 4) AS prod_acc,
+          |  round(cast(diag AS double) / nn + 1e-9, 4) AS overall_acc,
+          |  round((cast(diag AS double) / nn - cast(pe_num AS double) / (nn * nn))
+          |        / (1.0 - cast(pe_num AS double) / (nn * nn)) + 1e-9, 4) AS kappa
+          |FROM cls CROSS JOIN tot ORDER BY class""".stripMargin),
     "ts_sampling_design" ->
       (cte + metricsCte +
         """, sd AS (

@@ -89,6 +89,37 @@ object Accuracy {
       .withColumn("acc", r4(col("n_correct").cast("double") / col("n")))
   }
 
+  /** Per-class accuracy summary + Cohen's kappa — the caret
+    * `confusionMatrix` statistics half of `sits_accuracy`
+    * (R/api_accuracy.R:109-127: user = diag/rowSums, producer =
+    * diag/colSums; caret adds overall + kappa). kappa = (po − pe)/(1 − pe)
+    * with pe accumulated as an EXACT integer (Σ rowTot·colTot as bigint,
+    * one double division at the end) so the float path is deterministic.
+    * Everything after the confusion groupBy runs on label-bounded cells.
+    */
+  def classAccuracy(df: DataFrame, actual: String, pred: String): DataFrame = {
+    val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    val cm = df.groupBy(col(pred).as("p"), col(actual).as("a"))
+      .agg(count(lit(1)).as("n"))
+    val byPred = cm.groupBy(col("p").as("class")).agg(
+      sum("n").as("n_pred"),
+      sum(when(col("p") === col("a"), col("n")).otherwise(0L)).as("n_correct"))
+    val byRef = cm.groupBy(col("a").as("class")).agg(sum("n").as("n_ref"))
+    val classes = byRef.join(byPred, Seq("class"), "full")
+      .na.fill(0L, Seq("n_pred", "n_ref", "n_correct"))
+    val tot = classes.agg(sum("n_ref").as("__n"),
+      sum("n_correct").as("__diag"),
+      sum(col("n_pred") * col("n_ref")).as("__pe_num"))
+    val po = col("__diag").cast("double") / col("__n")
+    val pe = col("__pe_num").cast("double") / (col("__n") * col("__n"))
+    classes.crossJoin(broadcast(tot))
+      .select(col("class"), col("n_pred"), col("n_ref"), col("n_correct"),
+        r4(col("n_correct") / expr("nullif(n_pred, 0)")).as("user_acc"),
+        r4(col("n_correct") / expr("nullif(n_ref, 0)")).as("prod_acc"),
+        r4(po).as("overall_acc"),
+        r4((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** `sits_stratified_sampling` (R/sits_sample_functions.R:450; strata
     * allocation in R/api_samples.R:327): select ceil(alloc × overhead)
     * samples per stratum from the class relation — the verb that turns a

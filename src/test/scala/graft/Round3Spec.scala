@@ -1101,6 +1101,28 @@ class Round3Spec extends AnyFunSuite {
       s"alien doc paired: ${pairs.keySet}")
   }
 
+  test("classAccuracy: hand-worked UA/PA and kappa; prediction-only class handled") {
+    import graft.operators.Accuracy
+    // actual:    a a a b b c
+    // predicted: a a b b b d   (d never occurs in actual)
+    val df = Seq(("a","a"),("a","a"),("a","b"),("b","b"),("b","b"),("c","d"))
+      .toDF("y", "yhat")
+    val out = Accuracy.classAccuracy(df, "y", "yhat").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // po = 4/6; pe = (2*3 + 3*2 + 0*1 + 1*0)/36 = 12/36
+    // kappa = (2/3 - 1/3) / (1 - 1/3) = 0.5
+    assert(out("a").getDouble(7) == 0.5, s"kappa: ${out("a").getDouble(7)}")
+    assert(out("a").getDouble(6) == 0.6667)
+    assert(out("a").getDouble(4) == 1.0)     // UA(a) = 2/2
+    assert(out("a").getDouble(5) == 0.6667)  // PA(a) = 2/3
+    assert(out("b").getDouble(4) == 0.6667)  // UA(b) = 2/3
+    // 'd' was never an actual class: PA undefined (null), UA = 0
+    assert(out("d").isNullAt(5), "PA of prediction-only class must be null")
+    assert(out("d").getDouble(4) == 0.0)
+    // 'c' was never predicted: UA null
+    assert(out("c").isNullAt(4))
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
