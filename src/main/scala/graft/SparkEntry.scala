@@ -824,6 +824,11 @@ object SparkEntry {
     "ann_ivf2" -> ((s, dir) =>
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") % 50 === 0,
         col("vec_id") % 97 === 0, k = 3, nprobe = 2).orderBy("qid", "rn")),
+    // JL-projected (64→16, ±1 signs, all-integer) brute top-3 — the
+    // dimensionality-reduction search path; magnitudes preserved unlike SRP
+    "ann_jl" -> ((s, dir) =>
+      Similarity.jlTopK(embeddings(s, dir), col("vec_id") % 50 === 0, k = 3)
+        .orderBy("qid", "rn")),
     // recall@3 of single-probe IVF against the brute-force ground truth —
     // the eval loop every ANN index ships with; per-query bounded join
     "ann_recall" -> ((s, dir) => {
@@ -3068,6 +3073,48 @@ private object Oracles {
           |SELECT qid, eid, cos, rn FROM (
           |  SELECT qid, eid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rn
           |  FROM sc) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "ann_jl" ->
+      ("""WITH e AS (
+          |  SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+          |), sc AS (
+          |  SELECT vec_id, v,
+          |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) / 127.0 AS scale
+          |  FROM e
+          |), q8 AS (
+          |  SELECT vec_id, list_transform(v, x -> cast(round(x / scale) AS int)) AS qvec
+          |  FROM sc
+          |), wm AS (
+          |  SELECT d, j,
+          |    ((strpos('0123456789abcdef',
+          |        substr(md5(cast(d AS varchar)), cast(j + 1 AS int), 1)) - 1) % 2) * 2 - 1 AS w
+          |  FROM (SELECT unnest(generate_series(0, 63)) AS d),
+          |       (SELECT unnest(generate_series(0, 15)) AS j)
+          |), qd AS (
+          |  SELECT vec_id, CAST(i - 1 AS int) AS d, qvec[i] AS qv
+          |  FROM q8, unnest(generate_series(1, len(qvec))) AS t(i)
+          |), acc AS (
+          |  SELECT qd.vec_id, wm.j, CAST(sum(CAST(wm.w AS bigint) * qd.qv) AS bigint) AS p
+          |  FROM qd JOIN wm ON wm.d = qd.d
+          |  GROUP BY qd.vec_id, wm.j
+          |), pv AS (
+          |  SELECT vec_id, list(p ORDER BY j) AS proj FROM acc GROUP BY vec_id
+          |), n AS (
+          |  SELECT vec_id, proj,
+          |    sqrt(cast(CAST(list_sum(list_transform(proj, x -> x * x)) AS bigint) AS double)) AS pn
+          |  FROM pv
+          |), qs AS (
+          |  SELECT vec_id AS qid, proj AS qv, pn AS qa FROM n WHERE vec_id % 50 = 0
+          |), sc2 AS (
+          |  SELECT qs.qid, n.vec_id AS eid,
+          |    round(cast(CAST(list_sum(list_transform(generate_series(1, 16), i ->
+          |        qs.qv[i] * n.proj[i])) AS bigint) AS double)
+          |      / (qs.qa * n.pn) + 1e-9, 6) AS jcos
+          |  FROM qs JOIN n ON qs.qid != n.vec_id
+          |)
+          |SELECT qid, eid, jcos, rn FROM (
+          |  SELECT qid, eid, jcos,
+          |    row_number() OVER (PARTITION BY qid ORDER BY jcos DESC, eid) AS rn
+          |  FROM sc2) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin),
     "ann_recall" ->
       (embCtes("embeddings") + ivfCtes +
         """, bq AS (

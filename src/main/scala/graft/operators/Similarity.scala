@@ -424,6 +424,71 @@ object Similarity {
       .select("id1", "id2", "cos")
   }
 
+  /** Johnson-Lindenstrauss ±1 random projection of the int8-quantized
+    * vectors (Achlioptas JCSS'03: ±1 entries satisfy the JL lemma) —
+    * 64 → `outDims` dims with LONG integer accumulation, zero float
+    * anywhere in the projection. The sign matrix reuses [[srpPairs]]'s
+    * md5-nibble material (hex-digit parity of the dimension index), so both
+    * engines recompute the identical constant. Unlike SRP (signs only,
+    * angle-calibrated collisions), JL keeps MAGNITUDES — distances survive
+    * within (1±ε), which is what a brute/IVF search over the reduced
+    * vectors needs. |proj_j| ≤ 64·127 → a 16-dim dot ≤ 2^31, far from LONG
+    * overflow. Map-only, embarrassingly parallel.
+    */
+  def jlProject(emb: DataFrame, outDims: Int = 16): DataFrame = {
+    require(outDims <= 32, "weight material provides 32 signs per dimension")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    quantizeInt8(emb).select(col("vec_id").cast("long"), col("qvec"))
+      .as[(Long, Seq[Int])].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var w: Array[Array[Int]] = null
+        it.map { case (id, qv) =>
+          if (w == null || w.length < qv.length) {
+            w = Array.tabulate(qv.length) { d =>
+              val dg = md.digest(String.valueOf(d)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              Array.tabulate(32) { b =>
+                val nib = if (b % 2 == 0) (dg(b / 2) >> 4) & 1 else dg(b / 2) & 1
+                nib * 2 - 1
+              }
+            }
+          }
+          val acc = new Array[Long](outDims)
+          var d = 0
+          while (d < qv.length) {
+            val q = qv(d).toLong
+            val wd = w(d)
+            var j = 0
+            while (j < outDims) { acc(j) += wd(j) * q; j += 1 }
+            d += 1
+          }
+          (id, acc.toSeq)
+        }
+      }.toDF("vec_id", "proj")
+  }
+
+  /** Brute-force cosine top-k in the JL-REDUCED space — the 4×-smaller
+    * (16- vs 64-dim) search path; integer dots on the projected vectors,
+    * cosine derived from exact LONGs at the end (same determinism contract
+    * as [[quantTopK]]).
+    */
+  def jlTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, outDims: Int = 16): DataFrame = {
+    val p = jlProject(emb, outDims).withColumn("pn",
+      sqrt(expr("aggregate(proj, 0L, (s, x) -> s + x * x)").cast("double")))
+    val q = p.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("proj").as("qv"), col("pn").as("qa"))
+    val c = p.select(col("vec_id").as("eid"), col("proj").as("ev"), col("pn").as("qb"))
+    val idot = "aggregate(zip_with(qv, ev, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    val scored = broadcast(q).join(c, col("qid") =!= col("eid"))
+      .withColumn("jcos",
+        round(expr(idot).cast("double") / (col("qa") * col("qb")) + lit(1e-9), 6))
+    val w = Window.partitionBy("qid").orderBy(col("jcos").desc, col("eid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("eid"), col("jcos"), col("rn"))
+  }
+
   /** Recall@k evaluation — the quality loop every approximate index needs:
     * per query, the fraction of the EXACT top-k (truth) that the
     * approximate result retrieved. Both inputs carry (qid, eid); the join

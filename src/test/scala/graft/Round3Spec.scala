@@ -1123,6 +1123,29 @@ class Round3Spec extends AnyFunSuite {
     assert(out("c").isNullAt(4))
   }
 
+  test("jlProject: integer projections bounded, copies collide, top-k respects cluster structure") {
+    val rnd = new scala.util.Random(5)
+    // two well-separated direction families in 64-d
+    def vec(family: Int) = Array.tabulate(64)(d =>
+      (if ((d % 2 == family % 2)) 1.0 else 0.05) * (0.8 + 0.4 * rnd.nextDouble()))
+    val rows = (0 until 20).map(i => (i.toLong, vec(i % 2).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(proj.values.forall(p => p.length == 16 &&
+      p.forall(x => math.abs(x) <= 64L * 127)), "projection out of bounds")
+    // identical input vectors project identically
+    val twin = Seq((100L, rows.head._2), (101L, rows.head._2))
+      .toDF("vec_id", "embedding")
+    val tp = Similarity.jlProject(twin).collect().map(_.getSeq[Long](1))
+    assert(tp(0) == tp(1))
+    // top-3 of an even-family query lands in the even family (JL preserves
+    // the families' separation)
+    val top = Similarity.jlTopK(emb, col("vec_id") === 0, k = 3).collect()
+    assert(top.forall(_.getLong(1) % 2 == 0),
+      s"JL top-k crossed families: ${top.map(_.getLong(1)).toSeq}")
+  }
+
   test("substringDups: planted shared span found, interval union exact, short dups missed by design") {
     // k=20, stride=8. Unique filler built from doc-specific characters so
     // no accidental cross-doc grams; SHARED is a 40-char span planted in
