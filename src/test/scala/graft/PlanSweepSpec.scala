@@ -21,12 +21,14 @@ class PlanSweepSpec extends AnyFunSuite {
 
   /** Queries whose plans contain a single-partition exchange over a
     * BOUNDED relation (scalar totals over label-/bucket-bounded inputs):
-    * confusion totals, Olofsson area totals, the m-bounded occupied-bucket
+    * confusion totals (overall + per-class kappa), Olofsson area totals,
+    * the m-bounded occupied-bucket
     * count, label summaries, sampling-design totals, stratified-sampling
     * allocation totals, BM25 corpus stats, DSIR bucket-model totals.
     */
   private val boundedSinglePartition = Set(
-    "ts_accuracy", "ts_accuracy_area", "ts_approx_distinct",
+    "ts_accuracy", "ts_accuracy_area", "ts_accuracy_class",
+    "ts_approx_distinct",
     "ts_label_summary", "ts_sampling_design", "ts_strat_sample",
     "txt_bm25", "txt_dsir",
     "txt_budget") // corpus-word total over |langs|×|sources| cells
