@@ -903,17 +903,13 @@ object SparkEntry {
     // PII triage counts over a deterministically PII-planted corpus (the
     // raw corpus contains none — planting keeps the query non-vacuous; the
     // oracle mirrors the planting)
-    "txt_pii" -> ((s, dir) => {
-      val d = documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.select(col("doc_id"), concat(col("text"),
-        when(col("doc_id") % 13 === 0,
-          lit(" contact bob@example.com now")).otherwise(lit("")),
-        when(col("doc_id") % 17 === 0,
-          lit(" see https://example.org/p/1 and http://ex.net/q")).otherwise(lit("")),
-        when(col("doc_id") % 19 === 0,
-          lit(" call +14155551234")).otherwise(lit(""))).as("text"))
-      TextAnalysis.piiCounts(planted).orderBy("doc_id")
-    }),
+    "txt_pii" -> ((s, dir) =>
+      TextAnalysis.piiCounts(piiPlanted(s, dir)).orderBy("doc_id")),
+    // PII redaction (the scrub txt_pii triages for) over the same planted
+    // corpus: typed placeholders + per-doc redaction totals, text equality
+    // checked against the oracle's mirrored 3-stage regexp_replace
+    "txt_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(piiPlanted(s, dir)).orderBy("doc_id")),
     // char-trigram LM quality score, self-scored against the corpus
     "txt_lm" -> ((s, dir) =>
       TextAnalysis.lmScore(documents(s, dir).select("doc_id", "text"))
@@ -1191,6 +1187,19 @@ object SparkEntry {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Documents with deterministically planted PII (the raw corpus contains
+    * none — planting keeps txt_pii / txt_redact non-vacuous); the oracle
+    * mirrors the planting expression exactly.
+    */
+  private def piiPlanted(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        lit(" contact bob@example.com now")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit(" see https://example.org/p/1 and http://ex.net/q")).otherwise(lit("")),
+      when(col("doc_id") % 19 === 0,
+        lit(" call +14155551234")).otherwise(lit(""))).as("text"))
 
   /** Documents with deterministically planted exact (+100000, same text) and
     * near (+200000, text + tail) duplicates — the corpus has none naturally,
@@ -3572,6 +3581,31 @@ private object Oracles {
           |SELECT doc_id, n_email, n_url, n_phone,
           |       n_email + n_url + n_phone > 0 AS has_pii
           |FROM cnts ORDER BY doc_id""".stripMargin),
+    // mirrored staged replace, same fixed email -> URL -> phone order;
+    // each pattern counted on the text ENTERING its stage (replacements
+    // actually made — an email-internal "+digits" is never phone-counted)
+    "txt_redact" ->
+      ("""WITH pii AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 13 = 0 THEN ' contact bob@example.com now' ELSE '' END ||
+          |    CASE WHEN doc_id % 17 = 0 THEN ' see https://example.org/p/1 and http://ex.net/q' ELSE '' END ||
+          |    CASE WHEN doc_id % 19 = 0 THEN ' call +14155551234' ELSE '' END AS text
+          |  FROM documents
+          |), s1 AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          |  FROM pii
+          |), s2 AS (
+          |  SELECT doc_id, n_email,
+          |    len(regexp_extract_all(t1, 'https?://[A-Za-z0-9./_-]+')) AS n_url,
+          |    regexp_replace(t1, 'https?://[A-Za-z0-9./_-]+', '<URL>', 'g') AS t2
+          |  FROM s1
+          |)
+          |SELECT doc_id,
+          |  regexp_replace(t2, '\+[0-9]{7,15}', '<PHONE>', 'g') AS text,
+          |  n_email + n_url + len(regexp_extract_all(t2, '\+[0-9]{7,15}')) AS n_redacted
+          |FROM s2 ORDER BY doc_id""".stripMargin),
     // self-scored trigram LM: every doc trigram is in the corpus vocabulary
     // by construction, so the join is total; quantized logprobs make the
     // mean order-invariant

@@ -103,6 +103,33 @@ object TextAnalysis {
         col("n_email") + col("n_url") + col("n_phone") > 0)
   }
 
+  /** PII redaction — the scrub half of [[piiCounts]] (the verb a pipeline
+    * actually ships after triage): every email / URL / phone match is
+    * replaced by a typed placeholder, and the per-doc redaction total is
+    * reported. `n_redacted` counts replacements ACTUALLY MADE: each pattern
+    * is counted on the text as it enters that stage, in a fixed
+    * email → URL → phone order, so a digit-bearing email local part (e.g.
+    * `a+1234567@x.com`) is consumed whole by the email stage and never
+    * double-counted as a phone — the staging order is part of the
+    * cross-engine contract with the oracle. Same RE2/Java-compatible
+    * patterns as [[piiCounts]]; shuffle-free.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[A-Za-z0-9./_-]+"
+    val phone = "\\+[0-9]{7,15}"
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+        regexp_replace(col("text"), email, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("n_email"),
+        regexp_count(col("t1"), lit(url)).cast("long").as("n_url"),
+        regexp_replace(col("t1"), url, "<URL>").as("t2"))
+      .select(col("doc_id"),
+        regexp_replace(col("t2"), phone, "<PHONE>").as("text"),
+        (col("n_email") + col("n_url") +
+          regexp_count(col("t2"), lit(phone)).cast("long")).as("n_redacted"))
+  }
+
   /** Corpus-composition report (the Chinchilla-budget accounting verb every
     * data-mixing decision reads): per (lang, source) cell — docs, words,
     * subword-token estimate, chars, and each cell's share of corpus words.

@@ -1193,4 +1193,21 @@ class Round3Spec extends AnyFunSuite {
       .agg(sum("n_dup")).collect()(0).getLong(0)
     assert(miss == 0L, "sub-threshold span should not produce dup grams")
   }
+
+  test("piiRedact: typed placeholders, counts from pre-redaction text, email consumed before phone") {
+    val docs = Seq(
+      (1L, "write to a+1234567@x.com or call +447911123456"),
+      (2L, "see https://ex.org/a_b and mail bob@ex.net today"),
+      (3L, "clean text, nothing to scrub")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.piiRedact(docs)
+      .orderBy("doc_id").collect()
+    // doc 1: the digit-bearing email local part must be consumed by the
+    // email stage — a phone-first order would leave "a<PHONE>@x.com"
+    assert(out(0).getString(1) == "write to <EMAIL> or call <PHONE>")
+    assert(out(0).getLong(2) == 2L)
+    assert(out(1).getString(1) == "see <URL> and mail <EMAIL> today")
+    assert(out(1).getLong(2) == 2L)
+    assert(out(2).getString(1) == "clean text, nothing to scrub")
+    assert(out(2).getLong(2) == 0L)
+  }
 }
