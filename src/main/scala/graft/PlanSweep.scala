@@ -14,11 +14,9 @@ object PlanSweep {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
         val cart = p.contains("CartesianProduct")
         val bnlj = p.contains("BroadcastNestedLoopJoin")
-        // partitionless running window: "Window [" with empty partition spec
-        val pw = p.linesIterator.exists(l =>
-          l.trim.startsWith("Window ") && !l.contains("windowspecdefinition(") ||
-          (l.contains("windowspecdefinition(") && l.contains("Window") &&
-            !l.matches(".*windowspecdefinition\\([^,]+,.*")))
+        // NOTE: no separate partitionless-window detector — a Window with an
+        // empty partition spec always plans an Exchange SinglePartition
+        // beneath it, so the sp check below subsumes that scale-killer.
         val sp = p.contains("Exchange SinglePartition")
         if (cart || bnlj || sp) println(s"$name cart=$cart bnlj=$bnlj singlePart=$sp")
       } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }

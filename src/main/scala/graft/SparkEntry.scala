@@ -3546,9 +3546,9 @@ private object Oracles {
           |), hh AS (
           |  SELECT doc_id,
           |    list_transform(hx, x ->
-          |      list_sum(list_transform(generate_series(1, 8), d ->
+          |      CAST(list_sum(list_transform(generate_series(1, 8), d ->
           |        cast(strpos('0123456789abcdef', substr(x, cast(d AS int), 1)) - 1 AS bigint)
-          |          * cast(pow(16, 8 - d) AS bigint)))) AS h
+          |          * cast(pow(16, 8 - d) AS bigint))) AS BIGINT)) AS h
           |  FROM g
           |), win AS (
           |  SELECT doc_id,
@@ -3557,7 +3557,8 @@ private object Oracles {
           |  FROM hh
           |)
           |SELECT doc_id, len(fp) AS n_fp, CAST(list_sum(fp) AS BIGINT) AS fp_sum,
-          |       list_min(fp) AS fp_min, list_max(fp) AS fp_max
+          |       CAST(list_min(fp) AS BIGINT) AS fp_min,
+          |       CAST(list_max(fp) AS BIGINT) AS fp_max
           |FROM win ORDER BY doc_id""".stripMargin),
     "txt_tokens" ->
       ("""SELECT doc_id,

@@ -142,7 +142,12 @@ object Accuracy {
       labelCol: String, keyCol: String, overhead: Double = 1.2): DataFrame = {
     val want = alloc.select(col("label"),
       ceil(col("alloc") * lit(overhead)).cast("long").as("n_want"))
-    val maxWant = want.agg(max("n_want")).first().getLong(0)
+    val maxRow = want.agg(max("n_want")).first()
+    if (maxRow.isNullAt(0)) // empty allocation → empty draw, not an NPE
+      return classes.limit(0)
+        .select(col(keyCol).as("key"), col(labelCol).as("label"),
+          lit(0L).as("rn"))
+    val maxWant = maxRow.getLong(0)
     val w = Window.partitionBy(col(labelCol))
       .orderBy(u32Md5(col(keyCol)), col(keyCol))
     classes.join(broadcast(want), classes(labelCol) === want("label"))

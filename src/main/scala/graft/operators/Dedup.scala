@@ -421,10 +421,15 @@ object Dedup {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hexc = "0123456789abcdef".toCharArray
       it.flatMap { case (id, s) =>
-        val n = (s.length - k) / stride + 1
+        // Code-point gram indexing: the relational n_grams column below and
+        // the DuckDB oracle both count code points (Spark length(), DuckDB
+        // substr/length), so the kernel must too or non-BMP text (emoji,
+        // astral chars) shifts every gram boundary.
+        val cps = s.codePoints().toArray
+        val n = (cps.length - k) / stride + 1
         (0 until n).iterator.map { j =>
           val i = j * stride
-          val d = md.digest(s.substring(i, i + k)
+          val d = md.digest(new String(cps, i, k)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           val out = new Array[Char](32)
           var b = 0

@@ -122,7 +122,8 @@ object Select {
       .withColumn("prev_role", lag("role", 1).over(w))
       .groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"),
-        max(when(col("turn_idx") === 0, col("role") === "user")).as("starts_user"),
+        coalesce(max(when(col("turn_idx") === 0, col("role") === "user")),
+          lit(false)).as("starts_user"),
         sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
           .as("n_same_adjacent"),
         sum(when(col("role") === "tool" && col("prev_role") === "user", 1L)

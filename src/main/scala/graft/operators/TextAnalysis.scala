@@ -811,27 +811,34 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, s) =>
-          val n = s.length - k + 1
-          val h = new Array[Long](n)
-          var i = 0
-          while (i < n) {
-            val d = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
-            h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-            i += 1
+        it.flatMap { case (id, s) =>
+          // Grams are indexed by CODE POINT, not UTF-16 unit, so non-BMP
+          // text (emoji, astral chars) shingles identically to DuckDB
+          // substr()/length() and Spark's own length() filter above.
+          val cps = s.codePoints().toArray
+          val n = cps.length - k + 1
+          if (n < w) Iterator.empty
+          else {
+            val h = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val d = md.digest(new String(cps, i, k).getBytes("UTF-8"))
+              h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              i += 1
+            }
+            val sel = scala.collection.mutable.LinkedHashSet[Long]()
+            i = 0
+            while (i <= n - w) {
+              var m = h(i)
+              var j = i + 1
+              while (j < i + w) { if (h(j) < m) m = h(j); j += 1 }
+              sel += m
+              i += 1
+            }
+            val arr = sel.toArray
+            Iterator.single((id, arr.length, arr.sum, arr.min, arr.max))
           }
-          val sel = scala.collection.mutable.LinkedHashSet[Long]()
-          i = 0
-          while (i <= n - w) {
-            var m = h(i)
-            var j = i + 1
-            while (j < i + w) { if (h(j) < m) m = h(j); j += 1 }
-            sel += m
-            i += 1
-          }
-          val arr = sel.toArray
-          (id, arr.length, arr.sum, arr.min, arr.max)
         }
       }.toDF("doc_id", "n_fp", "fp_sum", "fp_min", "fp_max")
   }

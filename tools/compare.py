@@ -40,8 +40,20 @@ for name, sql in sorted(oracle.items()):
     o = odf[ocols].sort_values(ocols).reset_index(drop=True)
     s = sdf[ocols].sort_values(ocols).reset_index(drop=True)
     diff_cols = []
+    repr_cols = []
     for c in ocols:
         a, b = o[c], s[c]
+        # Driver semantics: it hashes STRING RENDERINGS, so a DuckDB HUGEINT
+        # column (rendered by pandas as float64 "38827026.0") vs a Spark
+        # BIGINT ("38827026") is a driver hash-mismatch even when the values
+        # are numerically identical. Flag that representation skew loudly
+        # instead of silently passing a numeric compare (the round-2/3
+        # txt_winnow blind spot).
+        if (a.dtype.kind == 'f') != (b.dtype.kind == 'f'):
+            f, i = (a, b) if a.dtype.kind == 'f' else (b, a)
+            if i.dtype.kind in 'iu' and (f.dropna() == f.dropna().round()).all():
+                repr_cols.append(c)
+                continue
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             import numpy as np
             eq = ((a.isna() & b.isna()) | (a == b)).all()
@@ -49,6 +61,13 @@ for name, sql in sorted(oracle.items()):
             eq = ((a.isna() & b.isna()) | (a.astype(str) == b.astype(str))).all()
         if not eq:
             diff_cols.append(c)
+    if repr_cols:
+        print(f"FAIL {name}: HUGEINT-REPR in {repr_cols} — one side is "
+              f"float64, the other integral; values may be equal but the "
+              f"driver hashes string renderings (cast the oracle column to "
+              f"BIGINT)")
+        fails += 1
+        continue
     if diff_cols:
         print(f"FAIL {name}: value mismatch in {diff_cols} ({len(o)} rows)")
         for c in diff_cols[:3]:
