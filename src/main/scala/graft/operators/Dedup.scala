@@ -142,21 +142,127 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs → duplicate GROUPS with a
-    * canonical doc each: iterative min-label propagation (every round each
-    * node takes the min of its own and its neighbors' labels; converges in
-    * O(component diameter) rounds — near-dup components are star-like, so a
-    * handful). Per-round cost is one shuffle of the symmetrized edge list,
-    * the standard Spark CC shape; at extreme scale the same contract is
-    * served by alternating large-star/small-star (Kiveris et al. 2014,
-    * "Connected Components in MapReduce and Beyond"), which bounds rounds by
-    * O(log n) on high-diameter graphs. Throws if maxIter rounds don't
-    * converge (never silently returns partial labels).
+    * canonical doc each. Default path is alternating large-star/small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — see [[componentsStars]]; [[componentsLabelProp]] keeps
+    * the simpler min-label propagation for cross-checking.
     *
     * Returns (doc_id, component, is_canonical, group_sz) where component =
     * min doc_id of the group and is_canonical marks the doc a dedup pass
     * keeps.
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    componentsStars(pairs, maxIter)
+
+  /** Large-star/small-star star contraction — the extreme-scale CC path.
+    *
+    * Per round (one "round" = one large-star pass then one small-star pass):
+    *  - LARGE-STAR: for every node u with neighborhood N(u), attach every
+    *    STRICTLY LARGER neighbor v > u to m = min(N(u) ∪ {u}).
+    *  - SMALL-STAR: direct every edge from its larger endpoint; for each
+    *    node u, attach its (all smaller) neighbors and u itself to
+    *    m = min(N(u) ∪ {u}).
+    * Both halves only need a partially-aggregated `min` per node plus an
+    * equi-join of the edge list back to that min — a hub with 10^7
+    * boilerplate near-dups combines map-side instead of funneling through
+    * one reducer, which is exactly where min-label propagation
+    * (`groupBy(x).min(comp)`) hot-keys. Converges in O(log² n) rounds on
+    * ANY graph shape (vs O(diameter) for label propagation), and each round
+    * never grows the edge multiset beyond O(E).
+    *
+    * Fixpoint = the edge set is a single-parent star forest in canonical
+    * (child > parent) direction: no node is both a parent and a child, and
+    * no child has two parents. That state is verifiably terminal (both
+    * passes map it to itself) and its roots are the component minima. The
+    * check is one partially-aggregated pass over the new edge set per round
+    * and doubles as the cache materialization job. Throws if maxIter rounds
+    * don't converge (never silently returns partial labels).
+    */
+  def componentsStars(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Eager localCheckpoint, not persist: each round references the edge set
+    // FOUR times (sym twice in large-star, its output twice in small-star),
+    // so a cached-but-unbroken lineage still quadruples the LOGICAL PLAN per
+    // round and driver-side analysis goes exponential by round ~7. The
+    // checkpoint truncates the plan to a constant-size LogicalRDD each
+    // round. (A long-lived cluster job would use reliable checkpointing.)
+    var edges = pairs.select(
+        greatest(col("id1"), col("id2")).cast("long").as("hi"),
+        least(col("id1"), col("id2")).cast("long").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct().localCheckpoint(true)
+    val nodes = edges
+      .select(explode(array(col("hi"), col("lo"))).as("doc_id"))
+      .distinct().persist()
+    nodes.count()
+
+    // Terminal-state detector: 0 ⇔ single-parent star forest. FULL count on
+    // purpose (no limit/short-circuit): this job is also what materializes
+    // the round's persisted edge set before the parent cache is dropped — a
+    // short-circuiting probe would leave partitions uncached and each round
+    // would recompute the whole unpersisted lineage chain.
+    def badCount(e: DataFrame): Long = e.select(explode(array(
+        struct(col("hi").as("n"), lit(1).as("p")),
+        struct(col("lo").as("n"), lit(0).as("p")))).as("r"))
+      .select(col("r.n").as("n"), col("r.p").as("p"))
+      .groupBy("n")
+      .agg(sum("p").as("nparents"), max("p").as("ishi"), min("p").as("islo"))
+      .filter((col("ishi") === 1 && col("islo") === 0) || col("nparents") > 1)
+      .count()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("hi").as("u"), col("lo").as("v")),
+          struct(col("lo").as("u"), col("hi").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min("lo").as("m"))
+      e.join(mins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins.select(col("hi"), col("m").as("lo")))
+    }
+
+    var it = 0
+    var done = badCount(edges) == 0L
+    while (!done && it < maxIter) {
+      val next = smallStar(largeStar(edges)).distinct().localCheckpoint(true)
+      done = badCount(next) == 0L
+      edges.unpersist() // drops the previous checkpoint's blocks
+      edges = next
+      it += 1
+    }
+    require(done, s"componentsStars: no convergence after $maxIter rounds")
+    val comp = nodes
+      .join(edges.select(col("hi").as("doc_id"), col("lo").as("parent")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("parent"), col("doc_id")).as("component"))
+    // nodes/edges caches stay alive behind the (lazy) result — the
+    // ContextCleaner reclaims their blocks once the result is dropped
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("group_sz"))
+    comp.join(sizes, "component")
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"),
+        col("group_sz"))
+  }
+
+  /** Min-label propagation CC (every round each node takes the min of its
+    * own and its neighbors' labels; converges in O(component diameter)
+    * rounds — near-dup components are star-like, so a handful). Kept as the
+    * simple mid-scale path and as the independent cross-check for
+    * [[componentsStars]]; per-round cost is one shuffle of the symmetrized
+    * edge list, but a giant boilerplate hub hot-keys the per-round
+    * `groupBy(x).min(comp)`, which is why the star path is the default.
+    * Throws if maxIter rounds don't converge.
+    */
+  def componentsLabelProp(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // one-pass symmetrization: a union of two selects would evaluate the
     // (possibly expensive — LSH) pair-producing subtree twice; explode reads
     // it once
@@ -195,7 +301,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    require(done, s"components: no convergence after $maxIter rounds " +
+    require(done, s"componentsLabelProp: no convergence after $maxIter rounds " +
       "(component diameter exceeds the round budget)")
     // eager localCheckpoint truncates the O(rounds) iterative lineage and
     // lets the loop cache be released here — no persist handle escapes this

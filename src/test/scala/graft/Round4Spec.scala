@@ -78,6 +78,76 @@ class Round4Spec extends AnyFunSuite {
     assert(!out(1).getBoolean(out(1).fieldIndex("starts_user")))
   }
 
+  test("componentsStars ≡ union-find on random graphs + planted hub/chain torture (one batch)") {
+    val rnd = new scala.util.Random(42)
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // 40 random graphs on disjoint id ranges: n ∈ [2, 30], e ∈ [1, 45]
+    for (g <- 0 until 40) {
+      val base = g * 1000L
+      val n = 2 + rnd.nextInt(29)
+      val e = 1 + rnd.nextInt(45)
+      for (_ <- 0 until e) {
+        val a = base + rnd.nextInt(n); val b = base + rnd.nextInt(n)
+        if (a != b) edges += ((a, b))
+      }
+    }
+    // torture 1: 64-chain (diameter 63 — label prop would need 63 rounds,
+    // star contraction must close it within the default 20 = O(log²) budget)
+    for (i <- 0 until 63) edges += ((100000L + i, 100000L + i + 1))
+    // torture 2: 300-leaf star whose hub is the LARGEST id (worst case for
+    // min-rooting: every leaf must end up labeled by the smallest leaf)
+    for (i <- 0 until 300) edges += ((200300L, 200000L + i))
+    // torture 3: chain of stars (hubs connected in a path, leaves hanging)
+    for (h <- 0 until 8) {
+      for (l <- 0 until 10) edges += ((300000L + h * 100, 300001L + h * 100 + l))
+      if (h > 0) edges += ((300000L + (h - 1) * 100, 300000L + h * 100))
+    }
+    // ground truth: driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val wantSizes = want.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+
+    val out = Dedup.componentsStars(edges.toSeq.toDF("id1", "id2")).collect()
+    assert(out.length == want.size, s"${out.length} nodes vs ${want.size}")
+    out.foreach { r =>
+      val (d, c, canon, sz) =
+        (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))
+      assert(c == want(d), s"doc $d: component $c != ${want(d)}")
+      assert(canon == (d == c))
+      assert(sz == wantSizes(c), s"doc $d: group_sz $sz != ${wantSizes(c)}")
+    }
+  }
+
+  test("componentsStars ≡ componentsLabelProp on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 120).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter(p => p._1 != p._2).toDF("id1", "id2")
+    val a = Dedup.componentsStars(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
+    val b = Dedup.componentsLabelProp(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
+  test("componentsStars: 64-chain converges within 8 rounds (log² bound, not diameter)") {
+    val chain = (0 until 63).map(i => (i.toLong, i + 1L)).toDF("id1", "id2")
+    val out = Dedup.componentsStars(chain, maxIter = 8).collect()
+    assert(out.length == 64 && out.forall(_.getLong(1) == 0L))
+  }
+
   test("stratifiedSampling: empty allocation returns empty result, not NPE") {
     val classes = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("label", "key")
     val alloc = Seq.empty[(String, Long)].toDF("label", "alloc")
