@@ -720,6 +720,19 @@ object SparkEntry {
     // MinHash+LSH near-dup candidate pairs (md5 minhashes, banded join)
     "dd_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
+    // bucket-capped LSH over the clone-storm cohort: oversized buckets emit
+    // a hub star (O(n) rows) instead of all-pairs (O(n²)) — the 2000-clone
+    // storm contributes exactly 1999 pairs instead of ~2M, small buckets
+    // keep exact all-pairs semantics
+    "dd_minhash_capped" -> ((s, dir) =>
+      Dedup.minhashPairsCapped(docsStorm(s, dir), maxBucket = 64)
+        .orderBy("id1", "id2")),
+    // dedup groups under the storm: star-contraction CC over the capped
+    // pairs resolves the 2000-clone hub within the round budget; emitted
+    // groups filtered to size ≥ 4 (the storm + any real multi-dup families)
+    "dd_storm_groups" -> ((s, dir) =>
+      Dedup.components(Dedup.minhashPairsCapped(docsStorm(s, dir), maxBucket = 64))
+        .filter(col("group_sz") >= 4).orderBy("doc_id")),
     // signature-only Jaccard estimate for the LSH candidates (Broder '97):
     // the screen that reads 8 minhashes per doc instead of re-shuffling
     // shingles — integer agree-count / 8, exact cross-engine
@@ -1213,6 +1226,19 @@ object SparkEntry {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" zz near dup tail")).as("text")))
   }
+
+  /** Planted corpus plus a 2000-doc byte-identical clone storm — the
+    * boilerplate-hub cohort the 100 TB dedup failure mode needs exercised:
+    * every clone lands in ONE band bucket per band, so uncapped LSH would
+    * enumerate ~2M intra-storm pairs here (and 10^14 at production clone
+    * counts).
+    */
+  private val stormText =
+    "clonestorm boilerplate verbatim replica payload chunk"
+  private def docsStorm(s: SparkSession, dir: String): DataFrame =
+    docsPlanted(s, dir).unionByName(
+      s.range(0, 2000).select((col("id") + 1000000L).as("doc_id"),
+        lit(stormText).as("text")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2773,6 +2799,28 @@ private object Oracles {
       (plantedCte + shingleCtes + bandCtes +
         """
           |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin),
+    "dd_minhash_capped" ->
+      (stormCte + shingleCtes + cappedPairsCte +
+        """
+          |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin),
+    "dd_storm_groups" ->
+      (stormCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleCtes + cappedPairsCte +
+        """, esym AS (
+          |  SELECT id1 AS x, id2 AS y FROM pairs
+          |  UNION
+          |  SELECT id2 AS x, id1 AS y FROM pairs
+          |), reach AS (
+          |  SELECT x, y FROM (SELECT x, y FROM esym UNION SELECT x, x AS y FROM esym)
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN esym e ON r.y = e.x
+          |), comp AS (
+          |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+          |), csz AS (
+          |  SELECT component, count(*) AS group_sz FROM comp GROUP BY 1
+          |)
+          |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical, s.group_sz
+          |FROM comp c JOIN csz s USING (component)
+          |WHERE s.group_sz >= 4 ORDER BY doc_id""".stripMargin),
     // transitive closure of the pair graph (UNION-dedup recursion; verify-
     // scale components are tiny) → min reachable id = the component label
     "dd_components" ->
@@ -3940,7 +3988,7 @@ private object Oracles {
       |  FROM tk WHERE len(toks) >= 3
       |)""".stripMargin
 
-  private lazy val bandCtes =
+  private lazy val bandKeyCtes =
     """, mh AS (
       |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
       |    list_aggregate(list_transform(sh, x -> md5(cast(j AS varchar) || '|' || x)), 'min')) AS m
@@ -3949,10 +3997,51 @@ private object Oracles {
       |  SELECT doc_id, u.band_idx,
       |         m[2 * u.band_idx + 1] || m[2 * u.band_idx + 2] AS band_key
       |  FROM mh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) u
-      |), pairs AS (
+      |)""".stripMargin
+
+  private lazy val bandCtes = bandKeyCtes +
+    """, pairs AS (
       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |  FROM bnd a JOIN bnd b
       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Capped-bucket pairs: buckets over 64 members emit a hub star (mirrors
+    * [[graft.operators.Dedup.minhashPairsCapped]]).
+    */
+  private lazy val cappedPairsCte = bandKeyCtes +
+    """, bst AS (
+      |  SELECT band_idx, band_key, count(*) AS n, min(doc_id) AS hub
+      |  FROM bnd GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT DISTINCT id1, id2 FROM (
+      |    SELECT a.doc_id AS id1, b.doc_id AS id2
+      |    FROM bnd a
+      |    JOIN bst s ON s.band_idx = a.band_idx AND s.band_key = a.band_key AND s.n <= 64
+      |    JOIN bnd b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |              AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT s.hub AS id1, c.doc_id AS id2
+      |    FROM bnd c
+      |    JOIN bst s ON s.band_idx = c.band_idx AND s.band_key = c.band_key
+      |    WHERE s.n > 64 AND c.doc_id <> s.hub
+      |  ) u
+      |)""".stripMargin
+
+  /** Planted corpus + the 2000-doc clone storm (mirrors `docsStorm`). */
+  private lazy val stormCte =
+    """WITH pdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz near dup tail' FROM documents WHERE doc_id % 11 = 0
+      |), docs AS (
+      |  SELECT doc_id, text FROM pdocs
+      |  UNION ALL
+      |  SELECT 1000000 + g AS doc_id,
+      |         'clonestorm boilerplate verbatim replica payload chunk' AS text
+      |  FROM generate_series(0, 1999) t(g)
       |)""".stripMargin
 
   /** Norm CTE over an embedding relation (name parameterized so the planted

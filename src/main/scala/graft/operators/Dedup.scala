@@ -118,6 +118,36 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Bucket-capped LSH candidate pairs — the clone-storm guard. A
+    * boilerplate-heavy web corpus puts 10^4-10^7 byte-identical docs in ONE
+    * band bucket; all-pairs there is O(n²) rows (a 10k-clone bucket alone is
+    * 50M pairs) and sinks the job. Buckets with more than `maxBucket`
+    * members emit a STAR instead — every member paired with the bucket
+    * minimum — which is O(n) rows, keeps the component CONNECTED (so
+    * [[components]] still produces the identical dedup groups), and loses
+    * only the explicit enumeration of intra-storm pairs nobody reads.
+    * Buckets at or under the cap keep exact all-pairs semantics.
+    * Deterministic (hub = min doc_id) → oracle-reproducible in SQL.
+    */
+  def minhashPairsCapped(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2, maxBucket: Int = 64): DataFrame = {
+    val sig = bandedSignatures(docs, numHashes, rowsPerBand)
+    val stats = sig.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("hub"))
+    val keyed = sig.join(stats, Seq("band_idx", "band_key"))
+    val small = keyed.filter(col("n") <= maxBucket)
+    val allPairs = small
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("id1"))
+      .join(small.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("id2")), Seq("band_idx", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val star = keyed
+      .filter(col("n") > maxBucket && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id1"), col("doc_id").as("id2"))
+    allPairs.union(star).distinct()
+  }
+
   /** Jaccard similarity ESTIMATED from the MinHash signatures themselves
     * (Broder '97: P[mh_j(A) = mh_j(B)] = J(A,B), so the fraction of agreeing
     * signature slots is an unbiased estimate) for the LSH candidate pairs.

@@ -498,7 +498,8 @@ object TextAnalysis {
     *
     * Output: one row per merge step (step, pair, merged, cnt).
     */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+      checkpointEvery: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wc = docs.select(explode(split(col("text"), " ")).as("word"))
@@ -528,6 +529,14 @@ object TextAnalysis {
           merges += ((k, pair, a + b, cnt))
           seg = seg.withColumn("s", call_function("replace", col("s"),
             lit(s" $a  $b "), lit(s" $a$b ")))
+          // Production merge counts (32k) need the chained-replace plan
+          // truncated periodically: without this every top-pair job
+          // re-evaluates ALL replaces since the start over the whole vocab
+          // relation and the logical plan grows one node per merge (O(n²)
+          // work, O(n) analysis per round). An eager localCheckpoint every
+          // `checkpointEvery` merges pins the segmented vocab (word-count-
+          // sized, NOT corpus-sized) and keeps per-round cost constant.
+          if (k % checkpointEvery == 0) seg = seg.localCheckpoint(true)
         }
       }
       merges.toSeq.toDF("step", "pair", "merged", "cnt")

@@ -148,6 +148,56 @@ class Round4Spec extends AnyFunSuite {
     assert(out.length == 64 && out.forall(_.getLong(1) == 0L))
   }
 
+  test("clone-storm stress: 10k byte-identical docs — capped LSH emits O(n) star edges, CC converges") {
+    // 10k clones of one boilerplate text + a handful of normal docs: the
+    // 100 TB failure mode where one band bucket holds the whole storm and
+    // all-pairs would be ~50M candidate rows
+    val clones = (0 until 10000).map(i =>
+      (1000000L + i, "storm boilerplate clone body shared verbatim"))
+    val normals = Seq((1L, "alpha bravo charlie delta"),
+      (2L, "echo foxtrot golf hotel india"),
+      (3L, "alpha bravo charlie delta")) // 1 & 3 are near-dups of each other
+    val docs = (clones ++ normals).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsCapped(docs, maxBucket = 64)
+    val n = pairs.count()
+    // the storm contributes exactly 9999 star edges (one hub), docs 1/3 one
+    // pair — NOT ~50M all-pairs rows
+    assert(n <= 10000L, s"capped LSH emitted $n candidate rows — cap failed")
+    // star-contraction CC resolves the hub within the default round budget
+    val groups = Dedup.componentsStars(pairs).collect()
+    val storm = groups.filter(_.getLong(1) == 1000000L)
+    assert(storm.length == 10000, s"storm group has ${storm.length} members")
+    assert(storm.count(_.getBoolean(2)) == 1) // exactly one canonical
+    assert(storm.forall(_.getLong(3) == 10000L))
+  }
+
+  test("bpeTrain: 256 merges over the sf0.01 corpus in bounded time (production merge-count path)") {
+    // the sf0.01 synthetic vocab is ~90 words and exhausts after 89 merges
+    // (every word fully merged); widen it with deterministic per-doc hex
+    // words so 256 distinct merges exist — hex shards are exactly the
+    // "unseen long-tail token" shape a real corpus has
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .selectExpr("doc_id",
+        "concat(text, ' ', regexp_replace(md5(cast(doc_id AS string)), '(.{8})', '$1 ')) AS text")
+    val t0 = System.nanoTime()
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 256).collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 256, s"got ${merges.length} merges")
+    // greedy invariant: the selected pair count never increases step-over-
+    // step (new pairs created by a merge are bounded by that merge's count)
+    val cnts = merges.sortBy(_.getInt(0)).map(_.getLong(3))
+    cnts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"merge counts not non-increasing: $a -> $b")
+    }
+    // all merged tokens distinct (each step merges a NEW pair)
+    val toks = merges.map(_.getString(2))
+    assert(toks.distinct.length == 256)
+    // bounded wall time: periodic localCheckpoint keeps per-merge cost
+    // constant; without it the chained-replace plan makes this O(n²) and
+    // blows far past this generous shared-VM budget
+    assert(dt < 300.0, f"256 merges took $dt%.1f s — plan growth is back")
+  }
+
   test("stratifiedSampling: empty allocation returns empty result, not NPE") {
     val classes = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("label", "key")
     val alloc = Seq.empty[(String, Long)].toDF("label", "alloc")
