@@ -104,6 +104,25 @@ object TierPipeline {
     (paths("committed") diff (paths("expired") ++ paths("compacted"))).toSeq
   }
 
+  /** Newest committed event-time high-water mark of a tier for this
+    * snapshot (max over committed lines' maxTs; -1 if none carry one). The
+    * streaming retention hook derives its cutoff from this instead of
+    * re-aggregating the micro-batch — the manifest already carries the
+    * range metrics the write job observed.
+    */
+  def latestCommittedMaxTs(outRoot: String, tier: String,
+      snapshotId: Long): Long = {
+    val p = manifestPath(outRoot, tier)
+    if (!Files.exists(p)) return -1L
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala
+      .filter(l => l.contains("\"status\":\"committed\"") &&
+        l.contains(s""""snapshotId":$snapshotId,"""))
+      .flatMap(l => """"maxTs":(-?\d+)""".r.findFirstMatchIn(l)
+        .map(_.group(1).toLong))
+      .foldLeft(-1L)(math.max)
+  }
+
   /** Paths tombstoned by [[expireBatches]] and not yet physically removed. */
   private def expiredLivePaths(outRoot: String, tier: String): Seq[String] = {
     val p = manifestPath(outRoot, tier)

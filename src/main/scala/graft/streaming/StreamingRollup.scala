@@ -68,7 +68,35 @@ object StreamingRollup {
     */
   def ingestStream(turns: DataFrame, outRoot: String, snapshotId: Long,
       nBuckets: Int, watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestStreamWithRetention(turns, outRoot, snapshotId, nBuckets,
+      watermark, retentionMs = -1L)
+
+  /** [[ingestStream]] with the retention loop closed: after each
+    * micro-batch commit, batches whose ENTIRE event-time range has fallen
+    * `retentionMs` behind the tier's committed high-water mark are
+    * tombstoned ([[graft.runtime.TierPipeline.expireBatches]]) and
+    * physically removed ([[graft.runtime.TierPipeline.vacuumTier]]), and
+    * every `compactEvery` micro-batches the surviving small streaming
+    * commits are bin-packed ([[graft.runtime.TierPipeline.compactTier]]) —
+    * rollup → downsample → retention end-to-end under streaming.
+    *
+    * Safety comes from composition, not new machinery: the appended 1m
+    * buckets are watermark-FINALIZED (append mode), so the manifest's
+    * committed `maxTs` high-water mark only ever names closed windows; the
+    * cutoff chases it at a `retentionMs` lag. Expiry tombstones never
+    * uncommit a (window, bucket), so a redelivered micro-batch still
+    * no-ops — retention can never cause re-ingestion. `guardTier`
+    * (optional) keeps the batch-side invariant that fine data expires only
+    * after the coarser tier fully committed. `retentionMs < 0` disables
+    * the sweep (plain [[ingestStream]]).
+    */
+  def ingestStreamWithRetention(turns: DataFrame, outRoot: String,
+      snapshotId: Long, nBuckets: Int, watermark: String = "10 minutes",
+      retentionMs: Long = -1L, compactEvery: Long = 0L,
+      guardTier: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val tier = "1m-stream"
     // dedupTurns sets the stream's single watermark; the rollup chains on it
     val finalized = rollup1mAgg(prep(dedupTurns(turns, watermark)))
     finalized.writeStream
@@ -78,7 +106,23 @@ object StreamingRollup {
           val b = batch.withColumn("bucket",
             graft.runtime.TierPipeline.bucketCol(nBuckets))
           graft.runtime.TierPipeline.runTier(batch.sparkSession, outRoot,
-            "1m-stream", snapshotId, nBuckets, b, window = Some(s"mb$batchId"))
+            tier, snapshotId, nBuckets, b, window = Some(s"mb$batchId"))
+          if (retentionMs >= 0) {
+            val hwm = graft.runtime.TierPipeline
+              .latestCommittedMaxTs(outRoot, tier, snapshotId)
+            if (hwm >= 0) {
+              val expired = graft.runtime.TierPipeline.expireBatches(
+                outRoot, tier, snapshotId, hwm - retentionMs, guardTier,
+                nBuckets)
+              if (expired.nonEmpty)
+                graft.runtime.TierPipeline.vacuumTier(outRoot, tier)
+            }
+          }
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+            if (graft.runtime.TierPipeline.compactTier(batch.sparkSession,
+                outRoot, tier, snapshotId).nonEmpty)
+              graft.runtime.TierPipeline.vacuumTier(outRoot, tier)
+          }
         }
         ()
       }

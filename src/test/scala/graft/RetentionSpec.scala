@@ -158,4 +158,65 @@ class RetentionSpec extends AnyFunSuite {
       TierPipeline.vacuumTier(out, "x")
     }
   }
+
+  test("streaming ingest closes the retention loop: old waves expire+vacuum as the watermark advances, redelivery still no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.Turn
+    implicit val sqlCtx = spark.sqlContext
+    def turn(conv: String, idx: Int, sec: Long) =
+      Turn(conv, idx, "user", s"$conv:$idx", null,
+        new java.sql.Timestamp(1735689600000L + sec * 1000))
+    val base = 1735689600000L
+    val out = java.nio.file.Files.createTempDirectory("streamret").toString
+    val snap = 11L
+    val mem = MemoryStream[Turn]
+    // retention horizon 1h behind the committed event-time high-water mark
+    val q = graft.streaming.StreamingRollup.ingestStreamWithRetention(mem.toDF(), out, snap,
+        nBuckets = 4, watermark = "10 minutes", retentionMs = 3600000L)
+      .option("checkpointLocation", s"$out/_ckpt")
+      .start()
+    try {
+      // wave at minutes 0-2, then sentinels that advance the watermark far
+      // enough to (a) finalize earlier windows, (b) push the committed
+      // high-water mark past wave+1h so the wave's batches expire
+      mem.addData(turn("a", 0, 5), turn("a", 1, 70), turn("b", 0, 130))
+      q.processAllAvailable()
+      mem.addData(turn("zz", 0, 7200)); q.processAllAvailable()   // finalizes the wave
+      mem.addData(turn("zz", 1, 14400)); q.processAllAvailable()  // finalizes 7200; hwm=7200s → cutoff 3600s → wave expires
+      mem.addData(turn("zz", 2, 100000)); q.processAllAvailable() // finalizes 14400; cutoff 10800s → 7200-batch expires
+
+      val manifest = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$out/1m-stream.manifest.jsonl"))
+      import scala.jdk.CollectionConverters._
+      val lines = manifest.asScala
+      assert(lines.exists(_.contains("\"status\":\"expired\"")), "no expiry ran")
+      assert(lines.exists(_.contains("\"status\":\"vacuumed\"")), "no vacuum ran")
+
+      // live tier = only buckets within the horizon of the final hwm
+      // (14400s): the wave (≤130s) and the 7200s sentinel are gone
+      val live = TierPipeline.readTier(spark, out, "1m-stream", snap)
+        .select("conv_id", "bucket_ts").collect()
+      assert(live.length == 1, s"live rows: ${live.mkString(";")}")
+      assert(live(0).getString(0) == "zz" &&
+        live(0).getTimestamp(1).getTime == base + 14400000L)
+
+      // tombstoned dirs are physically deleted
+      val vacuumed = lines.filter(_.contains("\"status\":\"vacuumed\""))
+        .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
+      assert(vacuumed.nonEmpty)
+      vacuumed.foreach(p => assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p)), s"$p still on disk"))
+
+      // expiry never un-commits: every expired batch's (window, bucket)
+      // resume view is intact, so a redelivered micro-batch would no-op
+      val expiredWindows = lines
+        .filter(l => l.contains("\"status\":\"committed\""))
+        .flatMap(l => """"window":"(mb\d+)"""".r.findFirstMatchIn(l).map(_.group(1)))
+        .distinct
+      expiredWindows.foreach { w =>
+        assert(TierPipeline.committedBuckets(out, "1m-stream", snap,
+          Some(w)).nonEmpty, s"window $w lost its committed buckets")
+      }
+    } finally q.stop()
+  }
 }
