@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -784,6 +784,27 @@ object SparkEntry {
         documents(s, dir).select(col("doc_id"), col("text")),
         docsPlanted(s, dir).filter(col("doc_id") >= 100000))
         .orderBy("doc_id")),
+    // cross-corpus decontamination: flag training docs sharing any LSH band
+    // key with the holdout split (docs ≡ 0 mod 17) — band-key semi-join
+    // against an eval-sized broadcast relation, no pair enumeration
+    "dd_cross_decontam" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      Dedup.crossContaminated(d, d.filter(col("doc_id") % 17 === 0))
+        .orderBy("doc_id")
+    }),
+    // tokenizer fertility per predicted language: BPE-ish regex tokens per
+    // whitespace word — the vocab-coverage signal multilingual tokenizer
+    // work reads; integer sums, one bounded-cardinality aggregate
+    "txt_fertility" -> ((s, dir) => {
+      val li = TextAnalysis.langId(documents(s, dir))
+        .select("doc_id", "lang_pred")
+      val tc = TextAnalysis.tokenCountsRegex(documents(s, dir))
+      li.join(tc, "doc_id").groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("n_bpe").cast("double") / sum("n_words") + lit(1e-9), 4)
+            .as("fertility"))
+        .orderBy("lang_pred")
+    }),
     // CCNet paragraph dedup adapted to chat transcripts (dedup unit = turn):
     // per-conv count of turns whose normalized content (conv-local prefix
     // stripped) recurs in ≥ half of all conversations — the scale-relative
@@ -1141,6 +1162,37 @@ object SparkEntry {
     // §2.1 hist() verb: 20 fixed bins over the global text_len range
     "ts_histogram" -> ((s, dir) =>
       Summary.histogram(metrics(s, dir), "text_len", nBins = 20).orderBy("bin")),
+    // M4 downsampling (Jugel et al., VLDB'14): per-hour min/max/first/last
+    // envelope — the error-free width-bounded rendering reduction; one
+    // partially-aggregated groupBy, same scale shape as the 1m rollup
+    "ts_m4" -> ((s, dir) =>
+      Downsample.m4(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        date_trunc("hour", col("ts")),
+        ord = struct(col("ts"), col("turn_idx")))
+        .orderBy("conv_id", "bucket_ts")),
+    // per-conversation gap/heartbeat report (threshold 10 min), exact ms
+    "ts_gaps" -> ((s, dir) =>
+      Downsample.gapReport(metrics(s, dir), thresholdMs = 600000L)
+        .orderBy("conv_id")),
+    // counter_agg/rate shape: running text_len counter per conv (ordered
+    // running-frame cumsum), then per-hour delta + per-second rate
+    "ts_rate" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id").orderBy("ts", "turn_idx")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = metrics(s, dir).withColumn("cum", sum("text_len").over(w))
+      Downsample.counterRate(cum, date_trunc("hour", col("ts")), "cum",
+          ord = struct(col("ts"), col("turn_idx")))
+        .withColumn("delta", col("delta").cast("long"))
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // SAX symbolization (Lin et al. 2003): z-norm → 8-frame PAA → 4-letter
+    // alphabet at the N(0,1) quartile breakpoints, 4-dp quantized
+    "ts_sax" -> ((s, dir) =>
+      Downsample.sax(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), segments = 8)
+        .orderBy("conv_id")),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
     // + per-fold holdout accuracy of the stub-model predictions against the
     // role-mix argmax reference labels
@@ -2769,6 +2821,92 @@ private object Oracles {
           |  round(mn + (bin + 1) * (mx - mn) / 20 + 1e-9, 4) AS hi,
           |  count(*) AS cnt
           |FROM binned GROUP BY bin, mn, mx ORDER BY bin""".stripMargin),
+    "ts_m4" ->
+      (cte + metricsCte +
+        """, rk AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, text_len, ts,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          |                       ORDER BY ts, turn_idx) AS ra,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          |                       ORDER BY ts DESC, turn_idx DESC) AS rd
+          |  FROM metrics
+          |)
+          |SELECT conv_id, bucket_ts,
+          |  min(text_len) AS v_min, max(text_len) AS v_max,
+          |  min(CASE WHEN ra = 1 THEN text_len END) AS v_first,
+          |  min(CASE WHEN rd = 1 THEN text_len END) AS v_last,
+          |  min(ts) AS t_first, max(ts) AS t_last, count(*) AS n
+          |FROM rk GROUP BY 1, 2 ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_gaps" ->
+      (cte + metricsCte +
+        """, dd AS (
+          |  SELECT conv_id,
+          |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY conv_id
+          |                                          ORDER BY ts, turn_idx)) AS d
+          |  FROM metrics
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  coalesce(CAST(sum(CASE WHEN d > 600000 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_gaps,
+          |  coalesce(max(CASE WHEN d > 600000 THEN d END), 0) AS max_gap_ms,
+          |  coalesce(CAST(sum(CASE WHEN d > 600000 THEN d END) AS BIGINT), 0) AS idle_ms
+          |FROM dd GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+    "ts_rate" ->
+      (cte + metricsCte +
+        """, cm AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    sum(text_len) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |                        ROWS UNBOUNDED PRECEDING) AS cum,
+          |    date_trunc('hour', ts) AS bucket_ts
+          |  FROM metrics
+          |), rk AS (
+          |  SELECT conv_id, bucket_ts, cum, ts,
+          |    row_number() OVER (PARTITION BY conv_id, bucket_ts
+          |                       ORDER BY ts, turn_idx) AS ra,
+          |    row_number() OVER (PARTITION BY conv_id, bucket_ts
+          |                       ORDER BY ts DESC, turn_idx DESC) AS rd
+          |  FROM cm
+          |), ag AS (
+          |  SELECT conv_id, bucket_ts,
+          |    CAST(min(CASE WHEN rd = 1 THEN cum END)
+          |         - min(CASE WHEN ra = 1 THEN cum END) AS BIGINT) AS delta,
+          |    epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms,
+          |    count(*) AS n
+          |  FROM rk GROUP BY 1, 2
+          |)
+          |SELECT conv_id, bucket_ts, delta, span_ms, n,
+          |  CASE WHEN span_ms > 0
+          |       THEN round(cast(delta AS double) * 1000.0 / span_ms + 1e-9, 4)
+          |       ELSE 0.0 END AS rate
+          |FROM ag ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_sax" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, count(*) AS n,
+          |    round(avg(text_len) + 1e-9, 4) AS mu,
+          |    round(sqrt(avg(text_len * text_len) - avg(text_len) * avg(text_len)) + 1e-9, 4) AS sd
+          |  FROM metrics GROUP BY 1
+          |), ok AS (
+          |  SELECT * FROM st WHERE n >= 8 AND sd > 0
+          |), zz AS (
+          |  SELECT m.conv_id, o.n,
+          |    cast(floor((row_number() OVER (PARTITION BY m.conv_id
+          |                                   ORDER BY ts, turn_idx) - 1)
+          |               * 8 / o.n) AS int) AS frame,
+          |    round((m.text_len - o.mu) / o.sd + 1e-9, 4) AS z
+          |  FROM metrics m JOIN ok o USING (conv_id)
+          |), paa AS (
+          |  SELECT conv_id, frame, any_value(n) AS n,
+          |    round(avg(z) + 1e-9, 4) AS paa
+          |  FROM zz GROUP BY 1, 2
+          |), sy AS (
+          |  SELECT conv_id, frame, n,
+          |    CASE WHEN paa >= 0.6745 THEN 'd' WHEN paa >= 0 THEN 'c'
+          |         WHEN paa >= -0.6745 THEN 'b' ELSE 'a' END AS sym
+          |  FROM paa
+          |)
+          |SELECT conv_id, any_value(n) AS n_points,
+          |  string_agg(sym, '' ORDER BY frame) AS sax
+          |FROM sy GROUP BY conv_id ORDER BY conv_id""".stripMargin),
     "ts_kfold" ->
       (cte + metricsCte + probsCte + classifyPrCtes +
         """, joined AS (
@@ -2803,6 +2941,18 @@ private object Oracles {
       (stormCte + shingleCtes + cappedPairsCte +
         """
           |SELECT id1, id2 FROM pairs ORDER BY id1, id2""".stripMargin),
+    "dd_cross_decontam" ->
+      ("""WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |)""".stripMargin + shingleCtes + bandKeyCtes +
+        """, hb AS (
+          |  SELECT DISTINCT band_idx, band_key FROM bnd WHERE doc_id % 17 = 0
+          |), fl AS (
+          |  SELECT DISTINCT b.doc_id FROM bnd b JOIN hb USING (band_idx, band_key)
+          |)
+          |SELECT d.doc_id, (fl.doc_id IS NOT NULL) AS contaminated
+          |FROM docs d LEFT JOIN fl ON d.doc_id = fl.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
     "dd_storm_groups" ->
       (stormCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleCtes + cappedPairsCte +
         """, esym AS (
@@ -3517,6 +3667,35 @@ private object Oracles {
           |       ELSE 'und' END AS lang_pred,
           |  round(cast(gm AS double) / n_tok + 1e-9, 4) AS score
           |FROM g ORDER BY doc_id""".stripMargin),
+    "txt_fertility" ->
+      ("""WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks,
+          |         len(string_split(text, ' ')) AS n_words,
+          |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+          |  FROM documents
+          |), h AS (
+          |  SELECT doc_id, n_words, n_bpe,
+          |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS hits_en,
+          |    len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ein'))) AS hits_de,
+          |    len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'y', 'que'))) AS hits_es,
+          |    len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr,
+          |    len(list_filter(toks, x -> x IN ('的', '是', '了'))) AS hits_zh
+          |  FROM t
+          |), g AS (
+          |  SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS gm FROM h
+          |), lp AS (
+          |  SELECT doc_id, n_words, n_bpe,
+          |    CASE WHEN hits_en = gm AND gm > 0 THEN 'en'
+          |         WHEN hits_de = gm AND gm > 0 THEN 'de'
+          |         WHEN hits_es = gm AND gm > 0 THEN 'es'
+          |         WHEN hits_fr = gm AND gm > 0 THEN 'fr'
+          |         WHEN hits_zh = gm AND gm > 0 THEN 'zh'
+          |         ELSE 'und' END AS lang_pred
+          |  FROM g
+          |)
+          |SELECT lang_pred, count(*) AS n_docs,
+          |  round(cast(sum(n_bpe) AS double) / sum(n_words) + 1e-9, 4) AS fertility
+          |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin),
     "txt_quality" ->
       ("""WITH t AS (
           |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents

@@ -148,6 +148,31 @@ object Dedup {
     allPairs.union(star).distinct()
   }
 
+  /** Cross-corpus contamination screen — train/holdout near-dup hygiene at
+    * corpus granularity (the split-level counterpart of the benchmark
+    * n-gram decontamination in TextAnalysis): a training doc is flagged when
+    * it shares ANY LSH band key with ANY holdout doc, i.e. exactly when
+    * [[minhashPairs]] over the union would emit a cross-side pair. Shuffle
+    * shape: the holdout side reduces to its DISTINCT band keys (an
+    * eval-set-sized relation — broadcastable in production) and the screen
+    * is one left-semi equi-join on (band_idx, band_key); no pair
+    * enumeration, no self-join. Returns every corpus doc with a
+    * `contaminated` flag.
+    */
+  def crossContaminated(corpus: DataFrame, holdout: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cb = bandedSignatures(corpus, numHashes, rowsPerBand)
+    val hb = bandedSignatures(holdout, numHashes, rowsPerBand)
+      .select("band_idx", "band_key").distinct()
+    val flagged = cb.join(broadcast(hb), Seq("band_idx", "band_key"),
+        "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.select(col("doc_id").cast("long").as("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .na.fill(false, Seq("contaminated"))
+  }
+
   /** Jaccard similarity ESTIMATED from the MinHash signatures themselves
     * (Broder '97: P[mh_j(A) = mh_j(B)] = J(A,B), so the fraction of agreeing
     * signature slots is an unbiased estimate) for the LSH candidate pairs.

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Visualization-grade downsampling and series analytics over the metric
+  * relation — the "downsample" leg of the north rule's rollup + downsample +
+  * retention triad, beyond plain bucket aggregates:
+  *
+  *  - [[m4]]: M4 downsampling (Jugel et al., VLDB 2014) — per (series,
+  *    bucket) keep min/max/first/last, the error-free envelope for
+  *    width-bounded line rendering. Purely relational: one partially-
+  *    aggregated groupBy, so it scales exactly like the 1m rollup.
+  *  - [[gapReport]]: per-series gap statistics (count/max/total idle over a
+  *    threshold) — the heartbeat/coverage primitive retention decisions
+  *    read. One lag window per series + one partial agg.
+  *  - [[counterRate]]: per-bucket delta and per-second rate of a
+  *    cumulative counter (TimescaleDB `counter_agg`/`rate` shape, without
+  *    reset handling — turn counters are monotone). Window cumsum + one
+  *    partial agg.
+  *  - [[sax]]: Symbolic Aggregate approXimation (Lin et al. 2003):
+  *    z-normalize per series, PAA into fixed segments, map to an alphabet
+  *    by N(0,1) breakpoints. All arithmetic quantized to the house 4-dp
+  *    contract so the symbol string is integer-exact cross-engine.
+  *
+  * All four are one-shuffle-per-series-key shapes: no self-joins, no
+  * single-partition funnels, no driver loops — at 10^12 turns they inherit
+  * the rollup's salting/partitioning story unchanged.
+  */
+object Downsample {
+
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** M4 per (conv, bucket): the four extreme points (value min/max, first/
+    * last by time) that bound every pixel-column rendering error at zero.
+    * Output one row per bucket with the four values + their timestamps.
+    */
+  def m4(metrics: DataFrame, bucketExpr: Column,
+      valueCol: String = "value",
+      ord: Column = col("ts")): DataFrame =
+    metrics
+      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
+      .agg(
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        // `ord` must be a TOTAL order within (conv, bucket) — pass a
+        // struct(ts, turn_idx) when timestamps can collide, or first/last
+        // are tie-nondeterministic and oracle-unverifiable
+        min_by(col(valueCol), ord).as("v_first"),
+        max_by(col(valueCol), ord).as("v_last"),
+        min("ts").as("t_first"),
+        max("ts").as("t_last"),
+        count(lit(1)).as("n"))
+
+  /** Gap statistics per conversation: inter-observation deltas over the
+    * time-ordered series; a delta strictly greater than `thresholdMs`
+    * counts as a gap. Returns n_obs, n_gaps, max_gap_ms, idle_ms (sum of
+    * gap deltas). Integer milliseconds throughout (unix_millis ≡ DuckDB
+    * epoch_ms) — exact cross-engine even on sub-second timestamps.
+    */
+  def gapReport(metrics: DataFrame, thresholdMs: Long): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .select(col("conv_id"), col("ts"), col("turn_idx"))
+      .withColumn("d",
+        unix_millis(col("ts").cast("timestamp")) -
+          unix_millis(lag("ts", 1).over(w).cast("timestamp")))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col("d") > thresholdMs, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("d") > thresholdMs, col("d"))), lit(0L))
+          .as("max_gap_ms"),
+        coalesce(sum(when(col("d") > thresholdMs, col("d"))), lit(0L))
+          .as("idle_ms"))
+  }
+
+  /** Counter delta + rate per (conv, bucket) over a MONOTONE cumulative
+    * counter column (here: the running turn count / cumulative value sum a
+    * window builds upstream). delta = last(counter) − first(counter) within
+    * the bucket (by time); rate = delta / bucket-span seconds (first→last
+    * observation), 4-dp quantized; single-observation buckets rate 0.
+    */
+  def counterRate(metrics: DataFrame, bucketExpr: Column,
+      counterCol: String, ord: Column = col("ts")): DataFrame =
+    metrics
+      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
+      .agg(
+        (max_by(col(counterCol), ord) -
+          min_by(col(counterCol), ord)).as("delta"),
+        (unix_millis(max("ts").cast("timestamp")) -
+          unix_millis(min("ts").cast("timestamp"))).as("span_ms"),
+        count(lit(1)).as("n"))
+      .withColumn("rate", // per-second rate from the exact ms span
+        when(col("span_ms") > 0,
+          r4(col("delta").cast("double") * 1000.0 / col("span_ms")))
+          .otherwise(lit(0.0)))
+
+  /** SAX symbolization: per series (time-ordered values), z-normalize with
+    * the POPULATION std (4-dp quantized mean/std), average into `segments`
+    * equal-count PAA frames (4-dp quantized), and emit one symbol per frame
+    * from a 4-letter alphabet split at the N(0,1) quartile breakpoints
+    * ±0.6745 (a < b < c < d, `z >= breakpoint` ties upward in both
+    * engines). Series shorter than `segments` points and constant series
+    * (std 0) are dropped — both filters are relational, so the typed work
+    * is bounded to well-formed series. Output: (conv_id, n_points, sax).
+    */
+  def sax(metrics: DataFrame, segments: Int,
+      valueCol: String = "value"): DataFrame = {
+    val stats = metrics.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"),
+        r4(avg(col(valueCol))).as("mu"),
+        // population std of the raw values, quantized
+        r4(sqrt(avg(col(valueCol) * col(valueCol)) -
+          avg(col(valueCol)) * avg(col(valueCol)))).as("sd"))
+      .filter(col("n") >= segments && col("sd") > 0)
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val z = metrics.join(stats, "conv_id")
+      .withColumn("idx", row_number().over(w) - 1)
+      // frame assignment by index: frame i gets points [i*n/seg, (i+1)*n/seg)
+      .withColumn("frame",
+        floor(col("idx") * segments / col("n")).cast("int"))
+      .withColumn("z", r4((col(valueCol) - col("mu")) / col("sd")))
+    val paa = z.groupBy(col("conv_id"), col("frame"))
+      .agg(r4(avg(col("z"))).as("paa"), first(col("n")).as("n"))
+      .withColumn("sym",
+        when(col("paa") >= 0.6745, lit("d"))
+          .when(col("paa") >= 0.0, lit("c"))
+          .when(col("paa") >= -0.6745, lit("b"))
+          .otherwise(lit("a")))
+    paa.groupBy("conv_id")
+      .agg(first("n").as("n_points"),
+        // frame-ordered symbol string regardless of ambient partitioning
+        expr("array_join(transform(sort_array(collect_list(struct(frame, sym))), p -> p.sym), '')")
+          .as("sax"))
+  }
+}

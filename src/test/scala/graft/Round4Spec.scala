@@ -198,6 +198,88 @@ class Round4Spec extends AnyFunSuite {
     assert(dt < 300.0, f"256 merges took $dt%.1f s — plan growth is back")
   }
 
+  test("M4 downsampling: per-bucket envelope is exactly min/max/first/last") {
+    import graft.operators.Downsample
+    def ts(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+    val m = Seq(
+      ("a", 0, ts(10), 5.0), ("a", 1, ts(20), 9.0),
+      ("a", 2, ts(30), 1.0), ("a", 3, ts(50), 7.0), // hour 0: f=5 l=7 mn=1 mx=9
+      ("a", 4, ts(3700), 4.0)                        // hour 1: singleton
+    ).toDF("conv_id", "turn_idx", "ts", "value")
+    val out = Downsample.m4(m, date_trunc("hour", col("ts")),
+        ord = struct(col("ts"), col("turn_idx")))
+      .orderBy("bucket_ts").collect()
+    assert(out.length == 2)
+    val h0 = out(0)
+    assert(h0.getDouble(2) == 1.0 && h0.getDouble(3) == 9.0 &&
+      h0.getDouble(4) == 5.0 && h0.getDouble(5) == 7.0 && h0.getLong(8) == 4L)
+    val h1 = out(1)
+    assert(h1.getDouble(4) == 4.0 && h1.getDouble(5) == 4.0 && h1.getLong(8) == 1L)
+  }
+
+  test("gapReport: threshold-strict gap count/max/idle; gapless series reports zeros") {
+    import graft.operators.Downsample
+    def ts(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+    val m = Seq(
+      ("a", 0, ts(0)), ("a", 1, ts(100)), ("a", 2, ts(800)), // gap 700s
+      ("a", 3, ts(2000)),                                     // gap 1200s
+      ("b", 0, ts(0)), ("b", 1, ts(300))                      // no gap > 600s
+    ).toDF("conv_id", "turn_idx", "ts")
+    val out = Downsample.gapReport(m, thresholdMs = 600000L)
+      .orderBy("conv_id").collect()
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L &&
+      out(0).getLong(3) == 1200000L && out(0).getLong(4) == 1900000L)
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L &&
+      out(1).getLong(4) == 0L)
+  }
+
+  test("counterRate: per-bucket counter delta and per-second rate; singleton bucket rate 0") {
+    import graft.operators.Downsample
+    def ts(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+    // monotone counter: 10 at t=0, 40 at t=60 (hour 0); 100 at t=3700
+    val m = Seq(
+      ("a", 0, ts(0), 10.0), ("a", 1, ts(60), 40.0), ("a", 2, ts(3700), 100.0)
+    ).toDF("conv_id", "turn_idx", "ts", "cum")
+    val out = Downsample.counterRate(m, date_trunc("hour", col("ts")), "cum",
+        ord = struct(col("ts"), col("turn_idx")))
+      .orderBy("bucket_ts").collect()
+    assert(out(0).getDouble(2) == 30.0)          // delta
+    assert(out(0).getLong(3) == 60000L)          // span_ms
+    assert(out(0).getDouble(5) == 0.5)           // 30 / 60 s
+    assert(out(1).getDouble(2) == 0.0 && out(1).getDouble(5) == 0.0)
+  }
+
+  test("SAX: symbols follow the quartile breakpoints; short and constant series drop") {
+    import graft.operators.Downsample
+    def ts(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+    // 8 points alternating low/high → with 8 frames each point is a frame;
+    // z of low < -0.6745 → 'a', z of high > 0.6745 → 'd'
+    val series = (0 until 8).map(i =>
+      ("a", i, ts(i * 60), if (i % 2 == 0) 0.0 else 10.0))
+    val shorty = (0 until 3).map(i => ("s", i, ts(i * 60), i.toDouble))
+    val const = (0 until 10).map(i => ("c", i, ts(i * 60), 5.0))
+    val m = (series ++ shorty ++ const)
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val out = Downsample.sax(m, segments = 8).collect()
+    assert(out.length == 1, "short/constant series must drop")
+    assert(out(0).getString(0) == "a" && out(0).getString(2) == "adadadad")
+  }
+
+  test("crossContaminated: holdout twins flagged, clean docs not; output covers every corpus doc") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet"),
+      (17L, "alpha bravo charlie delta echo"),   // holdout member (≡0 mod 17)
+      (3L, "kilo lima mike november oscar")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossContaminated(docs,
+        docs.filter(col("doc_id") % 17 === 0))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 4)
+    assert(out(1L) && out(17L), "identical-text pair must both flag")
+    assert(!out(2L) && !out(3L))
+  }
+
   test("stratifiedSampling: empty allocation returns empty result, not NPE") {
     val classes = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("label", "key")
     val alloc = Seq.empty[(String, Long)].toDF("label", "alloc")
