@@ -1193,6 +1193,13 @@ object SparkEntry {
       Downsample.sax(
         metrics(s, dir).withColumnRenamed("text_len", "value"), segments = 8)
         .orderBy("conv_id")),
+    // EWMA smoother (α=0.25), step-quantized so the recursion replays
+    // exactly in the recursive-CTE oracle — the streaming-friendly member
+    // of the sits_filter family (O(1) state per series)
+    "ts_ewma" -> ((s, dir) =>
+      Downsample.ewma(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), alpha = 0.25)
+        .orderBy("conv_id", "idx")),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
     // + per-fold holdout accuracy of the stub-model predictions against the
     // role-mix argmax reference labels
@@ -2878,6 +2885,22 @@ private object Oracles {
           |       THEN round(cast(delta AS double) * 1000.0 / span_ms + 1e-9, 4)
           |       ELSE 0.0 END AS rate
           |FROM ag ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_ewma" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx
+          |  FROM metrics
+          |), r AS (
+          |  SELECT conv_id, idx, y, round(y + 1e-9, 4) AS s FROM v WHERE idx = 1
+          |  UNION ALL
+          |  SELECT v.conv_id, v.idx, v.y,
+          |         round(0.75 * r.s + 0.25 * v.y + 1e-9, 4) AS s
+          |  FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
+          |)
+          |SELECT conv_id, idx, y AS value, s AS ewma
+          |FROM r ORDER BY conv_id, idx""".stripMargin),
     "ts_sax" ->
       (cte + metricsCte +
         """, st AS (

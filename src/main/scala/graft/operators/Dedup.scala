@@ -585,12 +585,19 @@ object Dedup {
         // Code-point gram indexing: the relational n_grams column below and
         // the DuckDB oracle both count code points (Spark length(), DuckDB
         // substr/length), so the kernel must too or non-BMP text (emoji,
-        // astral chars) shifts every gram boundary.
-        val cps = s.codePoints().toArray
-        val n = (cps.length - k) / stride + 1
+        // astral chars) shifts every gram boundary. BMP-only strings (the
+        // overwhelming common case) take the allocation-free char path —
+        // for them char index ≡ code-point index.
+        val cps: Array[Int] =
+          if (s.codePointCount(0, s.length) == s.length) null
+          else s.codePoints().toArray
+        val cpLen = if (cps == null) s.length else cps.length
+        def gram(i: Int): String =
+          if (cps == null) s.substring(i, i + k) else new String(cps, i, k)
+        val n = (cpLen - k) / stride + 1
         (0 until n).iterator.map { j =>
           val i = j * stride
-          val d = md.digest(new String(cps, i, k)
+          val d = md.digest(gram(i)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           val out = new Array[Char](32)
           var b = 0

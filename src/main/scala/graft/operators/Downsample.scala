@@ -97,6 +97,41 @@ object Downsample {
           r4(col("delta").cast("double") * 1000.0 / col("span_ms")))
           .otherwise(lit(0.0)))
 
+  /** Exponentially-weighted moving average per series — the streaming-
+    * friendly smoother of the sits_filter family (one state value per
+    * series vs the whole-series matrices of Whittaker/Savitzky-Golay):
+    * s_1 = r4(y_1); s_i = r4((1−α)·s_{i−1} + α·y_i). Each step is
+    * 4-dp-quantized, so the recursion is EXACTLY replayable by the DuckDB
+    * recursive-CTE oracle (the bayts state-machine pattern) — no float
+    * drift can accumulate across steps. Typed sorted-fold kernel per
+    * conversation (the SeriesKernels shape); output one row per
+    * observation: (conv_id, idx, value, ewma).
+    */
+  def ewma(metrics: DataFrame, alpha: Double,
+      valueCol: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    def r4d(v: Double): Double =
+      new java.math.BigDecimal(v + 1e-9)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    metrics
+      .select(col("conv_id").cast("string"),
+        unix_millis(col("ts").cast("timestamp")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var s = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, _, _, y), i) =>
+          s = if (i == 0) r4d(y) else r4d((1 - alpha) * s + alpha * y)
+          (conv, i + 1, y, s)
+        }
+      }
+      .toDF("conv_id", "idx", "value", "ewma")
+  }
+
   /** SAX symbolization: per series (time-ordered values), z-normalize with
     * the POPULATION std (4-dp quantized mean/std), average into `segments`
     * equal-count PAA frames (4-dp quantized), and emit one symbol per frame

@@ -824,14 +824,21 @@ object TextAnalysis {
           // Grams are indexed by CODE POINT, not UTF-16 unit, so non-BMP
           // text (emoji, astral chars) shingles identically to DuckDB
           // substr()/length() and Spark's own length() filter above.
-          val cps = s.codePoints().toArray
-          val n = cps.length - k + 1
+          // BMP-only strings take the allocation-free char path (for them
+          // char index ≡ code-point index).
+          val cps: Array[Int] =
+            if (s.codePointCount(0, s.length) == s.length) null
+            else s.codePoints().toArray
+          val cpLen = if (cps == null) s.length else cps.length
+          def gram(i: Int): String =
+            if (cps == null) s.substring(i, i + k) else new String(cps, i, k)
+          val n = cpLen - k + 1
           if (n < w) Iterator.empty
           else {
             val h = new Array[Long](n)
             var i = 0
             while (i < n) {
-              val d = md.digest(new String(cps, i, k).getBytes("UTF-8"))
+              val d = md.digest(gram(i).getBytes("UTF-8"))
               h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
                 ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
               i += 1

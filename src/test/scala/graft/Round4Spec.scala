@@ -265,6 +265,20 @@ class Round4Spec extends AnyFunSuite {
     assert(out(0).getString(0) == "a" && out(0).getString(2) == "adadadad")
   }
 
+  test("EWMA: step-quantized recursion matches hand-rolled reference; order-invariant to input partitioning") {
+    import graft.operators.Downsample
+    def ts(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+    val vals = Seq(10.0, 0.0, 20.0, 20.0, 5.0)
+    val m = vals.zipWithIndex.map { case (v, i) => ("a", i, ts(i * 60), v) }
+      .toDF("conv_id", "turn_idx", "ts", "value").repartition(4)
+    val out = Downsample.ewma(m, alpha = 0.25).orderBy("idx").collect()
+      .map(_.getDouble(3))
+    def r4(v: Double) = new java.math.BigDecimal(v + 1e-9)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = vals.tail.scanLeft(r4(vals.head))((s, y) => r4(0.75 * s + 0.25 * y))
+    assert(out.toSeq == want, s"${out.toSeq} != $want")
+  }
+
   test("crossContaminated: holdout twins flagged, clean docs not; output covers every corpus doc") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta echo"),
