@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1200,6 +1200,62 @@ object SparkEntry {
       Downsample.ewma(
         metrics(s, dir).withColumnRenamed("text_len", "value"), alpha = 0.25)
         .orderBy("conv_id", "idx")),
+    // rolling 3-sigma anomaly screen over a trailing-5 window (never
+    // scoring an observation against itself)
+    "ts_anomaly" -> ((s, dir) =>
+      Downsample.rollingAnomalies(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        lookback = 5, sigmas = 2.0)
+        .orderBy("conv_id")),
+    // per-series Pearson correlation between the two engine metrics on the
+    // 1h grid (text length vs tool activity), one shuffle for both bands
+    "ts_corr" -> ((s, dir) =>
+      Downsample.seriesCorrelation(
+        Regularize.withMetrics(transcripts(s, dir)),
+        date_trunc("hour", col("ts")), "text_len", "is_tool")
+        .orderBy("conv_id")),
+    // gap-threshold sessionization (30-min inactivity cut) — all-integer
+    // session ledger per conversation
+    "ts_sessionize" -> ((s, dir) =>
+      SeriesOps.sessionize(metrics(s, dir), gapMs = 1800000L)
+        .orderBy("conv_id", "sess_idx")),
+    // LOCF time-weighted hourly average (TimescaleDB time_weight shape)
+    "ts_timeweight" -> ((s, dir) =>
+      SeriesOps.timeWeightedAvg(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        date_trunc("hour", col("ts")))
+        .orderBy("conv_id", "bucket_ts")),
+    // time-in-state duty-cycle ledger over the role column (state_agg shape)
+    "ts_state_agg" -> ((s, dir) =>
+      SeriesOps.stateAgg(Regularize.withMetrics(transcripts(s, dir)), "role")
+        .orderBy("conv_id", "state")),
+    // sample autocorrelation at lags 1..3 per series
+    "ts_acf" -> ((s, dir) =>
+      SeriesOps.acf(metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // hour-of-day seasonal-baseline anomaly screen
+    "ts_seasonal" -> ((s, dir) =>
+      SeriesOps.seasonalAnomalies(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        sigmas = 2.0, minObs = 3)
+        .orderBy("conv_id")),
+    // two-sided CUSUM change detection (dyadic k/h so literals are
+    // float-exact in both engines)
+    "ts_cusum" -> ((s, dir) =>
+      SeriesOps.cusum(metrics(s, dir).withColumnRenamed("text_len", "value"),
+        k = 0.5, h = 4.0)
+        .orderBy("conv_id")),
+    // Holt linear-trend smoother (dyadic alpha/beta; two-state recursive-CTE
+    // oracle)
+    "ts_holt" -> ((s, dir) =>
+      SeriesOps.holt(metrics(s, dir).withColumnRenamed("text_len", "value"),
+        alpha = 0.25, beta = 0.125)
+        .orderBy("conv_id", "idx")),
+    // LTTB shape-preserving downsample to 12 buckets (uniform-x variant)
+    "ts_lttb" -> ((s, dir) =>
+      SeriesOps.lttb(metrics(s, dir).withColumnRenamed("text_len", "value"),
+        buckets = 12)
+        .orderBy("conv_id", "seq")),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
     // + per-fold holdout accuracy of the stub-model predictions against the
     // role-mix argmax reference labels
@@ -2885,6 +2941,281 @@ private object Oracles {
           |       THEN round(cast(delta AS double) * 1000.0 / span_ms + 1e-9, 4)
           |       ELSE 0.0 END AS rate
           |FROM ag ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_anomaly" ->
+      (cte + metricsCte +
+        """, sc AS (
+          |  SELECT conv_id, ts, text_len,
+          |    count(*) OVER wf AS wn,
+          |    round(avg(text_len) OVER wf + 1e-9, 4) AS mu,
+          |    round(sqrt(avg(text_len * text_len) OVER wf
+          |               - (avg(text_len) OVER wf) * (avg(text_len) OVER wf)) + 1e-9, 4) AS sd
+          |  FROM metrics
+          |  WINDOW wf AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+          |), fl AS (
+          |  SELECT conv_id, ts,
+          |    (wn = 5 AND sd > 0) AS checked,
+          |    CASE WHEN wn = 5 AND sd > 0
+          |         THEN abs(round((text_len - mu) / sd + 1e-9, 4)) > 2.0
+          |         ELSE false END AS anom
+          |  FROM sc
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  CAST(sum(CASE WHEN checked THEN 1 ELSE 0 END) AS BIGINT) AS n_checked,
+          |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+          |  coalesce(min(CASE WHEN anom THEN epoch_ms(ts) END), -1) AS first_anom_ms
+          |FROM fl GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+    "ts_corr" ->
+      (cte + metricsCte +
+        """, b AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |    round(avg(text_len) + 1e-9, 4) AS x,
+          |    round(avg(is_tool) + 1e-9, 4) AS y
+          |  FROM metrics GROUP BY 1, 2
+          |), ag AS (
+          |  SELECT conv_id, count(*) AS n_buckets,
+          |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+          |    sum(y * y) AS syy, sum(x * y) AS sxy
+          |  FROM b GROUP BY 1
+          |), v AS (
+          |  SELECT *, round(n_buckets * sxx - sx * sx + 1e-9, 4) AS vx,
+          |         round(n_buckets * syy - sy * sy + 1e-9, 4) AS vy
+          |  FROM ag
+          |)
+          |SELECT conv_id, n_buckets,
+          |  round((n_buckets * sxy - sx * sy) / sqrt(vx * vy) + 1e-9, 4) AS r
+          |FROM v WHERE vx > 0 AND vy > 0 ORDER BY conv_id""".stripMargin),
+    "ts_sessionize" ->
+      (cte + metricsCte +
+        """, sflag AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) IS NULL
+          |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), sid AS (
+          |  SELECT conv_id, ts,
+          |    sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sess_idx
+          |  FROM sflag
+          |)
+          |SELECT conv_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+          |  count(*) AS n_turns,
+          |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+          |  max(epoch_ms(ts)) - min(epoch_ms(ts)) AS dur_ms
+          |FROM sid GROUP BY conv_id, sess_idx
+          |ORDER BY conv_id, sess_idx""".stripMargin),
+    "ts_timeweight" ->
+      (cte + metricsCte +
+        """, tb AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |    text_len AS value, ts, turn_idx, epoch_ms(ts) AS t
+          |  FROM metrics
+          |), hw AS (
+          |  SELECT conv_id, bucket_ts, value,
+          |    coalesce(lead(t) OVER (PARTITION BY conv_id, bucket_ts
+          |                           ORDER BY ts, turn_idx) - t, 0) AS hold
+          |  FROM tb
+          |)
+          |SELECT conv_id, bucket_ts, count(*) AS n,
+          |  CASE WHEN sum(hold) > 0
+          |       THEN round(sum(value * hold) / sum(hold) + 1e-9, 4)
+          |       ELSE round(avg(value) + 1e-9, 4) END AS twa
+          |FROM hw GROUP BY conv_id, bucket_ts
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_state_agg" ->
+      (cte + metricsCte +
+        """, sh AS (
+          |  SELECT conv_id, role AS state,
+          |    coalesce(lead(epoch_ms(ts)) OVER w - epoch_ms(ts), 0) AS hold,
+          |    CASE WHEN lag(role) OVER w IS NULL OR lag(role) OVER w <> role
+          |         THEN 1 ELSE 0 END AS enter
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |)
+          |SELECT conv_id, state, count(*) AS n_obs,
+          |  CAST(sum(enter) AS BIGINT) AS n_enter,
+          |  CAST(sum(hold) AS BIGINT) AS total_ms
+          |FROM sh GROUP BY conv_id, state
+          |ORDER BY conv_id, state""".stripMargin),
+    "ts_acf" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    round(avg(text_len) + 1e-9, 4) AS mu
+          |  FROM metrics GROUP BY 1
+          |), dxt AS (
+          |  SELECT m.conv_id, st.n_obs, m.text_len - st.mu AS dx,
+          |    lag(m.text_len - st.mu, 1) OVER w AS dx1,
+          |    lag(m.text_len - st.mu, 2) OVER w AS dx2,
+          |    lag(m.text_len - st.mu, 3) OVER w AS dx3
+          |  FROM metrics m JOIN st ON m.conv_id = st.conv_id
+          |  WINDOW w AS (PARTITION BY m.conv_id ORDER BY m.ts, m.turn_idx)
+          |), ag AS (
+          |  SELECT conv_id, min(n_obs) AS n_obs,
+          |    sum(dx * dx) AS c0, sum(dx * dx1) AS c1,
+          |    sum(dx * dx2) AS c2, sum(dx * dx3) AS c3
+          |  FROM dxt GROUP BY 1
+          |)
+          |SELECT conv_id, n_obs,
+          |  round(c1 / c0 + 1e-9, 4) AS r1,
+          |  round(c2 / c0 + 1e-9, 4) AS r2,
+          |  round(c3 / c0 + 1e-9, 4) AS r3
+          |FROM ag WHERE round(c0 + 1e-9, 4) > 0 ORDER BY conv_id""".stripMargin),
+    "ts_seasonal" ->
+      (cte + metricsCte +
+        """, prof AS (
+          |  SELECT conv_id, hour(ts) AS hod, count(*) AS n_h,
+          |    round(avg(text_len) + 1e-9, 4) AS mu_h,
+          |    round(sqrt(avg(text_len * text_len)
+          |               - avg(text_len) * avg(text_len)) + 1e-9, 4) AS sd_h
+          |  FROM metrics GROUP BY 1, 2
+          |), jj AS (
+          |  SELECT m.conv_id,
+          |    (p.n_h >= 3 AND p.sd_h > 0) AS checked,
+          |    CASE WHEN p.n_h >= 3 AND p.sd_h > 0
+          |         THEN abs(round((m.text_len - p.mu_h) / p.sd_h + 1e-9, 4)) > 2.0
+          |         ELSE false END AS anom
+          |  FROM metrics m JOIN prof p
+          |    ON m.conv_id = p.conv_id AND hour(m.ts) = p.hod
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  CAST(sum(CASE WHEN checked THEN 1 ELSE 0 END) AS BIGINT) AS n_checked,
+          |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+          |FROM jj GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_cusum" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, round(avg(text_len) + 1e-9, 4) AS mu,
+          |    round(sqrt(greatest(0, avg(text_len * text_len)
+          |               - avg(text_len) * avg(text_len))) + 1e-9, 4) AS sd
+          |  FROM metrics GROUP BY 1
+          |), v AS (
+          |  SELECT m.conv_id, epoch_ms(m.ts) AS t,
+          |    cast(row_number() OVER (PARTITION BY m.conv_id
+          |                            ORDER BY m.ts, m.turn_idx) AS int) AS idx,
+          |    round((m.text_len - st.mu) / st.sd + 1e-9, 4) AS z
+          |  FROM metrics m JOIN st ON m.conv_id = st.conv_id
+          |  WHERE st.sd > 0
+          |), r AS (
+          |  SELECT conv_id, idx, t, sp_e, sn_e,
+          |         (sp_e > 4.0 OR sn_e > 4.0) AS alarm,
+          |         CASE WHEN sp_e > 4.0 OR sn_e > 4.0 THEN 0.0 ELSE sp_e END AS sp,
+          |         CASE WHEN sp_e > 4.0 OR sn_e > 4.0 THEN 0.0 ELSE sn_e END AS sn
+          |  FROM (
+          |    SELECT conv_id, idx, t,
+          |      greatest(0.0, round(z - 0.5 + 1e-9, 4)) AS sp_e,
+          |      greatest(0.0, round(0.0 - z - 0.5 + 1e-9, 4)) AS sn_e
+          |    FROM v WHERE idx = 1
+          |  )
+          |  UNION ALL
+          |  SELECT conv_id, idx, t, sp_e, sn_e,
+          |         (sp_e > 4.0 OR sn_e > 4.0) AS alarm,
+          |         CASE WHEN sp_e > 4.0 OR sn_e > 4.0 THEN 0.0 ELSE sp_e END AS sp,
+          |         CASE WHEN sp_e > 4.0 OR sn_e > 4.0 THEN 0.0 ELSE sn_e END AS sn
+          |  FROM (
+          |    SELECT v.conv_id, v.idx, v.t,
+          |      greatest(0.0, round(r.sp + v.z - 0.5 + 1e-9, 4)) AS sp_e,
+          |      greatest(0.0, round(r.sn - v.z - 0.5 + 1e-9, 4)) AS sn_e
+          |    FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
+          |  )
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+          |  coalesce(min(CASE WHEN alarm THEN t END), -1) AS first_alarm_ms,
+          |  max(greatest(sp_e, sn_e)) AS max_stat
+          |FROM r GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_holt" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx
+          |  FROM metrics
+          |), r AS (
+          |  -- CAST: the recursive CTE takes column types from the base term;
+          |  -- a bare 0.0 literal is DECIMAL(2,1) and would truncate every
+          |  -- recursively computed trend to one decimal digit
+          |  SELECT conv_id, idx, y, round(y + 1e-9, 4) AS l,
+          |         CAST(0.0 AS DOUBLE) AS b
+          |  FROM v WHERE idx = 1
+          |  UNION ALL
+          |  SELECT conv_id, idx, y, l,
+          |         round(0.125 * (l - l_prev) + 0.875 * b_prev + 1e-9, 4) AS b
+          |  FROM (
+          |    SELECT v.conv_id, v.idx, v.y,
+          |      round(0.25 * v.y + 0.75 * (r.l + r.b) + 1e-9, 4) AS l,
+          |      r.l AS l_prev, r.b AS b_prev
+          |    FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
+          |  )
+          |)
+          |SELECT conv_id, idx, y AS value, l AS level, b AS trend,
+          |  round(l + b + 1e-9, 4) AS forecast
+          |FROM r ORDER BY conv_id, idx""".stripMargin),
+    "ts_lttb" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |), sm AS (
+          |  SELECT conv_id, idx AS seq, idx, y AS value FROM v WHERE n <= 12
+          |), fr AS (
+          |  SELECT conv_id, cast((idx - 2) * 10 // (n - 2) AS int) AS f,
+          |    list(struct_pack(i := idx, x := cast(idx AS double), y := y)
+          |         ORDER BY idx) AS pts,
+          |    round(avg(idx) + 1e-9, 4) AS ax, round(avg(y) + 1e-9, 4) AS ay
+          |  FROM v WHERE n > 12 AND idx >= 2 AND idx <= n - 1
+          |  GROUP BY 1, 2
+          |), lastp AS (
+          |  SELECT conv_id, cast(n AS double) AS lx, y AS ly, n
+          |  FROM v WHERE n > 12 AND idx = n
+          |), firstp AS (
+          |  SELECT conv_id, y AS sy FROM v WHERE n > 12 AND idx = 1
+          |), fr2 AS (
+          |  SELECT fr.conv_id, fr.f, fr.pts,
+          |    coalesce(lead(fr.ax) OVER wf, lastp.lx) AS nx,
+          |    coalesce(lead(fr.ay) OVER wf, lastp.ly) AS ny
+          |  FROM fr JOIN lastp ON fr.conv_id = lastp.conv_id
+          |  WINDOW wf AS (PARTITION BY fr.conv_id ORDER BY fr.f)
+          |), rsel AS (
+          |  SELECT conv_id, -1 AS f, 1 AS sel_idx,
+          |         cast(1 AS double) AS sel_x, sy AS sel_y
+          |  FROM firstp
+          |  UNION ALL
+          |  SELECT conv_id, f, sel_idx, cast(sel_idx AS double) AS sel_x, sel_y
+          |  FROM (
+          |    SELECT conv_id, f,
+          |      struct_extract(chosen, 'i') AS sel_idx,
+          |      struct_extract(chosen, 'y') AS sel_y
+          |    FROM (
+          |      SELECT conv_id, f,
+          |        pts[list_position(areas, list_aggregate(areas, 'max'))] AS chosen
+          |      FROM (
+          |        SELECT f2.conv_id, f2.f, f2.pts,
+          |          list_transform(f2.pts, p -> round(abs(
+          |            (r.sel_x - f2.nx) * (struct_extract(p, 'y') - r.sel_y)
+          |            - (r.sel_x - struct_extract(p, 'x')) * (f2.ny - r.sel_y))
+          |            + 1e-9, 4)) AS areas
+          |        FROM rsel r JOIN fr2 f2
+          |          ON f2.conv_id = r.conv_id AND f2.f = r.f + 1
+          |      )
+          |    )
+          |  )
+          |), big AS (
+          |  SELECT conv_id, 1 AS seq, 1 AS idx, sy AS value FROM firstp
+          |  UNION ALL
+          |  SELECT conv_id, f + 2 AS seq, sel_idx AS idx, sel_y AS value
+          |  FROM rsel WHERE f >= 0
+          |  UNION ALL
+          |  SELECT conv_id, 12 AS seq, n AS idx, ly AS value FROM lastp
+          |)
+          |SELECT conv_id, seq, idx, value FROM sm
+          |UNION ALL
+          |SELECT conv_id, seq, idx, value FROM big
+          |ORDER BY conv_id, seq""".stripMargin),
     "ts_ewma" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
         """, v AS (

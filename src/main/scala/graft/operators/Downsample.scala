@@ -97,6 +97,71 @@ object Downsample {
           r4(col("delta").cast("double") * 1000.0 / col("span_ms")))
           .otherwise(lit(0.0)))
 
+  /** Rolling z-score anomaly screen (the 3-sigma rule over a trailing
+    * window) — the change-detection primitive for operational series: each
+    * observation is scored against the mean/std of its `lookback` PRIOR
+    * observations (never itself — no self-masking), flagged when
+    * |z| > `sigmas`. Observations without a full lookback are unchecked.
+    * One conv-partitioned running window + one partial agg; 4-dp quantized
+    * mean/std/z so flags are exact cross-engine. Output per series:
+    * (conv_id, n_obs, n_checked, n_anom, first_anom_ms).
+    */
+  def rollingAnomalies(metrics: DataFrame, lookback: Int, sigmas: Double,
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      .rowsBetween(-lookback, -1)
+    val scored = metrics
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("mu", r4(avg(col(valueCol)).over(w)))
+      .withColumn("sd", r4(sqrt(
+        avg(col(valueCol) * col(valueCol)).over(w) -
+          avg(col(valueCol)).over(w) * avg(col(valueCol)).over(w))))
+      .withColumn("checked", col("wn") === lookback && col("sd") > 0)
+      .withColumn("z",
+        when(col("checked"), r4((col(valueCol) - col("mu")) / col("sd"))))
+      .withColumn("anom", col("checked") && abs(col("z")) > sigmas)
+    scored.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("checked"), 1L).otherwise(0L)).as("n_checked"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"),
+        coalesce(min(when(col("anom"),
+          unix_millis(col("ts").cast("timestamp")))), lit(-1L))
+          .as("first_anom_ms"))
+  }
+
+  /** Per-series Pearson correlation between two bucket-aggregated metrics
+    * (e.g. text length vs tool activity on the 1m grid): both metrics are
+    * averaged per (conv, bucket) in ONE pass (the multi-band single-shuffle
+    * rule), 4-dp quantized, then r = (nΣxy − ΣxΣy) /
+    * sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)) per series. Series with zero
+    * variance in either metric drop (r undefined). Output:
+    * (conv_id, n_buckets, r).
+    */
+  def seriesCorrelation(metrics: DataFrame, bucketExpr: Column,
+      xCol: String, yCol: String): DataFrame = {
+    val b = metrics
+      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
+      .agg(r4(avg(col(xCol))).as("x"), r4(avg(col(yCol))).as("y"))
+    b.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      // vx/vy quantized BEFORE the positivity gate: a constant series has
+      // variance exactly 0 in math but ±1e-12 in floating point depending
+      // on summation order — an unquantized >0 filter could keep the row in
+      // one engine and drop it in the other
+      .withColumn("vx",
+        r4(col("n_buckets") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("vy",
+        r4(col("n_buckets") * col("syy") - col("sy") * col("sy")))
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .select(col("conv_id"), col("n_buckets"),
+        r4((col("n_buckets") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(col("vx") * col("vy"))).as("r"))
+  }
+
   /** Exponentially-weighted moving average per series — the streaming-
     * friendly smoother of the sits_filter family (one state value per
     * series vs the whole-series matrices of Whittaker/Savitzky-Golay):

@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Series analytics beyond bucket aggregates — the operational-monitoring
+  * face of the rollup engine (sessionization, duty-cycle accounting,
+  * autocorrelation, seasonal baselines, sequential change detection,
+  * trend smoothing, and LTTB downsampling).
+  *
+  * Shapes, in scale order of importance:
+  *  - [[sessionize]] / [[timeWeightedAvg]] / [[stateAgg]] /
+  *    [[acf]] / [[seasonalAnomalies]]: purely relational — one
+  *    conv-partitioned window pass + one partial agg each. At 10^12 turns
+  *    they inherit the rollup's partitioning story unchanged: the window
+  *    sort and the groupBy share the conv_id hash partitioning, so each is
+  *    a single shuffle.
+  *  - [[cusum]] / [[holt]] / [[lttb]]: inherently sequential recursions per
+  *    series (state_i depends on state_{i-1}) — typed sorted-fold kernels
+  *    per conversation (the [[Downsample.ewma]] / SeriesKernels shape),
+  *    O(1)–O(n) state, one shuffle on conv_id. Every recursion step is
+  *    4-dp-quantized so the DuckDB recursive-CTE oracle replays the state
+  *    machine EXACTLY (the bayts/ewma verification pattern — no float
+  *    drift across steps).
+  *
+  * CUSUM (Page 1954) is the sequential analog of the reference's online
+  * change detection (`/root/reference/R/sits_detect_change.R`,
+  * `sits_bayts`); Holt's linear trend joins the `sits_filter` smoother
+  * family (`/root/reference/R/sits_filters.R` — Whittaker/Savitzky-Golay
+  * are whole-series matrix smoothers, EWMA/Holt the O(1)-state streaming
+  * members); LTTB (Steinarsson 2013) joins [[Downsample.m4]] as the
+  * second visualization-grade downsampler.
+  */
+object SeriesOps {
+
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4d(v: Double): Double =
+    new java.math.BigDecimal(v + 1e-9)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Gap-threshold sessionization: a new session starts at the first
+    * observation and whenever the inter-observation delta exceeds `gapMs`.
+    * The boundary flag and the running session index share ONE window
+    * ordering (single sort per conv), then one partial agg per session.
+    * All-integer output (conv_id, sess_idx, n_turns, start_ms, end_ms,
+    * dur_ms) — hash-exact cross-engine by construction.
+    */
+  def sessionize(metrics: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("d", ms(col("ts")) - ms(lag("ts", 1).over(w)))
+      .withColumn("new_sess",
+        when(col("d").isNull || col("d") > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(w))
+      .groupBy("conv_id", "sess_idx")
+      .agg(count(lit(1)).as("n_turns"),
+        min(ms(col("ts"))).as("start_ms"),
+        max(ms(col("ts"))).as("end_ms"))
+      .withColumn("dur_ms", col("end_ms") - col("start_ms"))
+  }
+
+  /** Time-weighted average per (conv, bucket) with last-observation-
+    * carried-forward weighting (the TimescaleDB `time_weight('LOCF')`
+    * shape): each observation is weighted by the exact-ms interval until
+    * the NEXT observation in the same bucket; the bucket's last
+    * observation gets weight 0. Buckets whose observations all share one
+    * timestamp (weight sum 0) fall back to the plain mean. Weights are
+    * integer ms and values integer-valued, so Σv·w is double-exact; only
+    * the final ratio is 4-dp quantized.
+    */
+  def timeWeightedAvg(metrics: DataFrame, bucketExpr: Column,
+      valueCol: String = "value"): DataFrame = {
+    val withBucket = metrics.withColumn("bucket_ts", bucketExpr)
+    val w = Window.partitionBy("conv_id", "bucket_ts").orderBy("ts", "turn_idx")
+    withBucket
+      .withColumn("t", ms(col("ts")))
+      .withColumn("hold", coalesce(lead("t", 1).over(w) - col("t"), lit(0L)))
+      .groupBy("conv_id", "bucket_ts")
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol) * col("hold")).as("num"),
+        sum("hold").as("den"),
+        avg(col(valueCol)).as("fallback"))
+      .select(col("conv_id"), col("bucket_ts"), col("n"),
+        when(col("den") > 0, r4(col("num") / col("den")))
+          .otherwise(r4(col("fallback"))).as("twa"))
+  }
+
+  /** Time-in-state accounting per (conv, state) with LOCF hold semantics
+    * (the TimescaleDB `state_agg` shape): observation i holds its state
+    * from t_i until t_{i+1} (the series' last observation holds 0 ms), and
+    * a state entry is counted whenever the state differs from the previous
+    * observation's (the first observation always enters). All-integer
+    * output: (conv_id, state, n_obs, n_enter, total_ms).
+    */
+  def stateAgg(metrics: DataFrame, stateCol: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("t", ms(col("ts")))
+      .withColumn("hold", coalesce(lead("t", 1).over(w) - col("t"), lit(0L)))
+      .withColumn("enter",
+        when(lag(stateCol, 1).over(w).isNull ||
+          lag(stateCol, 1).over(w) =!= col(stateCol), 1L).otherwise(0L))
+      .groupBy(col("conv_id"), col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum("enter").as("n_enter"),
+        sum("hold").as("total_ms"))
+  }
+
+  /** Sample autocorrelation at lags 1..3 per series: with the 4-dp
+    * quantized series mean x̄, r_k = Σ_{i>k} dx_i·dx_{i−k} / Σ dx_i² over
+    * the time-ordered values (dx = x − x̄ is exact because x is
+    * integer-valued and x̄ 4-dp). One stats agg + one co-partitioned join
+    * back + one window pass carrying all three lags + one partial agg —
+    * the conv_id hash partitioning is shared end-to-end. Constant series
+    * (quantized c0 ≤ 0) drop. Output: (conv_id, n_obs, r1, r2, r3).
+    */
+  def acf(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val stats = metrics.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"), r4(avg(col(valueCol))).as("mu"))
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val dx = metrics.join(stats, "conv_id")
+      .withColumn("dx", col(valueCol) - col("mu"))
+      .withColumn("dx1", lag("dx", 1).over(w))
+      .withColumn("dx2", lag("dx", 2).over(w))
+      .withColumn("dx3", lag("dx", 3).over(w))
+    dx.groupBy("conv_id")
+      .agg(first("n_obs").as("n_obs"),
+        sum(col("dx") * col("dx")).as("c0"),
+        sum(col("dx") * col("dx1")).as("c1"),
+        sum(col("dx") * col("dx2")).as("c2"),
+        sum(col("dx") * col("dx3")).as("c3"))
+      // quantize the variance gate (the seriesCorrelation float-boundary
+      // rule) so constant series drop in BOTH engines
+      .filter(r4(col("c0")) > 0)
+      .select(col("conv_id"), col("n_obs"),
+        r4(col("c1") / col("c0")).as("r1"),
+        r4(col("c2") / col("c0")).as("r2"),
+        r4(col("c3") / col("c0")).as("r3"))
+  }
+
+  /** Seasonal (hour-of-day) anomaly screen: per (conv, hour-of-day) build
+    * the baseline mean/std (population, 4-dp quantized), then flag
+    * observations with |z| > `sigmas` against THEIR OWN series' hour
+    * profile. Hours with fewer than `minObs` observations or zero variance
+    * are unchecked. Both the profile agg and the join back are
+    * (conv, hod)-keyed — co-partitioned, no broadcast of per-series state
+    * needed at any corpus size. Output: (conv_id, n_obs, n_checked,
+    * n_anom).
+    */
+  def seasonalAnomalies(metrics: DataFrame, sigmas: Double, minObs: Int,
+      valueCol: String = "value"): DataFrame = {
+    val prof = metrics
+      .groupBy(col("conv_id"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_h"),
+        r4(avg(col(valueCol))).as("mu_h"),
+        r4(sqrt(avg(col(valueCol) * col(valueCol)) -
+          avg(col(valueCol)) * avg(col(valueCol)))).as("sd_h"))
+    metrics.withColumn("hod", hour(col("ts")))
+      .join(prof, Seq("conv_id", "hod"))
+      .withColumn("checked", col("n_h") >= minObs && col("sd_h") > 0)
+      .withColumn("anom", col("checked") &&
+        abs(r4((col(valueCol) - col("mu_h")) / col("sd_h"))) > sigmas)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("checked"), 1L).otherwise(0L)).as("n_checked"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"))
+  }
+
+  /** Two-sided CUSUM change detection (Page 1954) — the classical
+    * sequential analog of the reference's online bayts detector: per
+    * series, standardize by the 4-dp quantized series mean/std, then run
+    *   s⁺_i = max(0, r4(s⁺_{i−1} + z_i − k)),
+    *   s⁻_i = max(0, r4(s⁻_{i−1} − z_i − k)),
+    * alarm when either exceeds `h`, resetting both to 0 after an alarm.
+    * Constant series (σ = 0) drop. Typed sorted-fold kernel, O(1) state —
+    * the per-step quantization makes the recursion exactly replayable by
+    * the DuckDB recursive-CTE oracle. Output per series:
+    * (conv_id, n_obs, n_alarms, first_alarm_ms, max_stat).
+    */
+  def cusum(metrics: DataFrame, k: Double, h: Double,
+      valueCol: String = "value"): DataFrame = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val n = rows.length
+        var sx = 0.0; var sxx = 0.0
+        rows.foreach { r => sx += r._4; sxx += r._4 * r._4 }
+        val mu = r4d(sx / n)
+        val sd = r4d(math.sqrt(math.max(0.0, sxx / n - (sx / n) * (sx / n))))
+        if (sd <= 0) Iterator.empty
+        else {
+          var sp = 0.0; var sn = 0.0
+          var alarms = 0L; var firstMs = -1L; var maxStat = 0.0
+          rows.foreach { case (_, t, _, y) =>
+            val z = r4d((y - mu) / sd)
+            val spE = math.max(0.0, r4d(sp + z - k))
+            val snE = math.max(0.0, r4d(sn - z - k))
+            maxStat = math.max(maxStat, math.max(spE, snE))
+            val alarm = spE > h || snE > h
+            if (alarm) {
+              alarms += 1
+              if (firstMs < 0) firstMs = t
+              sp = 0.0; sn = 0.0
+            } else { sp = spE; sn = snE }
+          }
+          Iterator.single((conv, n.toLong, alarms, firstMs, maxStat))
+        }
+      }
+      .toDF("conv_id", "n_obs", "n_alarms", "first_alarm_ms", "max_stat")
+  }
+
+  /** Holt's linear-trend double-exponential smoother — the two-state
+    * streaming member of the `sits_filter` family (level + trend vs EWMA's
+    * single state):
+    *   l_1 = r4(y_1), b_1 = 0;
+    *   l_i = r4(α·y_i + (1−α)·(l_{i−1} + b_{i−1})),
+    *   b_i = r4(β·(l_i − l_{i−1}) + (1−β)·b_{i−1}).
+    * Per-step 4-dp quantization of BOTH states makes the two-state
+    * recursion exactly replayable by the recursive-CTE oracle. Output one
+    * row per observation: (conv_id, idx, value, level, trend, forecast)
+    * with forecast = r4(level + trend), the one-step-ahead prediction.
+    */
+  def holt(metrics: DataFrame, alpha: Double, beta: Double,
+      valueCol: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      "alpha in (0,1], beta in [0,1]")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var l = 0.0; var b = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, _, _, y), i) =>
+          if (i == 0) { l = r4d(y); b = 0.0 }
+          else {
+            val lPrev = l
+            l = r4d(alpha * y + (1 - alpha) * (l + b))
+            b = r4d(beta * (l - lPrev) + (1 - beta) * b)
+          }
+          (conv, i + 1, y, l, b, r4d(l + b))
+        }
+      }
+      .toDF("conv_id", "idx", "value", "level", "trend", "forecast")
+  }
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) — the
+    * shape-preserving companion of [[Downsample.m4]]: keep the first and
+    * last points; split the interior into `buckets`−2 equal-count frames;
+    * left to right, from each frame keep the point maximizing the triangle
+    * area with the PREVIOUSLY selected point and the NEXT frame's 4-dp
+    * centroid (the last frame anchors on the series' last point). Ties
+    * break to the earliest point. The x-axis is the 1-based observation
+    * index (uniform-x LTTB), so all products are small and double-exact;
+    * the doubled triangle area is 4-dp quantized before comparison, making
+    * the greedy selection integer-exact cross-engine.
+    *
+    * Series with ≤ `buckets` points pass through unsampled. Typed
+    * sorted-fold kernel per series (selection f depends on selection f−1 —
+    * inherently sequential), one conv_id shuffle; at 10^12 turns the
+    * kernel is O(n) per series like the gap-fill. Output:
+    * (conv_id, seq, idx, value).
+    */
+  def lttb(metrics: DataFrame, buckets: Int,
+      valueCol: String = "value"): DataFrame = {
+    require(buckets >= 3, "buckets >= 3")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    val m = buckets
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val n = rows.length
+        val y = rows.map(_._4)
+        if (n <= m) {
+          Iterator.tabulate(n)(i => (conv, i + 1, i + 1, y(i)))
+        } else {
+          val mid = m - 2
+          // frame of interior point i (0-based, i in 1..n-2):
+          // integer division mirrors the oracle's `//`
+          def frame(i: Int): Int = ((i - 1) * mid) / (n - 2)
+          val cnt = new Array[Int](mid)
+          val sx = new Array[Double](mid)
+          val sy = new Array[Double](mid)
+          var i = 1
+          while (i <= n - 2) {
+            val f = frame(i)
+            cnt(f) += 1; sx(f) += (i + 1).toDouble; sy(f) += y(i)
+            i += 1
+          }
+          val out = new Array[(String, Int, Int, Double)](m)
+          out(0) = (conv, 1, 1, y(0))
+          var ax = 1.0; var ay = y(0)
+          var f = 0
+          var j = 1 // frames are contiguous index ranges: one forward pass
+          while (f < mid) {
+            val (nx, ny) =
+              if (f < mid - 1) (r4d(sx(f + 1) / cnt(f + 1)), r4d(sy(f + 1) / cnt(f + 1)))
+              else (n.toDouble, y(n - 1))
+            var bestArea = -1.0; var bestI = -1
+            while (j <= n - 2 && frame(j) == f) {
+              val px = (j + 1).toDouble
+              val area = r4d(math.abs(
+                (ax - nx) * (y(j) - ay) - (ax - px) * (ny - ay)))
+              if (area > bestArea) { bestArea = area; bestI = j }
+              j += 1
+            }
+            out(f + 1) = (conv, f + 2, bestI + 1, y(bestI))
+            ax = (bestI + 1).toDouble; ay = y(bestI)
+            f += 1
+          }
+          out(m - 1) = (conv, m, n, y(n - 1))
+          out.iterator
+        }
+      }
+      .toDF("conv_id", "seq", "idx", "value")
+  }
+}

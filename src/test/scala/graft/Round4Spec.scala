@@ -279,6 +279,40 @@ class Round4Spec extends AnyFunSuite {
     assert(out.toSeq == want, s"${out.toSeq} != $want")
   }
 
+  test("rollingAnomalies: spike flagged against trailing window, warmup rows unchecked") {
+    import graft.operators.Downsample
+    def ts(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+    // 5 steady points (warmup), then a spike, then steady again
+    val vals = Seq(10.0, 12.0, 11.0, 10.0, 12.0, 100.0, 11.0, 10.0)
+    val m = vals.zipWithIndex.map { case (v, i) => ("a", i, ts(i * 60), v) }
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val out = Downsample.rollingAnomalies(m, lookback = 5, sigmas = 2.0)
+      .collect()(0)
+    assert(out.getLong(1) == 8L)   // n_obs
+    assert(out.getLong(2) == 3L)   // checked: idx 5, 6, 7
+    // idx 5 (the spike) is anomalous; idx 6/7 may or may not be (the spike
+    // inflates the window std) — at minimum the spike itself fires first
+    assert(out.getLong(3) >= 1L)
+    assert(out.getLong(4) == 1735689600000L + 5 * 60000L) // first anomaly ts
+  }
+
+  test("seriesCorrelation: perfectly correlated metrics give r=1, anti-correlated r=-1, constants drop") {
+    import graft.operators.Downsample
+    def ts(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+    val rows = (0 until 6).flatMap { h =>
+      // conv a: y = x (r=1); conv b: y = -x (r=-1); conv c: y constant
+      Seq(("a", 0, ts(h * 3600), h.toDouble, h.toDouble),
+        ("b", 0, ts(h * 3600), h.toDouble, -h.toDouble),
+        ("c", 0, ts(h * 3600), h.toDouble, 5.0))
+    }.toDF("conv_id", "turn_idx", "ts", "x", "y")
+    val out = Downsample.seriesCorrelation(rows,
+        date_trunc("hour", col("ts")), "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.size == 2, "constant-metric series must drop")
+    assert(math.abs(out("a") - 1.0) < 1e-9)
+    assert(math.abs(out("b") + 1.0) < 1e-9)
+  }
+
   test("crossContaminated: holdout twins flagged, clean docs not; output covers every corpus doc") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta echo"),
@@ -292,6 +326,115 @@ class Round4Spec extends AnyFunSuite {
     assert(out.size == 4)
     assert(out(1L) && out(17L), "identical-text pair must both flag")
     assert(!out(2L) && !out(3L))
+  }
+
+  private def tsAt(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+
+  test("sessionize: 30-min gap splits sessions, all-integer ledger") {
+    import graft.operators.SeriesOps
+    val m = Seq(
+      ("a", 0, tsAt(0), 1.0), ("a", 1, tsAt(60), 2.0),
+      ("a", 2, tsAt(4000), 3.0), ("a", 3, tsAt(4060), 4.0)
+    ).toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.sessionize(m, gapMs = 1800000L)
+      .orderBy("sess_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 2L && out(0).getLong(5) == 60000L)
+    assert(out(1).getLong(2) == 2L && out(1).getLong(5) == 60000L)
+    assert(out(1).getLong(3) == 1735689600000L + 4000000L) // session-2 start
+  }
+
+  test("timeWeightedAvg: LOCF hold weighting; single-ts bucket falls back to plain mean") {
+    import graft.operators.SeriesOps
+    val m = Seq(
+      // bucket hour 0: 10 held 100s, 20 held 300s, 30 held 0 → 17.5
+      ("a", 0, tsAt(0), 10.0), ("a", 1, tsAt(100), 20.0), ("a", 2, tsAt(400), 30.0),
+      // bucket hour 1: both at same instant → span 0 → mean 6.0
+      ("a", 3, tsAt(3600), 4.0), ("a", 4, tsAt(3600), 8.0)
+    ).toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.timeWeightedAvg(m, date_trunc("hour", col("ts")))
+      .orderBy("bucket_ts").collect()
+    assert(out(0).getDouble(3) == 17.5)
+    assert(out(1).getDouble(3) == 6.0)
+  }
+
+  test("stateAgg: LOCF time-in-state + entry counting; last obs holds 0") {
+    import graft.operators.SeriesOps
+    val m = Seq(
+      ("a", 0, "user", tsAt(0)), ("a", 1, "assistant", tsAt(10)),
+      ("a", 2, "assistant", tsAt(20)), ("a", 3, "user", tsAt(50))
+    ).toDF("conv_id", "turn_idx", "role", "ts")
+    val out = SeriesOps.stateAgg(m, "role")
+      .orderBy("state").collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("assistant") == ((2L, 1L, 40000L)))
+    assert(out("user") == ((2L, 2L, 10000L)))
+  }
+
+  test("acf: alternating series gives exact rational lags; constant series drops") {
+    import graft.operators.SeriesOps
+    val alt = (0 until 8).map(i =>
+      ("a", i, tsAt(i * 60), if (i % 2 == 0) 1.0 else -1.0))
+    val const = (0 until 8).map(i => ("c", i, tsAt(i * 60), 5.0))
+    val m = (alt ++ const).toDF("conv_id", "turn_idx", "ts", "value")
+    val rows = SeriesOps.acf(m).collect()
+    assert(rows.length == 1, "constant series must drop")
+    val r = rows(0)
+    assert(r.getDouble(2) == -0.875)  // -(n-1)/n
+    assert(r.getDouble(3) == 0.75)    //  (n-2)/n
+    assert(r.getDouble(4) == -0.625)  // -(n-3)/n
+  }
+
+  test("seasonalAnomalies: spike vs own hour-of-day profile; thin hours unchecked") {
+    import graft.operators.SeriesOps
+    val hour0 = (0 until 10).map(i =>
+      ("a", i, tsAt(i * 60), if (i == 7) 100.0 else 10.0)) // mu=19 sd=27 z=3
+    val hour1 = Seq(("a", 10, tsAt(3600), 50.0), ("a", 11, tsAt(3660), 60.0))
+    val m = (hour0 ++ hour1).toDF("conv_id", "turn_idx", "ts", "value")
+    val r = SeriesOps.seasonalAnomalies(m, sigmas = 2.0, minObs = 3).collect()(0)
+    assert(r.getLong(1) == 12L && r.getLong(2) == 10L && r.getLong(3) == 1L)
+  }
+
+  test("cusum: step shift fires both sides with reset; constant series drops") {
+    import graft.operators.SeriesOps
+    // 10×10 then 10×20: mu=15 sd=5, z=∓1; k=0.5 → ramps of 0.5/step.
+    // sn alarms at obs 9 (4.5>4), resets; sp alarms at obs 19.
+    val vals = Seq.fill(10)(10.0) ++ Seq.fill(10)(20.0)
+    val m = (vals.zipWithIndex.map { case (v, i) => ("a", i, tsAt(i * 60), v) } ++
+      (0 until 5).map(i => ("c", i, tsAt(i * 60), 3.0)))
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val rows = SeriesOps.cusum(m, k = 0.5, h = 4.0).collect()
+    assert(rows.length == 1, "constant series must drop")
+    val r = rows(0)
+    assert(r.getLong(1) == 20L)
+    assert(r.getLong(2) == 2L, s"expected 2 alarms, got ${r.getLong(2)}")
+    assert(r.getLong(3) == 1735689600000L + 8 * 60000L)
+    assert(r.getDouble(4) == 4.5)
+  }
+
+  test("holt: two-state recursion matches the hand-rolled 4-dp replay") {
+    import graft.operators.SeriesOps
+    val m = Seq(("a", 0, tsAt(0), 0.0), ("a", 1, tsAt(60), 4.0),
+      ("a", 2, tsAt(120), 8.0)).toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.holt(m, alpha = 0.25, beta = 0.125)
+      .orderBy("idx").collect()
+    assert(out(0).getDouble(3) == 0.0 && out(0).getDouble(4) == 0.0)
+    assert(out(1).getDouble(3) == 1.0 && out(1).getDouble(4) == 0.125)
+    assert(out(2).getDouble(3) == 2.8438 && out(2).getDouble(4) == 0.3399)
+  }
+
+  test("lttb: short series pass through; spikes dominate frame selection; endpoints kept") {
+    import graft.operators.SeriesOps
+    val short = (0 until 3).map(i => ("s", i, tsAt(i * 60), i.toDouble))
+    val spiky = (1 to 20).map(i => ("b", i, tsAt(i * 60),
+      if (i == 5) 500.0 else if (i == 15) 1000.0 else 0.0))
+    val m = (short ++ spiky).toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.lttb(m, buckets = 4)
+      .collect().groupBy(_.getString(0))
+    assert(out("s").length == 3, "n <= buckets passes through")
+    val b = out("b").sortBy(_.getInt(1))
+    assert(b.map(_.getInt(2)).toSeq == Seq(1, 5, 15, 20),
+      s"selected ${b.map(_.getInt(2)).toSeq}")
   }
 
   test("stratifiedSampling: empty allocation returns empty result, not NPE") {
