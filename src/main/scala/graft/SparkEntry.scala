@@ -1256,6 +1256,14 @@ object SparkEntry {
       SeriesOps.lttb(metrics(s, dir).withColumnRenamed("text_len", "value"),
         buckets = 12)
         .orderBy("conv_id", "seq")),
+    // user→assistant response latency per conversation (exact-ms SLA stats)
+    "ts_latency" -> ((s, dir) =>
+      SeriesOps.responseLatency(transcripts(s, dir), "user", "assistant")
+        .orderBy("conv_id")),
+    // role-bigram turn-taking matrix per conversation
+    "ts_turn_taking" -> ((s, dir) =>
+      SeriesOps.turnTaking(transcripts(s, dir))
+        .orderBy("conv_id", "from_role", "to_role")),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
     // + per-fold holdout accuracy of the stub-model predictions against the
     // role-mix argmax reference labels
@@ -3216,6 +3224,32 @@ private object Oracles {
           |UNION ALL
           |SELECT conv_id, seq, idx, value FROM big
           |ORDER BY conv_id, seq""".stripMargin),
+    "ts_latency" ->
+      (cte +
+        """, lat AS (
+          |  SELECT conv_id, role,
+          |    lag(role) OVER w AS prev_role,
+          |    epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS d
+          |  FROM transcripts
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |)
+          |SELECT conv_id, count(*) AS n_pairs,
+          |  round(avg(d) + 1e-9, 4) AS mean_ms,
+          |  min(d) AS min_ms, max(d) AS max_ms
+          |FROM lat WHERE prev_role = 'user' AND role = 'assistant'
+          |GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+    "ts_turn_taking" ->
+      (cte +
+        """, tt AS (
+          |  SELECT conv_id, role AS to_role,
+          |    lag(role) OVER (PARTITION BY conv_id
+          |                    ORDER BY ts, turn_idx) AS from_role
+          |  FROM transcripts
+          |)
+          |SELECT conv_id, from_role, to_role, count(*) AS n
+          |FROM tt WHERE from_role IS NOT NULL
+          |GROUP BY conv_id, from_role, to_role
+          |ORDER BY conv_id, from_role, to_role""".stripMargin),
     "ts_ewma" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
         """, v AS (

@@ -168,6 +168,38 @@ object SeriesOps {
         sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"))
   }
 
+  /** Role-transition response latency — the agent-transcript SLA metric:
+    * for each observation whose time-order predecessor has role `fromRole`
+    * and whose own role is `toRole`, latency = exact-ms delta to the
+    * predecessor. Per series: n_pairs, 4-dp mean, integer min/max ms. One
+    * window pass (lag of role and ts share the sort) + one partial agg.
+    */
+  def responseLatency(transcripts: DataFrame, fromRole: String,
+      toRole: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    transcripts
+      .withColumn("prev_role", lag("role", 1).over(w))
+      .withColumn("d", ms(col("ts")) - ms(lag("ts", 1).over(w)))
+      .filter(col("prev_role") === fromRole && col("role") === toRole)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        r4(avg(col("d"))).as("mean_ms"),
+        min("d").as("min_ms"), max("d").as("max_ms"))
+  }
+
+  /** Role-bigram turn-taking matrix per conversation: count of each
+    * (from_role → to_role) transition over the time-ordered turns. One lag
+    * window + one partial agg; all-integer output.
+    */
+  def turnTaking(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    transcripts
+      .withColumn("from_role", lag("role", 1).over(w))
+      .filter(col("from_role").isNotNull)
+      .groupBy(col("conv_id"), col("from_role"), col("role").as("to_role"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Two-sided CUSUM change detection (Page 1954) — the classical
     * sequential analog of the reference's online bayts detector: per
     * series, standardize by the 4-dp quantized series mean/std, then run

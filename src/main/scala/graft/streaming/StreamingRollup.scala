@@ -242,6 +242,49 @@ object StreamingRollup {
       }
   }
 
+  final case class SessState(sessIdx: Long, nTurns: Long, startMs: Long,
+      lastMs: Long)
+  final case class SessionClosed(conv_id: String, sess_idx: Long,
+      n_turns: Long, start_ms: Long, end_ms: Long, dur_ms: Long)
+
+  /** Streaming sessionization — the flatMapGroupsWithState form of
+    * [[graft.operators.SeriesOps.sessionize]] (same cut rule: a turn more
+    * than `gapMs` after the previous one closes the open session). A closed
+    * session's ledger row is emitted EXACTLY ONCE, the moment the turn that
+    * closes it arrives; the still-open session is the only state carried
+    * per conversation (O(1)). Stream output ≡ the batch ledger minus each
+    * conversation's final (still-open) session — asserted in StreamingSpec.
+    * Turns are assumed time-ordered across batches (the ingest path's
+    * watermark + dedup guarantee); within a batch they are sorted.
+    */
+  def sessionizeStream(spark: SparkSession, turns: Dataset[Turn],
+      gapMs: Long): Dataset[SessionClosed] = {
+    import spark.implicits._
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[SessState, SessionClosed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (conv: String, it: Iterator[Turn], state: GroupState[SessState]) =>
+          val sorted = it.toArray.sortBy(t => (t.ts.getTime, t.turn_idx))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              SessState(0L, 0L, 0L, Long.MinValue))
+            val closed = Vector.newBuilder[SessionClosed]
+            sorted.foreach { t =>
+              val tm = t.ts.getTime
+              if (st.lastMs == Long.MinValue) st = SessState(1L, 1L, tm, tm)
+              else if (tm - st.lastMs > gapMs) {
+                closed += SessionClosed(conv, st.sessIdx, st.nTurns,
+                  st.startMs, st.lastMs, st.lastMs - st.startMs)
+                st = SessState(st.sessIdx + 1, 1L, tm, tm)
+              } else st = st.copy(nTurns = st.nTurns + 1, lastMs = tm)
+            }
+            state.update(st)
+            closed.result().iterator
+          }
+      }
+  }
+
   final case class ConvState(nTurns: Long, lastLen: Double, maxGapSec: Long,
       lastTsMs: Long)
   final case class ConvUpdate(conv_id: String, n_turns: Long, last_len: Double,

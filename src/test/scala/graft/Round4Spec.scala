@@ -437,6 +437,33 @@ class Round4Spec extends AnyFunSuite {
       s"selected ${b.map(_.getInt(2)).toSeq}")
   }
 
+  test("responseLatency: only user→assistant adjacencies count; exact-ms stats") {
+    import graft.operators.SeriesOps
+    val t = Seq(
+      ("a", 0, "user", tsAt(0)), ("a", 1, "assistant", tsAt(3)),     // 3000ms
+      ("a", 2, "user", tsAt(10)), ("a", 3, "tool", tsAt(12)),        // broken pair
+      ("a", 4, "assistant", tsAt(20)), ("a", 5, "user", tsAt(30)),
+      ("a", 6, "assistant", tsAt(37))                                // 7000ms
+    ).toDF("conv_id", "turn_idx", "role", "ts")
+    val r = SeriesOps.responseLatency(t, "user", "assistant").collect()(0)
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 5000.0)
+    assert(r.getLong(3) == 3000L && r.getLong(4) == 7000L)
+  }
+
+  test("turnTaking: role-bigram counts over time order") {
+    import graft.operators.SeriesOps
+    val t = Seq(
+      ("a", 0, "user", tsAt(0)), ("a", 1, "assistant", tsAt(1)),
+      ("a", 2, "user", tsAt(2)), ("a", 3, "assistant", tsAt(3)),
+      ("a", 4, "assistant", tsAt(4))
+    ).toDF("conv_id", "turn_idx", "role", "ts")
+    val out = SeriesOps.turnTaking(t).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(out == Map(("user", "assistant") -> 2L,
+      ("assistant", "user") -> 1L, ("assistant", "assistant") -> 1L))
+  }
+
   test("stratifiedSampling: empty allocation returns empty result, not NPE") {
     val classes = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("label", "key")
     val alloc = Seq.empty[(String, Long)].toDF("label", "alloc")

@@ -158,6 +158,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization == batch ledger minus each conv's open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val q = StreamingRollup.sessionizeStream(spark, mem.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // conv a: session 1 (0s, 10s), closed by 100s; session 2 (100s, 130s)
+      // stays open. conv b: single open session. The split across batches
+      // lands MID-session (130s arrives later) — state must carry it.
+      mem.addData(turn("a", 0, "user", 0, 3), turn("a", 1, "assistant", 10, 3),
+        turn("b", 0, "user", 5, 3))
+      q.processAllAvailable()
+      mem.addData(turn("a", 2, "user", 100, 3), turn("a", 3, "assistant", 130, 3))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT conv_id, sess_idx, n_turns, start_ms, end_ms, dur_ms FROM sess ORDER BY conv_id, sess_idx")
+        .collect().map(_.toString).toSeq
+      val all = Seq(turn("a", 0, "user", 0, 3), turn("a", 1, "assistant", 10, 3),
+        turn("b", 0, "user", 5, 3), turn("a", 2, "user", 100, 3),
+        turn("a", 3, "assistant", 130, 3))
+      val batchLedger = graft.operators.SeriesOps.sessionize(
+          all.toDS().toDF(), gapMs = 60000L)
+      // closed sessions = batch ledger minus each conv's last session
+      val lastIdx = batchLedger.groupBy("conv_id")
+        .agg(max("sess_idx").as("sess_idx"))
+      val expected = batchLedger.join(lastIdx, Seq("conv_id", "sess_idx"), "left_anti")
+        .orderBy("conv_id", "sess_idx")
+        .collect().map(_.toString).toSeq
+      assert(streamed == expected)
+      assert(streamed.size == 1) // only a's first session is closed
+    } finally q.stop()
+  }
+
   test("online bayts stream == batch kernel (incl. gap slots and mid-series split)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
