@@ -1264,6 +1264,22 @@ object SparkEntry {
     "ts_turn_taking" -> ((s, dir) =>
       SeriesOps.turnTaking(transcripts(s, dir))
         .orderBy("conv_id", "from_role", "to_role")),
+    // prominence-gated local-maximum peak detection (integer-exact)
+    "ts_peaks" -> ((s, dir) =>
+      SeriesOps.peaks(metrics(s, dir).withColumnRenamed("text_len", "value"),
+        delta = 5.0)
+        .orderBy("conv_id")),
+    // reset-aware counter increase (PromQL increase shape) over a planted
+    // mod-100000 cumulative counter — resets are deterministic in both
+    // engines because the running sum is all-integer
+    "ts_counter_inc" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val m = metrics(s, dir)
+        .withColumn("counter",
+          sum(col("text_len").cast("long")).over(w) % 100000L)
+      SeriesOps.counterIncrease(m, date_trunc("hour", col("ts")), "counter")
+        .orderBy("conv_id", "bucket_ts")
+    }),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
     // + per-fold holdout accuracy of the stub-model predictions against the
     // role-mix argmax reference labels
@@ -3250,6 +3266,53 @@ private object Oracles {
           |FROM tt WHERE from_role IS NOT NULL
           |GROUP BY conv_id, from_role, to_role
           |ORDER BY conv_id, from_role, to_role""".stripMargin),
+    "ts_peaks" ->
+      (cte + metricsCte +
+        """, pk AS (
+          |  SELECT conv_id, ts, text_len,
+          |    lag(text_len) OVER w AS pv, lead(text_len) OVER w AS nv
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), fl AS (
+          |  SELECT conv_id, ts, text_len,
+          |    (pv IS NOT NULL AND nv IS NOT NULL AND text_len > pv
+          |     AND text_len > nv AND text_len - greatest(pv, nv) >= 5.0)
+          |      AS is_peak
+          |  FROM pk
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  CAST(sum(CASE WHEN is_peak THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+          |  coalesce(min(CASE WHEN is_peak THEN epoch_ms(ts) END), -1)
+          |    AS first_peak_ms,
+          |  coalesce(max(CASE WHEN is_peak THEN text_len END), -1.0) AS max_peak
+          |FROM fl GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_counter_inc" ->
+      (cte + metricsCte +
+        """, ctr AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    CAST(sum(CAST(text_len AS BIGINT))
+          |           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |         % 100000 AS BIGINT) AS counter
+          |  FROM metrics
+          |), cc AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, counter,
+          |    lag(counter) OVER w AS prev
+          |  FROM ctr
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), fl AS (
+          |  SELECT conv_id, bucket_ts,
+          |    CASE WHEN prev IS NULL THEN 0
+          |         WHEN counter >= prev THEN counter - prev
+          |         ELSE counter END AS contrib,
+          |    CASE WHEN prev IS NOT NULL AND counter < prev THEN 1 ELSE 0 END
+          |      AS reset
+          |  FROM cc
+          |)
+          |SELECT conv_id, bucket_ts, count(*) AS n,
+          |  CAST(sum(reset) AS BIGINT) AS n_resets,
+          |  CAST(sum(contrib) AS BIGINT) AS inc
+          |FROM fl GROUP BY conv_id, bucket_ts
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_ewma" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
         """, v AS (

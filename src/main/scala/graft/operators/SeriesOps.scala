@@ -200,6 +200,61 @@ object SeriesOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Local-maximum peak detection with a prominence floor: observation i
+    * (interior, time order) is a peak when v_i > both neighbors AND
+    * v_i − max(v_{i−1}, v_{i+1}) ≥ `delta`. Endpoints are never peaks.
+    * Integer-exact on integer-valued metrics (no quantization needed).
+    * One window pass (lag+lead share the sort) + one partial agg. Output:
+    * (conv_id, n_obs, n_peaks, first_peak_ms, max_peak).
+    */
+  def peaks(metrics: DataFrame, delta: Double,
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("pv", lag(valueCol, 1).over(w))
+      .withColumn("nv", lead(valueCol, 1).over(w))
+      .withColumn("is_peak",
+        col("pv").isNotNull && col("nv").isNotNull &&
+          col(valueCol) > col("pv") && col(valueCol) > col("nv") &&
+          col(valueCol) - greatest(col("pv"), col("nv")) >= delta)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("is_peak"), 1L).otherwise(0L)).as("n_peaks"),
+        coalesce(min(when(col("is_peak"), ms(col("ts")))), lit(-1L))
+          .as("first_peak_ms"),
+        max(when(col("is_peak"), col(valueCol))).as("max_peak"))
+      .withColumn("max_peak", coalesce(col("max_peak"), lit(-1.0)))
+  }
+
+  /** Reset-aware counter increase per (conv, bucket) — the PromQL
+    * `increase` / TimescaleDB reset-handling `counter_agg` semantics over a
+    * cumulative counter that can restart from 0: each consecutive pair
+    * contributes v_i − v_{i−1} when non-decreasing, else v_i (the counter
+    * restarted); the pair is attributed to the LATER observation's bucket,
+    * so inter-bucket increases are never lost. A drop is counted as one
+    * reset. The lag is per conversation (one window sort), the agg per
+    * (conv, bucket) — both conv-hash-partitioned. Integer-exact on
+    * integer-valued counters. Output: (conv_id, bucket_ts, n, n_resets,
+    * inc).
+    */
+  def counterIncrease(metrics: DataFrame, bucketExpr: Column,
+      counterCol: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("prev", lag(counterCol, 1).over(w))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(0L))
+          .when(col(counterCol) >= col("prev"), col(counterCol) - col("prev"))
+          .otherwise(col(counterCol)))
+      .withColumn("reset",
+        when(col("prev").isNotNull && col(counterCol) < col("prev"), 1L)
+          .otherwise(0L))
+      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum("reset").as("n_resets"),
+        sum("contrib").as("inc"))
+  }
+
   /** Two-sided CUSUM change detection (Page 1954) — the classical
     * sequential analog of the reference's online bayts detector: per
     * series, standardize by the 4-dp quantized series mean/std, then run

@@ -464,6 +464,36 @@ class Round4Spec extends AnyFunSuite {
       ("assistant", "user") -> 1L, ("assistant", "assistant") -> 1L))
   }
 
+  test("peaks: prominence gate and plateau/endpoint exclusion; peakless series gets -1 sentinels") {
+    import graft.operators.SeriesOps
+    // idx1=1,10,1: peak (prom 9); idx4=5 between 1s: prom 4 < 5 → no;
+    // plateau 10,10: no (strict >); endpoints never peak
+    val a = Seq(1.0, 10.0, 1.0, 5.0, 1.0, 10.0, 10.0, 1.0)
+      .zipWithIndex.map { case (v, i) => ("a", i, tsAt(i * 60), v) }
+    val c = (0 until 4).map(i => ("c", i, tsAt(i * 60), 2.0))
+    val m = (a ++ c).toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.peaks(m, delta = 5.0).orderBy("conv_id").collect()
+    assert(out(0).getLong(2) == 1L, s"one peak, got ${out(0).getLong(2)}")
+    assert(out(0).getLong(3) == 1735689600000L + 60000L)
+    assert(out(0).getDouble(4) == 10.0)
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == -1L
+      && out(1).getDouble(4) == -1.0)
+  }
+
+  test("counterIncrease: resets contribute restarted value, attributed to the later bucket") {
+    import graft.operators.SeriesOps
+    // counter 10,25 in hour 0; 5 (reset), 7 in hour 1; the 25→5 pair lands
+    // in hour 1: inc = 5 + 2 = 7, one reset; hour 0 inc = 0 + 15
+    val m = Seq(
+      ("a", 0, tsAt(0), 10L), ("a", 1, tsAt(60), 25L),
+      ("a", 2, tsAt(3600), 5L), ("a", 3, tsAt(3660), 7L)
+    ).toDF("conv_id", "turn_idx", "ts", "counter")
+    val out = SeriesOps.counterIncrease(m, date_trunc("hour", col("ts")), "counter")
+      .orderBy("bucket_ts").collect()
+    assert(out(0).getLong(3) == 0L && out(0).getLong(4) == 15L)
+    assert(out(1).getLong(3) == 1L && out(1).getLong(4) == 7L)
+  }
+
   test("stratifiedSampling: empty allocation returns empty result, not NPE") {
     val classes = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("label", "key")
     val alloc = Seq.empty[(String, Long)].toDF("label", "alloc")
