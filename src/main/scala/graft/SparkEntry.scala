@@ -1269,6 +1269,17 @@ object SparkEntry {
       SeriesOps.peaks(metrics(s, dir).withColumnRenamed("text_len", "value"),
         delta = 5.0)
         .orderBy("conv_id")),
+    // per-series OLS trend (slope/intercept/R²) over the observation index
+    "ts_trend" -> ((s, dir) =>
+      SeriesOps.olsTrend(metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // classical additive seasonal decomposition on the hourly grid
+    // (centered 2×24 MA trend → centered hour-of-day indices)
+    "ts_decompose" -> ((s, dir) =>
+      SeriesOps.seasonalDecompose(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        date_trunc("hour", col("ts")))
+        .orderBy("conv_id", "hod")),
     // reset-aware counter increase (PromQL increase shape) over a planted
     // mod-100000 cumulative counter — resets are deterministic in both
     // engines because the running sum is all-integer
@@ -3286,6 +3297,60 @@ private object Oracles {
           |    AS first_peak_ms,
           |  coalesce(max(CASE WHEN is_peak THEN text_len END), -1.0) AS max_peak
           |FROM fl GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_trend" ->
+      (cte + metricsCte +
+        """, xv AS (
+          |  SELECT conv_id, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS double) AS x
+          |  FROM metrics
+          |), ag AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+          |    sum(y * y) AS syy, sum(x * y) AS sxy
+          |  FROM xv GROUP BY 1
+          |), vv AS (
+          |  SELECT *, n_obs * sxx - sx * sx AS vx,
+          |    round(n_obs * syy - sy * sy + 1e-9, 4) AS vy,
+          |    n_obs * sxy - sx * sy AS cv
+          |  FROM ag
+          |)
+          |SELECT conv_id, n_obs,
+          |  round(cv / vx + 1e-9, 4) AS slope,
+          |  round((sy - cv / vx * sx) / n_obs + 1e-9, 4) AS intercept,
+          |  round(cv * cv / (vx * vy) + 1e-9, 4) AS r2
+          |FROM vv WHERE n_obs >= 2 AND vy > 0 ORDER BY conv_id""".stripMargin),
+    "ts_decompose" ->
+      (cte + metricsCte +
+        """, b AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |    round(avg(text_len) + 1e-9, 4) AS v
+          |  FROM metrics GROUP BY 1, 2
+          |), t AS (
+          |  SELECT conv_id, bucket_ts, v,
+          |    count(*) OVER wc AS cnt,
+          |    CASE WHEN count(*) OVER wc = 25
+          |         THEN round((avg(v) OVER wa + avg(v) OVER wb) / 2 + 1e-9, 4)
+          |         END AS trend
+          |  FROM b
+          |  WINDOW wc AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+          |         wa AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+          |         wb AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+          |), s AS (
+          |  SELECT conv_id, hour(bucket_ts) AS hod, count(*) AS n_h,
+          |    round(avg(v - trend) + 1e-9, 4) AS s_raw
+          |  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+          |), c AS (
+          |  SELECT conv_id, round(avg(s_raw) + 1e-9, 4) AS s_mean
+          |  FROM s GROUP BY 1
+          |)
+          |SELECT s.conv_id, s.hod, s.n_h,
+          |  round(s.s_raw - c.s_mean + 1e-9, 4) AS s_idx
+          |FROM s JOIN c ON s.conv_id = c.conv_id
+          |ORDER BY s.conv_id, s.hod""".stripMargin),
     "ts_counter_inc" ->
       (cte + metricsCte +
         """, ctr AS (

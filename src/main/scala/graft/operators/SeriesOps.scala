@@ -255,6 +255,65 @@ object SeriesOps {
         sum("contrib").as("inc"))
   }
 
+  /** Per-series OLS trend over the observation index (x = 1..n, uniform
+    * spacing): slope, intercept, and R². All sums are exact (x integer, y
+    * integer-valued), so the closed-form estimates are deterministic;
+    * outputs and the variance gates are 4-dp quantized. Constant series
+    * (quantized Syy ≤ 0) drop; series need n ≥ 2. One window pass for the
+    * index + one partial agg.
+    */
+  def olsTrend(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("x", row_number().over(w).cast("double"))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum("x").as("sx"), sum(col(valueCol)).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col(valueCol) * col(valueCol)).as("syy"),
+        sum(col("x") * col(valueCol)).as("sxy"))
+      .withColumn("vx", col("n_obs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", r4(col("n_obs") * col("syy") - col("sy") * col("sy")))
+      .withColumn("cv", col("n_obs") * col("sxy") - col("sx") * col("sy"))
+      .filter(col("n_obs") >= 2 && col("vy") > 0)
+      .select(col("conv_id"), col("n_obs"),
+        r4(col("cv") / col("vx")).as("slope"),
+        r4((col("sy") - col("cv") / col("vx") * col("sx")) / col("n_obs"))
+          .as("intercept"),
+        r4(col("cv") * col("cv") / (col("vx") * col("vy"))).as("r2"))
+  }
+
+  /** Classical additive seasonal decomposition over an hourly bucket grid
+    * with period 24 (hour-of-day): trend is the textbook centered 2×24
+    * moving average ((MA[−12,+11] + MA[−11,+12])/2, defined only where the
+    * full ±12 window exists), the seasonal index per (conv, hour-of-day) is
+    * the mean detrended value, centered so each conversation's 24 indices
+    * sum to ~0. All three frames share ONE partition sort; the hod agg and
+    * the centering join are conv-keyed. Operates on the observed bucket
+    * sequence — feed a gap-filled grid upstream for strict calendar
+    * regularity. Output: (conv_id, hod, n_h, s_idx).
+    */
+  def seasonalDecompose(metrics: DataFrame, bucketExpr: Column,
+      valueCol: String = "value"): DataFrame = {
+    val b = metrics
+      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
+      .agg(r4(avg(col(valueCol))).as("v"))
+    val w = Window.partitionBy("conv_id").orderBy("bucket_ts")
+    val t = b
+      .withColumn("cnt", count(lit(1)).over(w.rowsBetween(-12, 12)))
+      .withColumn("trend", when(col("cnt") === 25,
+        r4((avg("v").over(w.rowsBetween(-12, 11)) +
+          avg("v").over(w.rowsBetween(-11, 12))) / 2)))
+      .withColumn("detr", col("v") - col("trend"))
+      .filter(col("detr").isNotNull)
+    val s = t.groupBy(col("conv_id"), hour(col("bucket_ts")).as("hod"))
+      .agg(count(lit(1)).as("n_h"), r4(avg("detr")).as("s_raw"))
+    val c = s.groupBy("conv_id").agg(r4(avg("s_raw")).as("s_mean"))
+    s.join(c, "conv_id")
+      .select(col("conv_id"), col("hod"), col("n_h"),
+        r4(col("s_raw") - col("s_mean")).as("s_idx"))
+  }
+
   /** Two-sided CUSUM change detection (Page 1954) — the classical
     * sequential analog of the reference's online bayts detector: per
     * series, standardize by the 4-dp quantized series mean/std, then run

@@ -494,6 +494,32 @@ class Round4Spec extends AnyFunSuite {
     assert(out(1).getLong(3) == 1L && out(1).getLong(4) == 7L)
   }
 
+  test("olsTrend: exact line recovers slope/intercept with r2=1; constant drops") {
+    import graft.operators.SeriesOps
+    val line = (1 to 10).map(i => ("a", i, tsAt(i * 60), 2.0 * i + 1.0))
+    val const = (1 to 10).map(i => ("c", i, tsAt(i * 60), 7.0))
+    val m = (line ++ const).toDF("conv_id", "turn_idx", "ts", "value")
+    val rows = SeriesOps.olsTrend(m).collect()
+    assert(rows.length == 1, "constant series must drop")
+    val r = rows(0)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("seasonalDecompose: pure period-24 signal yields exact centered indices") {
+    import graft.operators.SeriesOps
+    // one point per hour for 3 days; hod 5 spikes to 22, others 10 →
+    // 2x24 MA trend = 10.5 everywhere defined, s_idx(5)=11.5, rest -0.5
+    val m = (0 until 72).map(i =>
+      ("a", i, tsAt(i.toLong * 3600), if (i % 24 == 5) 22.0 else 10.0))
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.seasonalDecompose(m, date_trunc("hour", col("ts")))
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out.size == 24)
+    assert(out(5) == 11.5)
+    assert((0 until 24).filter(_ != 5).forall(h => out(h) == -0.5),
+      s"got $out")
+  }
+
   test("stratifiedSampling: empty allocation returns empty result, not NPE") {
     val classes = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("label", "key")
     val alloc = Seq.empty[(String, Long)].toDF("label", "alloc")
