@@ -1291,6 +1291,44 @@ object SparkEntry {
       SeriesOps.counterIncrease(m, date_trunc("hour", col("ts")), "counter")
         .orderBy("conv_id", "bucket_ts")
     }),
+    // PromQL rate/irate pair over the planted mod-100000 counter: the
+    // bucket's reset-adjusted per-second rate plus the spike-sensitive
+    // instantaneous rate from the bucket's LAST consecutive pair (picked
+    // by one max_by on (ts, turn_idx) — no second window pass)
+    "ts_irate" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val m = metrics(s, dir)
+        .withColumn("counter",
+          sum(col("text_len").cast("long")).over(w) % 100000L)
+      SeriesOps.counterRate(m, date_trunc("hour", col("ts")), "counter",
+        bucketSec = 3600L)
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // per-(conv, day) heartbeat/coverage report: distinct observed minutes
+    // against the 1440-minute day + longest interior silence in ms
+    "ts_coverage" -> ((s, dir) =>
+      SeriesOps.coverage(metrics(s, dir)).orderBy("conv_id", "day")),
+    // cross-correlation at lags 0..2 (text_len leads is_tool) — raw
+    // integer-product sums centered by the closed form, one window pass
+    "ts_ccf" -> ((s, dir) =>
+      SeriesOps.ccf(Regularize.withMetrics(transcripts(s, dir)),
+        "text_len", "is_tool").orderBy("conv_id")),
+    // Hampel MAD outlier screen over a centered ±2 window at 3 sigma
+    "ts_hampel" -> ((s, dir) =>
+      SeriesOps.hampel(metrics(s, dir).withColumnRenamed("text_len", "value"),
+        k = 2, nsig = 3.0).orderBy("conv_id")),
+    // Kleinberg-style two-state burst detection over inter-arrival gaps
+    // (4-dp-quantized DP, replayed exactly by the recursive-CTE oracle)
+    "ts_bursts" -> ((s, dir) =>
+      SeriesOps.bursts(metrics(s, dir)).orderBy("conv_id")),
+    // exact frequent words by two-pass Misra-Gries: per-partition k-counter
+    // summaries (no shuffle) → broadcast-semi-join recount of candidates
+    // only — the full-vocabulary groupBy never happens at corpus scale
+    "txt_heavy" -> ((s, dir) =>
+      Summary.heavyHitters(
+        documents(s, dir).select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= ""),
+        "w", k = 200).orderBy("item")),
     // §2.9 sits_kfold_validate evaluation half: content-hash fold assignment
     // + per-fold holdout accuracy of the stub-model predictions against the
     // role-mix argmax reference labels
@@ -3378,6 +3416,199 @@ private object Oracles {
           |  CAST(sum(contrib) AS BIGINT) AS inc
           |FROM fl GROUP BY conv_id, bucket_ts
           |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_irate" ->
+      (cte + metricsCte +
+        """, ctr AS (
+          |  SELECT conv_id, ts, turn_idx, epoch_ms(ts) AS t,
+          |    CAST(sum(CAST(text_len AS BIGINT))
+          |           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |         % 100000 AS BIGINT) AS counter
+          |  FROM metrics
+          |), cc AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, turn_idx, t,
+          |    counter, lag(counter) OVER w AS prev, lag(t) OVER w AS prev_t
+          |  FROM ctr
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), fl AS (
+          |  SELECT conv_id, bucket_ts, t, turn_idx,
+          |    CASE WHEN prev IS NULL THEN 0
+          |         WHEN counter >= prev THEN counter - prev
+          |         ELSE counter END AS contrib,
+          |    t - prev_t AS gap_ms,
+          |    CASE WHEN prev IS NOT NULL AND counter < prev THEN 1 ELSE 0 END
+          |      AS reset
+          |  FROM cc
+          |), pick AS (
+          |  SELECT conv_id, bucket_ts, contrib, gap_ms,
+          |    row_number() OVER (PARTITION BY conv_id, bucket_ts
+          |                       ORDER BY t DESC, turn_idx DESC) AS rn
+          |  FROM fl
+          |), agg AS (
+          |  SELECT conv_id, bucket_ts, count(*) AS n,
+          |    CAST(sum(reset) AS BIGINT) AS n_resets,
+          |    CAST(sum(contrib) AS BIGINT) AS inc
+          |  FROM fl GROUP BY 1, 2
+          |)
+          |SELECT a.conv_id, a.bucket_ts, a.n, a.n_resets, a.inc,
+          |  round(CAST(a.inc AS DOUBLE) / 3600 + 1e-9, 4) AS rate_per_s,
+          |  CASE WHEN p.gap_ms IS NOT NULL AND p.gap_ms > 0
+          |       THEN round(CAST(p.contrib AS DOUBLE) * 1000 / p.gap_ms
+          |                  + 1e-9, 4)
+          |       ELSE 0.0 END AS irate_per_s
+          |FROM agg a
+          |JOIN pick p ON p.conv_id = a.conv_id AND p.bucket_ts = a.bucket_ts
+          |           AND p.rn = 1
+          |ORDER BY a.conv_id, a.bucket_ts""".stripMargin),
+    "ts_coverage" ->
+      (cte + metricsCte +
+        """, g AS (
+          |  SELECT conv_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts,
+          |    epoch_ms(ts) - lag(epoch_ms(ts))
+          |      OVER (PARTITION BY conv_id, date_trunc('day', ts)
+          |            ORDER BY ts, turn_idx) AS gap
+          |  FROM metrics
+          |)
+          |SELECT conv_id, day, count(*) AS n_obs,
+          |  count(DISTINCT date_trunc('minute', ts)) AS n_minutes,
+          |  round(CAST(count(DISTINCT date_trunc('minute', ts)) AS DOUBLE)
+          |        / 1440 + 1e-9, 4) AS coverage,
+          |  coalesce(max(gap), 0) AS max_gap_ms
+          |FROM g GROUP BY 1, 2 ORDER BY conv_id, day""".stripMargin),
+    "ts_ccf" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS x, is_tool AS y,
+          |    lag(is_tool, 1) OVER w AS y1,
+          |    lag(is_tool, 2) OVER w AS y2
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), a AS (
+          |  SELECT conv_id, count(*) AS n,
+          |    sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * x) AS sxx, sum(y * y) AS syy,
+          |    sum(x * y) AS sxy0,
+          |    sum(CASE WHEN y1 IS NOT NULL THEN x * y1 END) AS sxy1,
+          |    sum(CASE WHEN y2 IS NOT NULL THEN x * y2 END) AS sxy2,
+          |    sum(CASE WHEN y1 IS NOT NULL THEN x END) AS sx1,
+          |    sum(CASE WHEN y2 IS NOT NULL THEN x END) AS sx2,
+          |    sum(y1) AS sy1, sum(y2) AS sy2
+          |  FROM v GROUP BY 1
+          |), m AS (
+          |  SELECT *, round(sx / n + 1e-9, 4) AS mx,
+          |    round(sy / n + 1e-9, 4) AS my
+          |  FROM a
+          |), f AS (
+          |  SELECT *,
+          |    round(sxx - n * mx * mx + 1e-9, 4) AS vx,
+          |    round(syy - n * my * my + 1e-9, 4) AS vy
+          |  FROM m
+          |), d AS (
+          |  SELECT *, sqrt(vx * vy) AS den FROM f
+          |  WHERE n >= 3 AND vx > 0 AND vy > 0
+          |)
+          |SELECT conv_id, n AS n_obs,
+          |  round((sxy0 - my * sx - mx * sy + n * mx * my) / den
+          |        + 1e-9, 4) AS r0,
+          |  round((sxy1 - my * sx1 - mx * sy1 + (n - 1) * mx * my) / den
+          |        + 1e-9, 4) AS r1,
+          |  round((sxy2 - my * sx2 - mx * sy2 + (n - 2) * mx * my) / den
+          |        + 1e-9, 4) AS r2
+          |FROM d ORDER BY conv_id""".stripMargin),
+    "ts_hampel" ->
+      (cte + metricsCte +
+        """, wv AS (
+          |  SELECT conv_id, ts, text_len AS value,
+          |    list_sort(list(text_len)
+          |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS arr
+          |  FROM metrics
+          |), md AS (
+          |  SELECT conv_id, ts, value, arr, len(arr) AS n,
+          |    (arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2]) / 2 AS med
+          |  FROM wv
+          |), md2 AS (
+          |  SELECT conv_id, ts, value, med, n,
+          |    list_sort(list_transform(arr, a -> abs(a - med))) AS dv
+          |  FROM md
+          |), md3 AS (
+          |  SELECT conv_id, ts, med,
+          |    (dv[(n + 1) // 2] + dv[(n + 2) // 2]) / 2 AS mad,
+          |    abs(value - med) AS dev
+          |  FROM md2
+          |), o AS (
+          |  SELECT conv_id, ts, mad, dev,
+          |    (mad > 0 AND dev > 3.0 * (1.4826 * mad)) AS is_out
+          |  FROM md3
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_outliers,
+          |  coalesce(min(CASE WHEN is_out THEN epoch_ms(ts) END), -1)
+          |    AS first_outlier_ms,
+          |  coalesce(round(max(CASE WHEN mad > 0 THEN dev / mad END)
+          |                 + 1e-9, 4), -1.0) AS max_ratio
+          |FROM o GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_bursts" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, pts AS (
+          |  SELECT conv_id, epoch_ms(ts) AS t,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |), mg AS (
+          |  SELECT conv_id, max(n) AS n,
+          |    CAST(max(t) - min(t) AS DOUBLE) / (max(n) - 1) AS mean_gap
+          |  FROM pts GROUP BY conv_id HAVING max(n) >= 3
+          |), gg AS (
+          |  SELECT p.conv_id, p.idx - 1 AS j, p.t,
+          |    round((p.t - lag(p.t) OVER (PARTITION BY p.conv_id
+          |                                ORDER BY p.idx)) / m.mean_gap
+          |          + 1e-9, 4) AS xh
+          |  FROM pts p JOIN mg m ON p.conv_id = m.conv_id
+          |  WHERE m.mean_gap > 0
+          |  QUALIFY p.idx >= 2
+          |), r AS (
+          |  SELECT conv_id, 0 AS j, CAST(0.0 AS DOUBLE) AS d0,
+          |    CAST(1.0 AS DOUBLE) AS d1, CAST(0 AS BIGINT) AS nb,
+          |    CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS max_run,
+          |    CAST(-1 AS BIGINT) AS first_ms, n
+          |  FROM mg WHERE mean_gap > 0
+          |  UNION ALL
+          |  SELECT conv_id, j, n0 AS d0, n1 AS d1,
+          |    nb + CASE WHEN n1 < n0 THEN 1 ELSE 0 END AS nb,
+          |    CASE WHEN n1 < n0 THEN run + 1 ELSE CAST(0 AS BIGINT) END AS run,
+          |    greatest(max_run,
+          |      CASE WHEN n1 < n0 THEN run + 1 ELSE CAST(0 AS BIGINT) END)
+          |      AS max_run,
+          |    CASE WHEN n1 < n0 AND first_ms < 0 THEN t ELSE first_ms END
+          |      AS first_ms,
+          |    n
+          |  FROM (
+          |    SELECT r.conv_id, g.j, g.t, r.nb, r.run, r.max_run, r.first_ms,
+          |      r.n,
+          |      round(least(r.d0, r.d1) + g.xh + 1e-9, 4) AS n0,
+          |      round(least(r.d0 + 1.0, r.d1)
+          |            + round(round(2 * g.xh + 1e-9, 4) - 0.6931 + 1e-9, 4)
+          |            + 1e-9, 4) AS n1
+          |    FROM r JOIN gg g ON g.conv_id = r.conv_id AND g.j = r.j + 1
+          |  )
+          |)
+          |SELECT conv_id, CAST(n - 1 AS BIGINT) AS n_gaps,
+          |  round(least(d0, d1) + 1e-9, 4) AS total_cost,
+          |  nb AS n_burst, max_run AS max_burst_run,
+          |  first_ms AS first_burst_ms
+          |FROM r WHERE j = n - 1 ORDER BY conv_id""".stripMargin),
+    "txt_heavy" ->
+      ("""WITH wf AS (
+          |  SELECT word FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |  WHERE word <> ''
+          |)
+          |SELECT word AS item, count(*) AS cnt
+          |FROM wf GROUP BY 1
+          |HAVING count(*) * 200 > (SELECT count(*) FROM wf)
+          |ORDER BY item""".stripMargin),
     "ts_ewma" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
         """, v AS (

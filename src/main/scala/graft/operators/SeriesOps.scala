@@ -476,4 +476,209 @@ object SeriesOps {
       }
       .toDF("conv_id", "seq", "idx", "value")
   }
+
+  /** Reset-aware per-second rate + instantaneous rate per (conv, bucket) —
+    * the PromQL `rate`/`irate` pair over [[counterIncrease]]'s ledger:
+    * `rate` divides the bucket's reset-adjusted increase by the fixed
+    * bucket span; `irate` divides the LAST consecutive-pair contribution in
+    * the bucket by that pair's exact-ms gap (the spike-sensitive variant).
+    * The pair pick is one `max_by` keyed on (ts, turn_idx) — no second
+    * window pass — and every input is integer, so only the two final
+    * ratios are 4-dp quantized. Output: (conv_id, bucket_ts, n, n_resets,
+    * inc, rate_per_s, irate_per_s).
+    */
+  def counterRate(metrics: DataFrame, bucketExpr: Column,
+      counterCol: String, bucketSec: Long): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("t", ms(col("ts")))
+      .withColumn("prev", lag(counterCol, 1).over(w))
+      .withColumn("prev_t", lag("t", 1).over(w))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(0L))
+          .when(col(counterCol) >= col("prev"), col(counterCol) - col("prev"))
+          .otherwise(col(counterCol)))
+      .withColumn("gap_ms", col("t") - col("prev_t"))
+      .withColumn("reset",
+        when(col("prev").isNotNull && col(counterCol) < col("prev"), 1L)
+          .otherwise(0L))
+      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum("reset").as("n_resets"),
+        sum("contrib").as("inc"),
+        max_by(struct(col("contrib"), col("gap_ms")),
+          struct(col("t"), col("turn_idx"))).as("last_pair"))
+      .select(col("conv_id"), col("bucket_ts"), col("n"), col("n_resets"),
+        col("inc"),
+        r4(col("inc").cast("double") / bucketSec).as("rate_per_s"),
+        when(col("last_pair.gap_ms").isNotNull && col("last_pair.gap_ms") > 0,
+          r4(col("last_pair.contrib").cast("double") * 1000 /
+            col("last_pair.gap_ms")))
+          .otherwise(lit(0.0)).as("irate_per_s"))
+  }
+
+  /** Per-(conv, day) observation-coverage report — the uptime/heartbeat
+    * screen a fleet monitor runs over the raw tier before trusting a
+    * day's rollups: distinct observed minutes, the coverage fraction
+    * against the 1440-minute day, and the longest interior silence in ms.
+    * All-integer except the one quantized fraction; the minute distinct
+    * and the gap window share the (conv, day) grouping so the whole
+    * report is one conv-hash shuffle. Output: (conv_id, day, n_obs,
+    * n_minutes, coverage, max_gap_ms).
+    */
+  def coverage(metrics: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"),
+      date_trunc("day", col("ts"))).orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("t", ms(col("ts")))
+      .withColumn("gap", col("t") - lag("t", 1).over(w))
+      .groupBy(col("conv_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct(date_trunc("minute", col("ts"))).as("n_minutes"),
+        coalesce(max("gap"), lit(0L)).as("max_gap_ms"))
+      .select(col("conv_id"), col("day"), col("n_obs"), col("n_minutes"),
+        r4(col("n_minutes").cast("double") / 1440).as("coverage"),
+        col("max_gap_ms"))
+  }
+
+  /** Sample cross-correlation between two integer-valued channels at lags
+    * 0..2 (x leads y by k): the [[acf]] shape generalized to a pair.
+    * Every accumulated sum is a sum of INTEGER products (exact in double
+    * regardless of partial-agg order — the olsTrend guarantee), so the
+    * centered numerators are recovered from raw sums by the closed form
+    *   num_k = Σx·y_lag − ȳ·Σx − x̄·Σy_lag + cnt·x̄·ȳ
+    * with 4-dp means — a fixed scalar expression, deterministic
+    * cross-engine. Denominator √(Sxx·Syy) from whole-series raw sums.
+    * Constant channels drop. One window pass carrying the three lags +
+    * one partial agg. Output: (conv_id, n_obs, r0, r1, r2).
+    */
+  def ccf(metrics: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val x = col(xCol); val y = col(yCol)
+    val lagged = metrics
+      .withColumn("y1", lag(yCol, 1).over(w))
+      .withColumn("y2", lag(yCol, 2).over(w))
+    val agg = lagged.groupBy("conv_id").agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy0"),
+      sum(when(col("y1").isNotNull, x * col("y1"))).as("sxy1"),
+      sum(when(col("y2").isNotNull, x * col("y2"))).as("sxy2"),
+      sum(when(col("y1").isNotNull, x)).as("sx1"),
+      sum(when(col("y2").isNotNull, x)).as("sx2"),
+      sum(col("y1")).as("sy1"), sum(col("y2")).as("sy2"))
+    val mx = r4(col("sx") / col("n")); val my = r4(col("sy") / col("n"))
+    val withM = agg
+      .withColumn("mx", mx).withColumn("my", my)
+      .withColumn("vx", r4(col("sxx") - col("n") * col("mx") * col("mx")))
+      .withColumn("vy", r4(col("syy") - col("n") * col("my") * col("my")))
+      .filter(col("n") >= 3 && col("vx") > 0 && col("vy") > 0)
+      .withColumn("den", sqrt(col("vx") * col("vy")))
+    def rk(sxyK: Column, sxK: Column, syK: Column, cntK: Column): Column =
+      r4((sxyK - col("my") * sxK - col("mx") * syK +
+        cntK * col("mx") * col("my")) / col("den"))
+    withM.select(col("conv_id"), col("n").as("n_obs"),
+      rk(col("sxy0"), col("sx"), col("sy"), col("n")).as("r0"),
+      rk(col("sxy1"), col("sx1"), col("sy1"), col("n") - 1).as("r1"),
+      rk(col("sxy2"), col("sx2"), col("sy2"), col("n") - 2).as("r2"))
+  }
+
+  /** Hampel MAD outlier screen over a centered ±`k` observation window:
+    * per point, the window median and the median absolute deviation are
+    * EXACT (sorted integer-valued window array, midpoint rule — worst
+    * case x.5, still exact in double), and a point is an outlier when
+    * |x − med| > nsig·1.4826·mad (the Gaussian-consistent MAD scale;
+    * single correctly-rounded multiply chain, exact cross-engine
+    * compare). Edge windows shrink symmetrically in both engines. The
+    * whole screen is ONE conv-partitioned window sort + one partial agg.
+    * Output per series: (conv_id, n_obs, n_outliers, first_outlier_ms,
+    * max_ratio) with max_ratio = r4(max |x−med|/mad over mad>0 rows).
+    */
+  def hampel(metrics: DataFrame, k: Int, nsig: Double,
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      .rowsBetween(-k, k)
+    val arr = sort_array(collect_list(col(valueCol)).over(w))
+    def medOf(a: Column): Column = {
+      // (n+1)/2 on Column is DOUBLE division; cast truncates → integer
+      // midpoint indices (n ≥ 1, so truncation == floor)
+      val n = size(a)
+      (element_at(a, ((n + 1) / 2).cast("int")) +
+        element_at(a, ((n + 2) / 2).cast("int"))) / 2
+    }
+    metrics
+      .withColumn("arr", arr)
+      .withColumn("med", medOf(col("arr")))
+      .withColumn("mad",
+        medOf(sort_array(transform(col("arr"),
+          a => abs(a - col("med"))))))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+      .withColumn("is_out",
+        col("mad") > 0 && col("dev") > lit(nsig) * (lit(1.4826) * col("mad")))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(min(when(col("is_out"), ms(col("ts")))), lit(-1L))
+          .as("first_outlier_ms"),
+        coalesce(r4(max(when(col("mad") > 0, col("dev") / col("mad")))),
+          lit(-1.0)).as("max_ratio"))
+  }
+
+  /** Kleinberg-style two-state burst detection over inter-arrival gaps
+    * (Kleinberg KDD'02, the enumerated 2-state automaton with a fixed
+    * transition cost): gaps are normalized by the series' exact mean gap
+    * (x̂ = r4(gap/mean)), the base state emits at the mean rate
+    * (cost x̂), the burst state at twice it (cost r4(2x̂) − 0.6931, the
+    * 4-dp ln 2 literal), entering burst costs τ = 1. Both path costs are
+    * 4-dp quantized per step, so the dynamic program is exactly
+    * replayable by the DuckDB recursive-CTE oracle; the emitted summary
+    * is the filtering-state sequence (burst when the burst-path cost is
+    * strictly lower). Typed sorted-fold kernel, O(1) state, one conv_id
+    * shuffle. Output: (conv_id, n_gaps, total_cost, n_burst,
+    * max_burst_run, first_burst_ms).
+    */
+  def bursts(metrics: DataFrame): DataFrame = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val n = rows.length
+        if (n < 3) Iterator.empty
+        else {
+          val t = rows.map(_._2)
+          val meanGap = (t(n - 1) - t(0)).toDouble / (n - 1)
+          if (meanGap <= 0) Iterator.empty
+          else {
+            var d0 = 0.0; var d1 = 1.0 // entering burst before gap 1: tau
+            var nb = 0L; var run = 0L; var maxRun = 0L; var firstMs = -1L
+            var j = 1
+            while (j < n) {
+              val xh = r4d((t(j) - t(j - 1)) / meanGap)
+              val c0 = xh
+              val c1 = r4d(r4d(2 * xh) - 0.6931)
+              val n0 = r4d(math.min(d0, d1) + c0)
+              val n1 = r4d(math.min(d0 + 1.0, d1) + c1)
+              d0 = n0; d1 = n1
+              if (d1 < d0) {
+                nb += 1; run += 1
+                if (run > maxRun) maxRun = run
+                if (firstMs < 0) firstMs = t(j)
+              } else run = 0
+              j += 1
+            }
+            Iterator.single((conv, (n - 1).toLong, r4d(math.min(d0, d1)),
+              nb, maxRun, firstMs))
+          }
+        }
+      }
+      .toDF("conv_id", "n_gaps", "total_cost", "n_burst", "max_burst_run",
+        "first_burst_ms")
+  }
 }

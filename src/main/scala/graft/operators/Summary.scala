@@ -198,4 +198,49 @@ object Summary {
       .select(col("word"), col("true_cnt"), col("cms_est"),
         (col("cms_est") - col("true_cnt")).as("overcount"))
   }
+
+  /** Exact frequent items by the Misra-Gries two-pass (Misra & Gries '82;
+    * the MG summary's no-false-negative guarantee makes the FINAL output
+    * independent of partitioning): pass 1 runs a k-counter Misra-Gries
+    * summary per partition (O(k) memory, no shuffle) and unions the ≤ k·P
+    * candidate items; pass 2 exactly recounts ONLY rows matching a
+    * candidate (broadcast semi-join — at 10^12 turns the full-vocabulary
+    * groupBy never happens) and keeps items with cnt·k > total. Every MG
+    * partition summary retains any item with global count > n_p/k, so the
+    * union retains every item with count > n/k regardless of how rows
+    * land in partitions; the exact recount then removes sketch false
+    * positives — deterministic output, sketch-sized state. Output:
+    * (item, cnt), the exact counts of all items above the n/k frequency
+    * threshold.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val candidates = items.as[String]
+      .mapPartitions { it =>
+        val counters = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { x =>
+          if (counters.contains(x)) counters(x) += 1
+          else if (counters.size < k - 1) counters(x) = 1
+          else {
+            // decrement-all step; drop zeroed counters
+            val dead = new scala.collection.mutable.ArrayBuffer[String]()
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1
+              if (c == 0) dead += key else counters(key) = c
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .distinct()
+      .toDF("item")
+    val total = items.count()
+    items.join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > total)
+  }
 }

@@ -528,4 +528,91 @@ class Round4Spec extends AnyFunSuite {
     assert(out.count() == 0L)
     assert(out.columns.toSeq == Seq("key", "label", "rn"))
   }
+
+  test("counterRate: irate uses the bucket's LAST pair; resets counted") {
+    import graft.operators.SeriesOps
+    // one hourly bucket; counter 10 → 30 → 5 (reset) → 25 at 0/60/120/180 s:
+    // inc = 20 + 5 + 20 = 45, n_resets = 1, last pair contrib 20 over 60 s
+    val m = Seq(("a", 0, tsAt(0), 10L), ("a", 1, tsAt(60), 30L),
+      ("a", 2, tsAt(120), 5L), ("a", 3, tsAt(180), 25L))
+      .toDF("conv_id", "turn_idx", "ts", "ctr")
+    val r = SeriesOps.counterRate(m, date_trunc("hour", col("ts")), "ctr",
+      bucketSec = 3600L).collect()(0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1L && r.getLong(4) == 45L)
+    assert(r.getDouble(5) == 0.0125) // 45/3600
+    assert(r.getDouble(6) == 0.3333) // last pair 20 over 60 s, 4-dp
+  }
+
+  test("coverage: distinct minutes and interior max gap are exact") {
+    import graft.operators.SeriesOps
+    // 3 obs in one day: minutes 0, 0, 10 → 2 distinct; max gap 570 s
+    val m = Seq(("a", 0, tsAt(0), 1.0), ("a", 1, tsAt(30), 1.0),
+      ("a", 2, tsAt(600), 1.0)).toDF("conv_id", "turn_idx", "ts", "value")
+    val r = SeriesOps.coverage(m).collect()(0)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getLong(5) == 570000L)
+  }
+
+  test("ccf: identical channels give r0 = 1, and lags stay in [-1, 1]") {
+    import graft.operators.SeriesOps
+    val xs = Seq(3.0, 9.0, 1.0, 7.0, 5.0, 8.0, 2.0, 6.0)
+    val m = xs.indices.map { i =>
+      ("a", i, tsAt(i.toLong * 60), xs(i), xs(i))
+    }.toDF("conv_id", "turn_idx", "ts", "x", "y")
+    val r = SeriesOps.ccf(m, "x", "y").collect()(0)
+    assert(r.getDouble(2) == 1.0, s"r0 = ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3)) <= 1.0 && math.abs(r.getDouble(4)) <= 1.0)
+  }
+
+  test("hampel: planted spike flagged; clean series has zero outliers") {
+    import graft.operators.SeriesOps
+    val clean = (0 until 9).map(i => ("c", i, tsAt(i.toLong * 60), 10.0))
+    val spiked = (0 until 9).map(i =>
+      ("s", i, tsAt(i.toLong * 60), if (i == 4) 100.0 else 10.0 + (i % 3)))
+    val m = (clean ++ spiked).toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.hampel(m, k = 2, nsig = 3.0)
+      .orderBy("conv_id").collect()
+    assert(out(0).getLong(2) == 0L, "constant series: mad=0 → no outliers")
+    assert(out(1).getLong(2) == 1L, s"spike must be the one outlier")
+    assert(out(1).getLong(3) == tsAt(4 * 60).getTime)
+  }
+
+  test("bursts: a tight cluster inside sparse traffic enters the burst state") {
+    import graft.operators.SeriesOps
+    // 600-s ambient gaps with a 5-point cluster at 10-s spacing in the
+    // middle: the cluster's normalized gaps are far below the ln-2
+    // break-even, so the 2-state DP must spend >= 3 steps in burst
+    val ts = Seq(0L, 600, 1200, 1800, 1810, 1820, 1830, 1840, 2440, 3040)
+    val m = ts.zipWithIndex.map { case (t, i) => ("a", i, tsAt(t), 1.0) }
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val r = SeriesOps.bursts(m).collect()(0)
+    assert(r.getLong(1) == 9L)
+    assert(r.getLong(3) >= 3L, s"n_burst = ${r.getLong(3)}")
+    // the burst path pays the entry cost tau=1, so the state flips on the
+    // cluster's SECOND tight gap (t=1820), not its first
+    assert(r.getLong(4) >= 3L && r.getLong(5) == tsAt(1820).getTime,
+      s"run=${r.getLong(4)} first=${r.getLong(5)}")
+    // short series: no output
+    assert(SeriesOps.bursts(m.filter(col("turn_idx") < 2)).count() == 0L)
+  }
+
+  test("heavyHitters: exact equality with the full groupBy at every k") {
+    import graft.operators.Summary
+    // Zipf-ish corpus spread over 8 partitions: MG candidates + recount
+    // must equal the brute-force frequency filter EXACTLY (no false
+    // negatives from partition summaries, no sketch false positives)
+    val words = (0 until 2000).map { i =>
+      if (i % 2 == 0) "alpha" else if (i % 3 == 0) "beta"
+      else if (i % 5 == 0) "gamma" else s"rare$i"
+    }
+    val df = spark.createDataset(words).repartition(8).toDF("w")
+    for (k <- Seq(3, 10, 50)) {
+      val got = Summary.heavyHitters(df, "w", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = words.size
+      val want = words.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > total }.toMap
+      assert(got == want, s"k=$k got=$got want=$want")
+    }
+  }
 }
