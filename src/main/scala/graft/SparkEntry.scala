@@ -1321,6 +1321,20 @@ object SparkEntry {
     // (4-dp-quantized DP, replayed exactly by the recursive-CTE oracle)
     "ts_bursts" -> ((s, dir) =>
       SeriesOps.bursts(metrics(s, dir)).orderBy("conv_id")),
+    // real-time continuous aggregate: sealed 1h tier buckets before the
+    // watermark + a raw-tail recompute at/after it, union — the raw scan is
+    // pruned to the tail by a pushed-down timestamp predicate; result is
+    // bucket-identical to a full recompute (the oracle)
+    "ts_realtime_agg" -> ((s, dir) => {
+      val raw = metrics(s, dir).withColumnRenamed("text_len", "value")
+      // 2024-01-10T00:00:00Z (epoch-ms construction — TZ-independent)
+      val wm = new java.sql.Timestamp(1704844800000L)
+      val sealedSt = Rollup.tierState(
+        raw.filter(col("ts") < lit(wm)), Tier.H1, tsCol = "ts")
+      Rollup.presentState(
+        Rollup.realtimeState(raw, sealedSt, Tier.H1, wm, tsCol = "ts"))
+        .orderBy("conv_id", "bucket_ts")
+    }),
     // exact frequent words by two-pass Misra-Gries: per-partition k-counter
     // summaries (no shuffle) → broadcast-semi-join recount of candidates
     // only — the full-vocabulary groupBy never happens at corpus scale
@@ -3599,6 +3613,26 @@ private object Oracles {
           |  nb AS n_burst, max_run AS max_burst_run,
           |  first_ms AS first_burst_ms
           |FROM r WHERE j = n - 1 ORDER BY conv_id""".stripMargin),
+    // full recompute from raw — the real-time router must be
+    // bucket-identical to it
+    "ts_realtime_agg" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |    count(text_len) AS n, sum(text_len) AS sum_v,
+          |    sum(text_len * text_len) AS sum2_v,
+          |    min(text_len) AS min_v, max(text_len) AS max_v
+          |  FROM metrics GROUP BY 1, 2
+          |)
+          |SELECT conv_id, bucket_ts, n,
+          |  round(sum_v + 1e-9, 4) AS sum_v,
+          |  round(sum_v / n + 1e-9, 4) AS mean_v,
+          |  min_v, max_v,
+          |  CASE WHEN n > 1 THEN
+          |    round(sqrt(greatest(0.0, (sum2_v - sum_v * sum_v / n) / (n - 1)))
+          |          + 1e-9, 4) END AS std_v,
+          |  round(max_v - min_v + 1e-9, 4) AS amp_v
+          |FROM st ORDER BY conv_id, bucket_ts""".stripMargin),
     "txt_heavy" ->
       ("""WITH wf AS (
           |  SELECT word FROM (

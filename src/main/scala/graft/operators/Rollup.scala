@@ -109,6 +109,28 @@ object Rollup {
         min("min_v").as("min_v"),
         max("max_v").as("max_v"))
 
+  /** Real-time continuous aggregate (TimescaleDB real-time view shape; our
+    * addition per the north rule — the reference recomputes from raw every
+    * time, sits_reduce.R): serve a tier's algebraic state as the SEALED
+    * materialized buckets strictly before the watermark's bucket UNION a
+    * recompute of only the raw TAIL at/after it. The tail filter is a plain
+    * timestamp predicate, so at 10^12-turn scale it pushes down to the raw
+    * scan and the query reads hours of raw instead of the full history,
+    * while the sealed side reads the ratio-smaller tier store. A sealed
+    * bucket overlapping the watermark is dropped and recomputed from raw
+    * (the unsealed-edge rule). Output is bucket-identical to [[tierState]]
+    * over all raw data — integer-valued sums merge exactly (oracle-checked).
+    */
+  def realtimeState(rawSeries: DataFrame, sealedState: DataFrame, tier: Tier,
+      watermark: java.sql.Timestamp, tsCol: String = "bucket_ts"): DataFrame = {
+    val wmBucket = date_trunc(tier.unit, lit(watermark))
+    val sealedSide = sealedState
+      .filter(col("bucket_ts") < wmBucket)
+      .select("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v")
+    val tail = tierState(rawSeries.filter(col(tsCol) >= wmBucket), tier, tsCol)
+    sealedSide.unionByName(tail)
+  }
+
   /** Present algebraic state as user-facing stats: mean, stddev (sample, via
     * moments: sqrt((Σv² − (Σv)²/n)/(n−1))), amplitude. Rounded at the output
     * boundary.

@@ -596,6 +596,26 @@ class Round4Spec extends AnyFunSuite {
     assert(SeriesOps.bursts(m.filter(col("turn_idx") < 2)).count() == 0L)
   }
 
+  test("realtimeState: mid-bucket watermark drops the sealed edge bucket and recomputes it") {
+    import graft.operators.Rollup
+    import graft.model.Tier
+    // raw spans 3 hours; watermark lands MID hour 1 — the router must
+    // discard the sealed (partial) hour-1 bucket and recompute hours 1-2
+    // from raw, matching the full recompute exactly
+    val raw = (0 until 9).map(i =>
+      ("a", i, tsAt(i.toLong * 1200), (i * 7 % 13).toDouble))
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val wm = tsAt(3600 + 1200) // 20 min into hour 1
+    val sealedSt = Rollup.tierState(
+      raw.filter(col("ts") < lit(wm)), Tier.H1, tsCol = "ts")
+    val routed = Rollup.presentState(
+      Rollup.realtimeState(raw, sealedSt, Tier.H1, wm, tsCol = "ts"))
+      .orderBy("bucket_ts").collect()
+    val full = Rollup.presentState(Rollup.tierState(raw, Tier.H1, tsCol = "ts"))
+      .orderBy("bucket_ts").collect()
+    assert(routed.toSeq == full.toSeq)
+  }
+
   test("heavyHitters: exact equality with the full groupBy at every k") {
     import graft.operators.Summary
     // Zipf-ish corpus spread over 8 partitions: MG candidates + recount
