@@ -45,4 +45,33 @@ class PlanSweepSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** Shuffle budgets for the headline tier-pipeline queries: the count of
+    * hash-partitioning exchanges in the executed plan, pinned at the
+    * current (reviewed) value. At 10^12 turns every extra exchange is a
+    * full-data shuffle — a regression here is the single most expensive
+    * mistake a future edit can make, so it must fail a test, not a bench.
+    */
+  private val shuffleBudget = Map(
+    "ts_rollup_1h" -> 3, // conv window + state agg + tier cascade path
+    "ts_rollup_1d" -> 4,
+    "ts_rollup_1mo" -> 5, // one extra cascade level per coarser tier
+    "ts_regular_1m" -> 3,
+    "ts_gapfill_1m" -> 3,
+    "ts_rollup_salted" -> 3, // salted phase-1 + merge + present
+    "ts_realtime_agg" -> 4, // sealed state + tail state + union present
+    "ts_irate" -> 2, // one conv window pass + one bucket agg
+    "dd_minhash" -> 1, // banded equi-join, broadcast everything else
+    "txt_heavy" -> 2) // MG candidates are broadcast; recount + total
+
+  test("headline queries stay within their pinned shuffle budgets") {
+    val over = shuffleBudget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val n = p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      if (n > cap) Some(s"$name: $n exchanges > budget $cap") else None
+    }
+    assert(over.isEmpty, over.mkString("\n"))
+  }
 }
