@@ -1335,6 +1335,32 @@ object SparkEntry {
         Rollup.realtimeState(raw, sealedSt, Tier.H1, wm, tsCol = "ts"))
         .orderBy("conv_id", "bucket_ts")
     }),
+    // Prometheus/HDR-shape log2 latency histogram over inter-arrival gaps:
+    // integer-exact power-of-two buckets (bit length, no floating log) +
+    // conservative p50/p95/p99 upper bounds — ≤64-bucket mergeable state
+    "ts_latency_hist" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val g = metrics(s, dir)
+        .withColumn("gap", tsMs - lag(tsMs, 1).over(w))
+        .filter(col("gap").isNotNull)
+      Summary.logHistQuantiles(g, "conv_id", "gap", Seq(0.5, 0.95, 0.99))
+        .orderBy("conv_id")
+    }),
+    // KMV bottom-64 key sample over (conv, turn) keys: deterministic
+    // mergeable uniform sample, planned as TakeOrderedAndProject (partial
+    // per-partition top-k — no global sort, no RNG)
+    "ts_bottomk" -> ((s, dir) =>
+      Summary.bottomKSample(
+        transcripts(s, dir).select(
+          concat_ws(":", col("conv_id"), col("turn_idx")).as("key")),
+        "key", k = 64).orderBy("rank")),
+    // the KMV distinct estimate read off the same sketch
+    "ts_kmv" -> ((s, dir) =>
+      Summary.kmvDistinct(
+        transcripts(s, dir).select(
+          concat_ws(":", col("conv_id"), col("turn_idx")).as("key")),
+        "key", k = 64)),
     // exact frequent words by two-pass Misra-Gries: per-partition k-counter
     // summaries (no shuffle) → broadcast-semi-join recount of candidates
     // only — the full-vocabulary groupBy never happens at corpus scale
@@ -3633,6 +3659,60 @@ private object Oracles {
           |          + 1e-9, 4) END AS std_v,
           |  round(max_v - min_v + 1e-9, 4) AS amp_v
           |FROM st ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_latency_hist" ->
+      (cte + metricsCte +
+        """, g AS (
+          |  SELECT conv_id,
+          |    epoch_ms(ts) - lag(epoch_ms(ts))
+          |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
+          |  FROM metrics
+          |), gg AS (
+          |  SELECT conv_id, gap,
+          |    CASE WHEN gap <= 0 THEN -1
+          |         ELSE length(printf('%b', gap)) - 1 END AS bucket
+          |  FROM g WHERE gap IS NOT NULL
+          |), h AS (
+          |  SELECT conv_id, bucket, count(*) AS cnt FROM gg GROUP BY 1, 2
+          |), c AS (
+          |  SELECT conv_id, bucket, cnt,
+          |    CAST(sum(cnt) OVER (PARTITION BY conv_id ORDER BY bucket)
+          |         AS BIGINT) AS cum,
+          |    CAST(sum(cnt) OVER (PARTITION BY conv_id) AS BIGINT) AS n,
+          |    CASE WHEN bucket < 0 THEN 0
+          |         ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS ub
+          |  FROM h
+          |)
+          |SELECT conv_id, n AS n_obs,
+          |  min(CASE WHEN cum >= ceil(0.5 * n) THEN ub END) AS p50_ub,
+          |  min(CASE WHEN cum >= ceil(0.95 * n) THEN ub END) AS p95_ub,
+          |  min(CASE WHEN cum >= ceil(0.99 * n) THEN ub END) AS p99_ub
+          |FROM c GROUP BY 1, 2 ORDER BY conv_id""".stripMargin),
+    "ts_bottomk" ->
+      (cte +
+        s""", keys AS (
+          |  SELECT DISTINCT conv_id || ':' || turn_idx AS key FROM transcripts
+          |), hh AS (
+          |  SELECT key, ${u32Sql("key")} AS h FROM keys
+          |), bot AS (
+          |  SELECT key, h FROM hh ORDER BY h, key LIMIT 64
+          |)
+          |SELECT key, h,
+          |  CAST(row_number() OVER (ORDER BY h, key) AS INT) AS rank
+          |FROM bot ORDER BY rank""".stripMargin),
+    "ts_kmv" ->
+      (cte +
+        s""", keys AS (
+          |  SELECT DISTINCT conv_id || ':' || turn_idx AS key FROM transcripts
+          |), hh AS (
+          |  SELECT key, ${u32Sql("key")} AS h FROM keys
+          |), bot AS (
+          |  SELECT key, h FROM hh ORDER BY h, key LIMIT 64
+          |)
+          |SELECT CAST(count(*) AS BIGINT) AS n_sampled, max(h) AS h_k,
+          |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+          |       ELSE round(63 * 4294967296.0 / max(h) + 1e-9, 4) END
+          |    AS est_distinct
+          |FROM bot""".stripMargin),
     "txt_heavy" ->
       ("""WITH wf AS (
           |  SELECT word FROM (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sanity-check verbs ≙ the reference's `summary()` methods and
@@ -243,4 +244,69 @@ object Summary {
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > total)
   }
+
+  /** Power-of-two (log2) latency histogram with conservative quantile
+    * upper bounds — the Prometheus/HDR-histogram shape: bucket b holds
+    * values in [2^b, 2^(b+1)), computed EXACTLY from the integer bit
+    * length (`length(bin(v)) - 1`, no floating log), non-positive values
+    * in bucket −1. Per-key state is a bounded mergeable relation (≤64
+    * buckets) at ANY scale — the partial agg merges across any
+    * partitioning — and each quantile answer is the upper bound of the
+    * first bucket whose cumulative count reaches ⌈p·n⌉ (bounded relative
+    * error, integer-exact cross-engine). Output: (key, n_obs,
+    * p<P>_ub...).
+    */
+  def logHistQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "bad quantiles")
+    val v = col(valueCol).cast("long")
+    val bucket = when(v <= 0, lit(-1)).otherwise(length(bin(v)) - 1)
+    val hist = df.filter(v.isNotNull)
+      .groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(keyCol)))
+      .withColumn("ub", when(col("bucket") < 0, lit(0L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")))
+    val aggs = ps.map { p =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("ub")))
+        .as(s"p${(p * 100).round}_ub")
+    }
+    cum.groupBy(col(keyCol), col("n").as("n_obs"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** KMV bottom-k sketch over a key column: the k smallest u32(md5(key))
+    * of the DISTINCT keys — a deterministic, mergeable uniform key sample
+    * (planned as a partial per-partition top-k, TakeOrderedAndProject:
+    * no global sort, no RNG, resume-stable) plus the classic KMV
+    * distinct-count estimate F0 ≈ (k−1)·2^32 / h_k. When fewer than k
+    * distinct keys exist the sample is exhaustive and the estimate is the
+    * exact count. Output: (key, h, rank) rows of the sample.
+    */
+  def bottomKSample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull).distinct()
+      .withColumn("h", Accuracy.u32Md5(col("key")))
+    val w = Window.orderBy("h", "key")
+    // limit(k) plans TakeOrderedAndProject over (h, key); the rank window
+    // then runs on k rows only — bounded, not a whole-relation window
+    keyed.orderBy("h", "key").limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** The KMV estimate read off [[bottomKSample]]: one row
+    * (n_sampled, h_k, est_distinct). est = (k−1)·2^32/h_k when the sketch
+    * is full, else the exact sampled count.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    bottomKSample(df, keyCol, k)
+      .agg(count(lit(1)).as("n_sampled"), max("h").as("h_k"))
+      .select(col("n_sampled"), col("h_k"),
+        when(col("n_sampled") < k, col("n_sampled").cast("double"))
+          .otherwise(round((lit(k) - 1) * lit(4294967296.0) / col("h_k")
+            + lit(1e-9), 4))
+          .as("est_distinct"))
 }

@@ -31,7 +31,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "ts_approx_distinct",
     "ts_label_summary", "ts_sampling_design", "ts_strat_sample",
     "txt_bm25", "txt_dsir",
-    "txt_budget") // corpus-word total over |langs|×|sources| cells
+    "txt_budget", // corpus-word total over |langs|×|sources| cells
+    "ts_bottomk", // rank window over the k-row TakeOrdered result
+    "ts_kmv") // one-row aggregate of the k-row sketch
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

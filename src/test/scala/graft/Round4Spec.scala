@@ -616,6 +616,37 @@ class Round4Spec extends AnyFunSuite {
     assert(routed.toSeq == full.toSeq)
   }
 
+  test("logHistQuantiles: power-of-two buckets and quantile upper bounds are integer-exact") {
+    import graft.operators.Summary
+    // values 1,2,3,4,1000 → buckets 0,1,1,2,9; n=5
+    // p50: ceil(2.5)=3 → first cum≥3 is bucket 1 → ub = 2^2-1 = 3
+    // p99: ceil(4.95)=5 → bucket 9 → ub = 2^10-1 = 1023
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 1000L),
+      ("z", 0L)).toDF("k", "v")
+    val out = Summary.logHistQuantiles(df, "k", "v", Seq(0.5, 0.99))
+      .orderBy("k").collect()
+    assert(out(0).getLong(1) == 5L)
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 1023L)
+    // non-positive values land in bucket -1 with upper bound 0
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L)
+  }
+
+  test("KMV bottom-k: exhaustive under k, estimate within 25% over k") {
+    import graft.operators.Summary
+    val small = (1 to 10).map(i => s"key$i").toDF("k")
+    val s = Summary.kmvDistinct(small, "k", k = 64).collect()(0)
+    assert(s.getLong(0) == 10L && s.getDouble(2) == 10.0)
+    val big = (1 to 5000).map(i => s"key$i").toDF("k")
+    val b = Summary.kmvDistinct(big, "k", k = 256).collect()(0)
+    assert(b.getLong(0) == 256L)
+    assert(math.abs(b.getDouble(2) - 5000) / 5000 < 0.25,
+      s"est = ${b.getDouble(2)}")
+    // the sample itself is deterministic and rank-ordered
+    val r = Summary.bottomKSample(big, "k", k = 5).collect()
+    assert(r.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(r.map(_.getLong(1)).toSeq.sorted.sameElements(r.map(_.getLong(1))))
+  }
+
   test("heavyHitters: exact equality with the full groupBy at every k") {
     import graft.operators.Summary
     // Zipf-ish corpus spread over 8 partitions: MG candidates + recount
