@@ -1335,6 +1335,17 @@ object SparkEntry {
         Rollup.realtimeState(raw, sealedSt, Tier.H1, wm, tsCol = "ts"))
         .orderBy("conv_id", "bucket_ts")
     }),
+    // strict-sequence funnel user → tool → assistant with a 1-day
+    // conversion window: one typed sorted fold per conversation (never a
+    // per-stage self-join)
+    "ts_funnel" -> ((s, dir) =>
+      SeriesOps.funnel(transcripts(s, dir), Seq("user", "tool", "assistant"),
+        windowMs = 86400000L)
+        .orderBy("conv_id")),
+    // cohort retention matrix over first-active-day cohorts
+    "ts_cohort" -> ((s, dir) =>
+      SeriesOps.cohortRetention(metrics(s, dir))
+        .orderBy("cohort_day", "age_d")),
     // Prometheus/HDR-shape log2 latency histogram over inter-arrival gaps:
     // integer-exact power-of-two buckets (bit length, no floating log) +
     // conservative p50/p95/p99 upper bounds — ≤64-bucket mergeable state
@@ -3659,6 +3670,61 @@ private object Oracles {
           |          + 1e-9, 4) END AS std_v,
           |  round(max_v - min_v + 1e-9, 4) AS amp_v
           |FROM st ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_funnel" ->
+      (cte +
+        """, o AS (
+          |  SELECT conv_id, role, epoch_ms(ts) AS t,
+          |    row_number() OVER (PARTITION BY conv_id
+          |                       ORDER BY ts, turn_idx) AS rn
+          |  FROM transcripts
+          |), s1 AS (
+          |  SELECT conv_id, min(rn) AS r1 FROM o WHERE role = 'user'
+          |  GROUP BY 1
+          |), s2 AS (
+          |  SELECT o.conv_id, min(rn) AS r2 FROM o JOIN s1 USING (conv_id)
+          |  WHERE role = 'tool' AND rn > r1 GROUP BY 1
+          |), s3 AS (
+          |  SELECT o.conv_id, min(rn) AS r3 FROM o JOIN s2 USING (conv_id)
+          |  WHERE role = 'assistant' AND rn > r2 GROUP BY 1
+          |), base AS (SELECT DISTINCT conv_id FROM o)
+          |SELECT b.conv_id,
+          |  CAST(CASE WHEN r3 IS NOT NULL THEN 3
+          |            WHEN r2 IS NOT NULL THEN 2
+          |            WHEN r1 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+          |    AS reached,
+          |  coalesce(t1.t, -1) AS t1_ms,
+          |  coalesce(t2.t, -1) AS t2_ms,
+          |  coalesce(t3.t, -1) AS t3_ms,
+          |  CASE WHEN r3 IS NOT NULL THEN t3.t - t1.t ELSE -1 END AS span_ms,
+          |  (r3 IS NOT NULL AND t3.t - t1.t BETWEEN 0 AND 86400000)
+          |    AS converted
+          |FROM base b
+          |LEFT JOIN s1 ON s1.conv_id = b.conv_id
+          |LEFT JOIN s2 ON s2.conv_id = b.conv_id
+          |LEFT JOIN s3 ON s3.conv_id = b.conv_id
+          |LEFT JOIN o t1 ON t1.conv_id = b.conv_id AND t1.rn = s1.r1
+          |LEFT JOIN o t2 ON t2.conv_id = b.conv_id AND t2.rn = s2.r2
+          |LEFT JOIN o t3 ON t3.conv_id = b.conv_id AND t3.rn = s3.r3
+          |ORDER BY b.conv_id""".stripMargin),
+    "ts_cohort" ->
+      (cte +
+        """, f AS (
+          |  SELECT conv_id, min(date_trunc('day', ts)) AS cohort_day
+          |  FROM transcripts GROUP BY 1
+          |), a AS (
+          |  SELECT DISTINCT conv_id, date_trunc('day', ts) AS day
+          |  FROM transcripts
+          |), cells AS (
+          |  SELECT CAST(f.cohort_day AS DATE) AS cohort_day,
+          |    CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS age_d,
+          |    count(*) AS n_active
+          |  FROM a JOIN f USING (conv_id) GROUP BY 1, 2
+          |)
+          |SELECT cohort_day, age_d, n_active,
+          |  round(CAST(n_active AS DOUBLE)
+          |        / max(CASE WHEN age_d = 0 THEN n_active END)
+          |            OVER (PARTITION BY cohort_day) + 1e-9, 4) AS retention
+          |FROM cells ORDER BY cohort_day, age_d""".stripMargin),
     "ts_latency_hist" ->
       (cte + metricsCte +
         """, g AS (

@@ -187,6 +187,82 @@ object SeriesOps {
         min("d").as("min_ms"), max("d").as("max_ms"))
   }
 
+  /** Ordered-funnel analysis per conversation: walk the time-ordered
+    * turns once and record the FIRST occurrence of each stage role that
+    * appears strictly after the previous stage's match (the classic
+    * strict-sequence funnel; a stage never matches at or before its
+    * predecessor's turn). Typed sorted-fold kernel, O(stages) state, one
+    * conv_id shuffle — at 10^12 turns this is a single groupByKey pass,
+    * never a per-stage self-join. A conversation CONVERTS when it reaches
+    * the last stage within `windowMs` of its first-stage match (the
+    * time-bounded-conversion gate that makes the funnel discriminative on
+    * traffic where every long conversation eventually hits every role).
+    * Output: (conv_id, reached, t<i>_ms... with −1 sentinels for
+    * unreached stages, span_ms, converted).
+    */
+  def funnel(transcripts: DataFrame, stages: Seq[String],
+      windowMs: Long = Long.MaxValue): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 8, "1..8 funnel stages")
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val nStages = stages.size
+    val rows = transcripts
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col("role").cast("string"))
+      .as[(String, Long, Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (conv, it) =>
+        val turns = it.toArray.sortBy(r => (r._2, r._3))
+        val hit = Array.fill(nStages)(-1L)
+        var stage = 0
+        var i = 0
+        while (i < turns.length && stage < nStages) {
+          if (turns(i)._4 == stages(stage)) {
+            hit(stage) = turns(i)._2
+            stage += 1
+          }
+          i += 1
+        }
+        (conv, stage, hit.toSeq)
+      }
+    val span = when(col("reached") === nStages,
+      element_at(col("hits"), nStages) - element_at(col("hits"), 1))
+      .otherwise(lit(-1L))
+    rows.toDF("conv_id", "reached", "hits")
+      .select(col("conv_id") +: col("reached") +:
+        (stages.indices.map(i =>
+          element_at(col("hits"), i + 1).as(s"t${i + 1}_ms")) ++
+          Seq(span.as("span_ms"),
+            (col("reached") === nStages &&
+              span.between(0, windowMs)).as("converted"))): _*)
+  }
+
+  /** Cohort retention matrix: each conversation joins the cohort of its
+    * first active day; cell (cohort_day, age_d) counts conversations from
+    * that cohort active age_d days later, with the retention fraction
+    * against the cohort's day-0 size. Two partial aggs + one conv-hash
+    * co-partitioned join (both sides keyed on conv_id — no broadcast of a
+    * corpus-sized side) + one bounded window over the day-grid cells.
+    * Output: (cohort_day, age_d, n_active, retention).
+    */
+  def cohortRetention(metrics: DataFrame): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val first = metrics.groupBy("conv_id")
+      .agg(min(day).as("cohort_day"))
+    val active = metrics.select(col("conv_id"), day.as("day")).distinct()
+    val cells = active.join(first, "conv_id")
+      .groupBy(col("cohort_day").cast("date").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("age_d"))
+      .agg(count(lit(1)).as("n_active"))
+    // day-0 size via a window over the (bounded) cohort×age cell grid;
+    // age 0 always exists — a conv is active on its own cohort day
+    val w = Window.partitionBy("cohort_day")
+    cells
+      .withColumn("c0", max(when(col("age_d") === 0, col("n_active"))).over(w))
+      .select(col("cohort_day"), col("age_d"), col("n_active"),
+        r4(col("n_active").cast("double") / col("c0")).as("retention"))
+  }
+
   /** Role-bigram turn-taking matrix per conversation: count of each
     * (from_role → to_role) transition over the time-ordered turns. One lag
     * window + one partial agg; all-integer output.

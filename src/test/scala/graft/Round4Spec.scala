@@ -616,6 +616,43 @@ class Round4Spec extends AnyFunSuite {
     assert(routed.toSeq == full.toSeq)
   }
 
+  test("funnel: strict stage order, sentinels, and the conversion window gate") {
+    import graft.operators.SeriesOps
+    // conv a: user@0, tool@60, assistant@120 → reached 3, converts in 120 s
+    // conv b: tool@0, user@60, assistant@120 → tool BEFORE user doesn't
+    //   count; no tool after user → reached 1
+    // conv c: user@0, tool@60, assistant@7200 → reached 3 but span > window
+    val rows = Seq(
+      ("a", 0, tsAt(0), "user"), ("a", 1, tsAt(60), "tool"),
+      ("a", 2, tsAt(120), "assistant"),
+      ("b", 0, tsAt(0), "tool"), ("b", 1, tsAt(60), "user"),
+      ("b", 2, tsAt(120), "user"),
+      ("c", 0, tsAt(0), "user"), ("c", 1, tsAt(60), "tool"),
+      ("c", 2, tsAt(7200), "assistant"))
+      .toDF("conv_id", "turn_idx", "ts", "role")
+    val out = SeriesOps.funnel(rows, Seq("user", "tool", "assistant"),
+      windowMs = 3600000L).orderBy("conv_id").collect()
+    assert(out(0).getInt(1) == 3 && out(0).getBoolean(6))
+    assert(out(1).getInt(1) == 1 && out(1).getLong(3) == -1L &&
+      !out(1).getBoolean(6))
+    assert(out(2).getInt(1) == 3 && out(2).getLong(5) == 7200000L &&
+      !out(2).getBoolean(6), "reached but outside the window")
+  }
+
+  test("cohortRetention: day-0 fraction is 1, later ages divide by cohort size") {
+    import graft.operators.SeriesOps
+    // cohort 2 convs on day 0; one returns on day 1 → retention 0.5
+    val d = 86400L
+    val m = Seq(("a", 0, tsAt(0), 1.0), ("b", 0, tsAt(10), 1.0),
+      ("a", 1, tsAt(d), 1.0))
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.cohortRetention(m).orderBy("age_d").collect()
+    assert(out(0).getInt(1) == 0 && out(0).getLong(2) == 2L &&
+      out(0).getDouble(3) == 1.0)
+    assert(out(1).getInt(1) == 1 && out(1).getLong(2) == 1L &&
+      out(1).getDouble(3) == 0.5)
+  }
+
   test("logHistQuantiles: power-of-two buckets and quantile upper bounds are integer-exact") {
     import graft.operators.Summary
     // values 1,2,3,4,1000 → buckets 0,1,1,2,9; n=5
