@@ -256,13 +256,20 @@ object Summary {
     * error, integer-exact cross-engine). Output: (key, n_obs,
     * p<P>_ub...).
     */
+  /** floor(log2 v) from the integer bit length (bucket −1 for v ≤ 0) —
+    * shared by the batch and streaming histogram paths so stream state
+    * merges bit-identically into batch cells.
+    */
+  def log2Bucket(valueCol: Column): Column = {
+    val v = valueCol.cast("long")
+    when(v <= 0, lit(-1)).otherwise(length(bin(v)) - 1)
+  }
+
   def logHistQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "bad quantiles")
-    val v = col(valueCol).cast("long")
-    val bucket = when(v <= 0, lit(-1)).otherwise(length(bin(v)) - 1)
-    val hist = df.filter(v.isNotNull)
-      .groupBy(col(keyCol), bucket.as("bucket"))
+    val hist = df.filter(col(valueCol).cast("long").isNotNull)
+      .groupBy(col(keyCol), log2Bucket(col(valueCol)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(keyCol).orderBy("bucket")
     val cum = hist

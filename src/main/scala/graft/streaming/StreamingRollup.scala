@@ -144,6 +144,22 @@ object StreamingRollup {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("cnt"))
 
+  /** Streaming log2 latency histogram: per-(key, power-of-two bucket)
+    * counts over a stream — the ≤64-buckets-per-key mergeable state of
+    * [[graft.operators.Summary.logHistQuantiles]], aggregated
+    * incrementally (bucket exprs shared, so stream cells merge
+    * bit-identically into batch cells; quantile read-off is a bounded
+    * batch op over the sketch).
+    */
+  def logHistStream(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(
+        org.apache.spark.sql.functions.col(keyCol),
+        graft.operators.Summary.log2Bucket(
+          org.apache.spark.sql.functions.col(valueCol)).as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+
   /** Streaming near-dup SCREEN: LSH-band every incoming doc and join it
     * against the committed corpus's banded signatures (a stream-static
     * equi-join — the supported streaming join shape; no stream-side state

@@ -82,6 +82,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming log2 histogram equals batch cells after every prefix; quantile read-off agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingRollup.logHistStream(mem.toDF().toDF("k", "v"), "k", "v")
+      .writeStream.format("memory").queryName("loghist")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(("a", 1L), ("a", 3L), ("a", 900L), ("b", 0L))
+      val b2 = Seq(("a", 2L), ("b", 70L), ("b", 80L))
+      def streamed() = spark.sql("SELECT k, bucket, cnt FROM loghist")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      def batchCells(rows: Seq[(String, Long)]) =
+        rows.toDF("k", "v")
+          .groupBy(col("k"), graft.operators.Summary.log2Bucket(col("v")).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(streamed() == batchCells(b1))
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(streamed() == batchCells(b1 ++ b2))
+      // the quantile read-off over the streamed sketch equals the batch
+      // operator run over all raw values
+      val cells = spark.sql("SELECT k, bucket, cnt FROM loghist")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("bucket")
+      val fromSketch = cells
+        .withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(w))
+        .withColumn("ub", when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")))
+        .groupBy(col("k"), col("n").as("n_obs"))
+        .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("ub")))
+          .as("p50_ub"))
+        .orderBy("k").collect().toSeq
+      val fromBatch = graft.operators.Summary.logHistQuantiles(
+        (b1 ++ b2).toDF("k", "v"), "k", "v", Seq(0.5))
+        .orderBy("k").collect().toSeq
+      assert(fromSketch == fromBatch)
+    } finally q.stop()
+  }
+
   test("streaming LSH screen fires exactly the batch band-join candidates against the corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
