@@ -725,13 +725,15 @@ object SparkEntry {
     // storm contributes exactly 1999 pairs instead of ~2M, small buckets
     // keep exact all-pairs semantics
     "dd_minhash_capped" -> ((s, dir) =>
-      Dedup.minhashPairsCapped(docsStorm(s, dir), maxBucket = 64)
+      Dedup.minhashPairsCapped(docsStorm(s, dir), maxBucket = 64,
+        distinctTexts = true) // clone storm: one kernel pass per distinct text
         .orderBy("id1", "id2")),
     // dedup groups under the storm: star-contraction CC over the capped
     // pairs resolves the 2000-clone hub within the round budget; emitted
     // groups filtered to size ≥ 4 (the storm + any real multi-dup families)
     "dd_storm_groups" -> ((s, dir) =>
-      Dedup.components(Dedup.minhashPairsCapped(docsStorm(s, dir), maxBucket = 64))
+      Dedup.components(Dedup.minhashPairsCapped(docsStorm(s, dir),
+          maxBucket = 64, distinctTexts = true))
         .filter(col("group_sz") >= 4).orderBy("doc_id")),
     // signature-only Jaccard estimate for the LSH candidates (Broder '97):
     // the screen that reads 8 minhashes per doc instead of re-shuffling

@@ -42,6 +42,51 @@ object Dedup {
     * reused digest instance, so outputs — and the DuckDB oracles — are
     * byte-identical. Embarrassingly parallel, no shuffle.
     */
+  /** The per-doc signature math of [[minhashSignature]], shared with the
+    * distinct-text path. Returns null for docs with fewer than 3 tokens
+    * (excluded in both engines).
+    */
+  private def mhOf(md: java.security.MessageDigest, text: String,
+      numHashes: Int): Array[String] = {
+    val hex = "0123456789abcdef".toCharArray
+    def md5hex(s: String): String = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = hex((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = hex(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+    // split(" ", -1) keeps trailing empties — same as Spark's split
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) null
+    else {
+      // array_distinct semantics: first-occurrence order (order is
+      // irrelevant downstream — min / set ops — but kept faithful)
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < toks.length) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      val sh = seen.toArray(new Array[String](0))
+      Array.tabulate(numHashes) { j =>
+        val prefix = j.toString + "|"
+        var best: String = null
+        var s = 0
+        while (s < sh.length) {
+          val h = md5hex(prefix + sh(s))
+          if (best == null || h.compareTo(best) < 0) best = h
+          s += 1
+        }
+        best
+      }
+    }
+  }
+
   def minhashSignature(docs: DataFrame, numHashes: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -49,48 +94,39 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = "0123456789abcdef".toCharArray
-        def md5hex(s: String): String = {
-          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val out = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            out(2 * i) = hex((d(i) >> 4) & 0xf)
-            out(2 * i + 1) = hex(d(i) & 0xf)
-            i += 1
-          }
-          new String(out)
-        }
         it.flatMap { case (id, text) =>
-          // split(" ", -1) keeps trailing empties — same as Spark's split
-          val toks = text.split(" ", -1)
-          if (toks.length < 3) Iterator.empty
-          else {
-            // array_distinct semantics: first-occurrence order (order is
-            // irrelevant downstream — min / set ops — but kept faithful)
-            val seen = new java.util.LinkedHashSet[String]()
-            var i = 0
-            while (i + 2 < toks.length) {
-              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-              i += 1
-            }
-            val sh = seen.toArray(new Array[String](0))
-            val mh = Array.tabulate(numHashes) { j =>
-              val prefix = j.toString + "|"
-              var best: String = null
-              var s = 0
-              while (s < sh.length) {
-                val h = md5hex(prefix + sh(s))
-                if (best == null || h.compareTo(best) < 0) best = h
-                s += 1
-              }
-              best
-            }
-            Iterator.single((id, mh))
-          }
+          val mh = mhOf(md, text, numHashes)
+          if (mh == null) Iterator.empty else Iterator.single((id, mh))
         }
       }
       .toDF("doc_id", "mh")
+  }
+
+  /** [[minhashSignature]] computed once per DISTINCT text and joined back
+    * to doc ids (signatures depend only on the text) — the clone-storm
+    * path: a boilerplate-heavy corpus pays the shingle×hash kernel once
+    * per distinct text instead of once per copy, at the cost of one
+    * content-hash shuffle (the same grouping exact dedup already does).
+    * Output identical to [[minhashSignature]].
+    */
+  def minhashSignatureDistinct(docs: DataFrame, numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id").cast("long").as("doc_id"),
+      md5(col("text")).as("tkey"), col("text"))
+    val sigByText = keyed
+      .groupBy("tkey").agg(min("text").as("text")) // texts in a group are identical
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (tkey, text) =>
+          val mh = mhOf(md, text, numHashes)
+          if (mh == null) Iterator.empty else Iterator.single((tkey, mh))
+        }
+      }
+      .toDF("tkey", "mh")
+    keyed.select("doc_id", "tkey").join(sigByText, "tkey")
+      .select("doc_id", "mh")
   }
 
   /** LSH candidate pairs: band key = concat of `rowsPerBand` consecutive
@@ -98,11 +134,14 @@ object Dedup {
     */
   /** LSH band keys per doc: (doc_id, band_idx, band_key) — the shared
     * banding of [[minhashPairs]] and the streaming near-dup screen.
+    * `distinctTexts` switches the signature source to the once-per-
+    * distinct-text kernel (the clone-storm path).
     */
   def bandedSignatures(docs: DataFrame, numHashes: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, distinctTexts: Boolean = false): DataFrame = {
     val bands = numHashes / rowsPerBand
-    minhashSignature(docs, numHashes)
+    (if (distinctTexts) minhashSignatureDistinct(docs, numHashes)
+     else minhashSignature(docs, numHashes))
       .withColumn("band", explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b ->
            |  struct(b as idx, concat_ws('', slice(mh, b * $rowsPerBand + 1, $rowsPerBand)) as key))""".stripMargin)))
@@ -130,8 +169,9 @@ object Dedup {
     * Deterministic (hub = min doc_id) → oracle-reproducible in SQL.
     */
   def minhashPairsCapped(docs: DataFrame, numHashes: Int = 8,
-      rowsPerBand: Int = 2, maxBucket: Int = 64): DataFrame = {
-    val sig = bandedSignatures(docs, numHashes, rowsPerBand)
+      rowsPerBand: Int = 2, maxBucket: Int = 64,
+      distinctTexts: Boolean = false): DataFrame = {
+    val sig = bandedSignatures(docs, numHashes, rowsPerBand, distinctTexts)
     val stats = sig.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("n"), min("doc_id").as("hub"))
     val keyed = sig.join(stats, Seq("band_idx", "band_key"))
