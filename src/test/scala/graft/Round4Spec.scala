@@ -684,6 +684,25 @@ class Round4Spec extends AnyFunSuite {
     assert(r.map(_.getLong(1)).toSeq.sorted.sameElements(r.map(_.getLong(1))))
   }
 
+  test("minhashSignatureDistinct ≡ minhashSignature on a clone-heavy corpus") {
+    // 40 docs over only 6 distinct texts (incl. <3-token drops): the
+    // once-per-distinct-text path must emit byte-identical signatures
+    val texts = Seq(
+      "the quick brown fox jumps", "lorem ipsum dolor sit amet",
+      "pack my box with five dozen jugs", "short one", // <3 tokens drops
+      "a b c d e f g", "x y z")
+    val docs = (0 until 40).map(i => (i.toLong, texts(i % texts.length)))
+      .toDF("doc_id", "text").repartition(8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val a = canon(graft.operators.Dedup.minhashSignature(docs, 8))
+    val b = canon(graft.operators.Dedup.minhashSignatureDistinct(docs, 8))
+    assert(a == b)
+    // "short one" (residue 3 → 7 copies) drops in both paths; 40-7 = 33
+    assert(a.size == 33,
+      s"docs with <3 tokens must drop in both paths (got ${a.size})")
+  }
+
   test("heavyHitters: exact equality with the full groupBy at every k") {
     import graft.operators.Summary
     // Zipf-ish corpus spread over 8 partitions: MG candidates + recount
