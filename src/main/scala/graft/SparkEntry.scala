@@ -136,6 +136,18 @@ object SparkEntry {
       Rollup.presentState(Rollup.cascade(st1h, Tier.D1))
         .orderBy("conv_id", "bucket_ts")
     }),
+    // §7.4 retention hole closed: quantiles AFTER raw/1m expiry — the
+    // ≤64-cell log2 histogram rides in 1h tier state, cascades 1h→1d by
+    // exact integer merges, and answers p50/p90/p99 upper bounds at 1d.
+    // Oracle recomputes the same integer bit-length buckets directly from
+    // the 1m grid — equality proves the carried/cascaded histogram exact.
+    "ts_rollup_quantiles" -> ((s, dir) => {
+      val st1h = SeriesRollup.stateDenseHist(s,
+        Regularize.firstValid(transcripts(s, dir), Tier.M1), Tier.M1, Tier.H1)
+      Rollup.histQuantiles(Rollup.cascadeHist(st1h, Tier.D1),
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("conv_id", "bucket_ts")
+    }),
     // north rule: Gorilla+delta-of-delta chunk encode → decode round trip —
     // bit-exact, so the gap-fill oracle doubles as the codec oracle
     "ts_chunk_roundtrip" -> ((s, dir) => {
@@ -1515,6 +1527,31 @@ object SparkEntry {
 
 /** DuckDB oracle SQL, kept structurally parallel to the Spark pipeline so
   * float expressions evaluate in the same IEEE operand order.
+  *
+  * IEEE NEGATIVE-ZERO CONTRACT (fleet-wide audit, round 5): the driver
+  * hashes STRING RENDERINGS, and DuckDB's `round()` of a tiny negative
+  * yields `-0.0` while the engine's rounding (BigDecimal HALF_UP in `r4d`
+  * and Spark's native `round`) always yields `+0.0`. Every oracle output
+  * column produced by `round()` over an expression that CAN be negative
+  * therefore carries a `+ 0.0` normalizer (IEEE: -0.0 + 0.0 = +0.0).
+  * Audited queries: ts_holt (level/trend/forecast — the round-4 red),
+  * ts_cusum (max_stat via greatest-boundary), ts_trend (slope/intercept),
+  * ts_ccf (r0/r1/r2), ts_acf (r1/r2/r3), ts_corr (r), ts_decompose
+  * (s_idx), ts_reduce_moments (t_skewness), ts_apply_expr (anomaly),
+  * ts_kernel_w + ts_variance (w_var: Σx²−(Σx)²/n can round to -0.0),
+  * ts_sgolay (sg_v: signed convolution), ts_smooth_bayes (b_v),
+  * ts_hampel (max_ratio), ts_texture (variance/std/correlation),
+  * txt_lm + txt_ppl_bucket (lm_score), txt_dsir (mean_lr),
+  * ts_train_logit (w). Columns audited and left alone because they are
+  * non-negative by construction or only negative via literal sentinels:
+  * ts_ewma (ewma of non-negative series), ts_peaks (max_peak, -1.0
+  * sentinel), ts_mask_fill (value, -9999.0 sentinel), ts_fslope_1d
+  * (unrounded max of exact diffs; x-y of equal doubles is +0.0),
+  * ts_normalize (clamped to [1e-4, 1]), ts_whittaker (literal 0.0),
+  * ts_probs_label (entropy/margin in [0,1] with +1e-9 bias),
+  * ts_reduce_moments t_kurtosis/t_mse, ts_tuning (accuracies).
+  * tools/compare.py compares string renderings (like the driver) and
+  * tools/compare_selftest.py proves it catches planted -0.0 / HUGEINT.
   */
 private object Oracles {
   private val cte = Transcripts.oracleCte
@@ -1955,6 +1992,32 @@ private object Oracles {
           |  END AS std_v,
           |  round(max(value) - min(value) + 1e-9, 4) AS amp_v
           |FROM gapfilled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "ts_rollup_quantiles" ->
+      (cte + gapfilledCte +
+        """, hbv AS (
+          |  SELECT conv_id, date_trunc('day', bucket_ts) AS bucket_ts,
+          |    CASE WHEN cast(trunc(value) AS BIGINT) <= 0 THEN -1
+          |         ELSE length(printf('%b', cast(trunc(value) AS BIGINT))) - 1
+          |    END AS hb
+          |  FROM gapfilled WHERE value IS NOT NULL
+          |), hc AS (
+          |  SELECT conv_id, bucket_ts, hb, count(*) AS cnt
+          |  FROM hbv GROUP BY 1, 2, 3
+          |), cum AS (
+          |  SELECT conv_id, bucket_ts, hb,
+          |    CAST(sum(cnt) OVER (PARTITION BY conv_id, bucket_ts
+          |                        ORDER BY hb) AS BIGINT) AS cum,
+          |    CAST(sum(cnt) OVER (PARTITION BY conv_id, bucket_ts)
+          |         AS BIGINT) AS n,
+          |    CASE WHEN hb < 0 THEN 0
+          |         ELSE (CAST(1 AS BIGINT) << (hb + 1)) - 1 END AS ub
+          |  FROM hc
+          |)
+          |SELECT conv_id, bucket_ts, n AS n_obs,
+          |  min(CASE WHEN cum >= ceil(0.5 * n) THEN ub END) AS p50_ub,
+          |  min(CASE WHEN cum >= ceil(0.9 * n) THEN ub END) AS p90_ub,
+          |  min(CASE WHEN cum >= ceil(0.99 * n) THEN ub END) AS p99_ub
+          |FROM cum GROUP BY 1, 2, 3 ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_reduce_series" ->
       (cte + metricsCte +
         """
@@ -1989,7 +2052,7 @@ private object Oracles {
           |  FROM metrics m JOIN mu ON m.conv_id = mu.conv_id GROUP BY m.conv_id
           |)
           |SELECT conv_id, n,
-          |  CASE WHEN s2 > 0 THEN round((s3 / n) / pow(s2 / n, 1.5) * (sqrt(n * (n - 1)) / n - 2) + 1e-9, 4) END AS t_skewness,
+          |  CASE WHEN s2 > 0 THEN round((s3 / n) / pow(s2 / n, 1.5) * (sqrt(n * (n - 1)) / n - 2) + 1e-9, 4) + 0.0 END AS t_skewness,
           |  CASE WHEN s2 > 0 THEN round(n * s4 / (s2 * s2) + 1e-9, 4) END AS t_kurtosis,
           |  round(mse + 1e-9, 4) AS t_mse
           |FROM cm ORDER BY conv_id""".stripMargin),
@@ -2040,7 +2103,7 @@ private object Oracles {
           |  round(s1 / 5 + 1e-9, 4) AS w_mean,
           |  w_median, w_min, w_max,
           |  round(sqrt(greatest(0.0, (s2 - s1 * s1 / 5) / 4)) + 1e-9, 4) AS w_sd,
-          |  round((s2 - s1 * s1 / 5) / 4 + 1e-9, 4) AS w_var,
+          |  round((s2 - s1 * s1 / 5) / 4 + 1e-9, 4) + 0.0 AS w_var,
           |  m.w_modal
           |FROM stats s JOIN modal m ON s.conv_id = m.conv_id AND s.bucket_ts = m.bucket_ts
           |ORDER BY s.conv_id, s.bucket_ts""".stripMargin),
@@ -2048,7 +2111,7 @@ private object Oracles {
       (cte + gapfilledCte + seriesArrCtes +
         s"""
            |SELECT conv_id, tsv[i] AS bucket_ts,
-           |  round(($sgCase) + 1e-9, 4) AS sg_v
+           |  round(($sgCase) + 1e-9, 4) + 0.0 AS sg_v
            |FROM idx ORDER BY conv_id, bucket_ts""".stripMargin),
     // Whittaker optimality-condition oracle: the query emits y (= the
     // gap-filled grid, recomputed here) and r = y − z − λ(D″ᵀD″z), which is
@@ -2111,7 +2174,7 @@ private object Oracles {
           |)
           |SELECT conv_id, bucket_ts,
           |  round(CASE WHEN s0 < 1e-4 THEN m0
-          |             ELSE (s0 / (s0 + 0.8)) * x0 + (1 - s0 / (s0 + 0.8)) * m0 END + 1e-9, 4) AS b_v
+          |             ELSE (s0 / (s0 + 0.8)) * x0 + (1 - s0 / (s0 + 0.8)) * m0 END + 1e-9, 4) + 0.0 AS b_v
           |FROM lstat ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_combine" ->
       (cte + probsCte +
@@ -2474,7 +2537,7 @@ private object Oracles {
           |  FROM lidx
           |)
           |SELECT conv_id, bucket_ts,
-          |  round((list_sum(list_transform(w, x -> x * x)) - list_sum(w) * list_sum(w) / 5) / 4 + 1e-9, 4) AS w_var
+          |  round((list_sum(list_transform(w, x -> x * x)) - list_sum(w) * list_sum(w) / 5) / 4 + 1e-9, 4) + 0.0 AS w_var
           |FROM lwin ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_rollup_p16d" ->
       (cte + metricsCte +
@@ -2596,7 +2659,7 @@ private object Oracles {
           |)
           |SELECT conv_id, bucket_ts, v0 AS value,
           |  round(ln(v0 + 1.0) + 1e-9, 4) AS lg,
-          |  round(v0 - round(list_sum(w) / 5 + 1e-9, 4) + 1e-9, 4) AS anomaly
+          |  round(v0 - round(list_sum(w) / 5 + 1e-9, 4) + 1e-9, 4) + 0.0 AS anomaly
           |FROM dwin ORDER BY conv_id, bucket_ts""".stripMargin),
     // NNLS KKT-certificate oracle: features are recomputed relationally;
     // kkt_w (dual feasibility), kkt_comp (complementary slackness) and
@@ -2710,11 +2773,11 @@ private object Oracles {
           |  round(sqrt(s_p2) + 1e-9, 4) AS energy,
           |  round(s_p2 + 1e-9, 4) AS asm,
           |  round(s_pi + 1e-9, 4) AS glcm_mean,
-          |  round(s_pi2 - s_pi * s_pi + 1e-9, 4) AS variance,
-          |  round(sqrt(greatest(0.0, s_pi2 - s_pi * s_pi)) + 1e-9, 4) AS std,
+          |  round(s_pi2 - s_pi * s_pi + 1e-9, 4) + 0.0 AS variance,
+          |  round(sqrt(greatest(0.0, s_pi2 - s_pi * s_pi)) + 1e-9, 4) + 0.0 AS std,
           |  round(CASE WHEN s_pi2 - s_pi * s_pi < 1e-15 THEN 1.0
           |             ELSE (s_pij - s_pi * s_pi) / (s_pi2 - s_pi * s_pi) END + 1e-9, 4)
-          |    AS correlation
+          |    + 0.0 AS correlation
           |FROM ag ORDER BY conv_id""".stripMargin),
     "ts_merge_intersects" ->
       (cte + metricsCte +
@@ -3109,7 +3172,7 @@ private object Oracles {
           |  FROM ag
           |)
           |SELECT conv_id, n_buckets,
-          |  round((n_buckets * sxy - sx * sy) / sqrt(vx * vy) + 1e-9, 4) AS r
+          |  round((n_buckets * sxy - sx * sy) / sqrt(vx * vy) + 1e-9, 4) + 0.0 AS r
           |FROM v WHERE vx > 0 AND vy > 0 ORDER BY conv_id""".stripMargin),
     "ts_sessionize" ->
       (cte + metricsCte +
@@ -3184,9 +3247,9 @@ private object Oracles {
           |  FROM dxt GROUP BY 1
           |)
           |SELECT conv_id, n_obs,
-          |  round(c1 / c0 + 1e-9, 4) AS r1,
-          |  round(c2 / c0 + 1e-9, 4) AS r2,
-          |  round(c3 / c0 + 1e-9, 4) AS r3
+          |  round(c1 / c0 + 1e-9, 4) + 0.0 AS r1,
+          |  round(c2 / c0 + 1e-9, 4) + 0.0 AS r2,
+          |  round(c3 / c0 + 1e-9, 4) + 0.0 AS r3
           |FROM ag WHERE round(c0 + 1e-9, 4) > 0 ORDER BY conv_id""".stripMargin),
     "ts_seasonal" ->
       (cte + metricsCte +
@@ -3249,7 +3312,7 @@ private object Oracles {
           |SELECT conv_id, count(*) AS n_obs,
           |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
           |  coalesce(min(CASE WHEN alarm THEN t END), -1) AS first_alarm_ms,
-          |  max(greatest(sp_e, sn_e)) AS max_stat
+          |  max(greatest(sp_e, sn_e)) + 0.0 AS max_stat
           |FROM r GROUP BY 1 ORDER BY conv_id""".stripMargin),
     "ts_holt" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
@@ -3275,8 +3338,11 @@ private object Oracles {
           |    FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
           |  )
           |)
-          |SELECT conv_id, idx, y AS value, l AS level, b AS trend,
-          |  round(l + b + 1e-9, 4) AS forecast
+          |-- `+ 0.0` normalizes IEEE negative zero (round() of a tiny
+          |-- negative yields -0.0, which the driver's string-render hash
+          |-- distinguishes from the engine's +0.0; -0.0 + 0.0 = +0.0)
+          |SELECT conv_id, idx, y AS value, l + 0.0 AS level, b + 0.0 AS trend,
+          |  round(l + b + 1e-9, 4) + 0.0 AS forecast
           |FROM r ORDER BY conv_id, idx""".stripMargin),
     "ts_lttb" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
@@ -3407,8 +3473,8 @@ private object Oracles {
           |  FROM ag
           |)
           |SELECT conv_id, n_obs,
-          |  round(cv / vx + 1e-9, 4) AS slope,
-          |  round((sy - cv / vx * sx) / n_obs + 1e-9, 4) AS intercept,
+          |  round(cv / vx + 1e-9, 4) + 0.0 AS slope,
+          |  round((sy - cv / vx * sx) / n_obs + 1e-9, 4) + 0.0 AS intercept,
           |  round(cv * cv / (vx * vy) + 1e-9, 4) AS r2
           |FROM vv WHERE n_obs >= 2 AND vy > 0 ORDER BY conv_id""".stripMargin),
     "ts_decompose" ->
@@ -3439,7 +3505,7 @@ private object Oracles {
           |  FROM s GROUP BY 1
           |)
           |SELECT s.conv_id, s.hod, s.n_h,
-          |  round(s.s_raw - c.s_mean + 1e-9, 4) AS s_idx
+          |  round(s.s_raw - c.s_mean + 1e-9, 4) + 0.0 AS s_idx
           |FROM s JOIN c ON s.conv_id = c.conv_id
           |ORDER BY s.conv_id, s.hod""".stripMargin),
     "ts_counter_inc" ->
@@ -3561,11 +3627,11 @@ private object Oracles {
           |)
           |SELECT conv_id, n AS n_obs,
           |  round((sxy0 - my * sx - mx * sy + n * mx * my) / den
-          |        + 1e-9, 4) AS r0,
+          |        + 1e-9, 4) + 0.0 AS r0,
           |  round((sxy1 - my * sx1 - mx * sy1 + (n - 1) * mx * my) / den
-          |        + 1e-9, 4) AS r1,
+          |        + 1e-9, 4) + 0.0 AS r1,
           |  round((sxy2 - my * sx2 - mx * sy2 + (n - 2) * mx * my) / den
-          |        + 1e-9, 4) AS r2
+          |        + 1e-9, 4) + 0.0 AS r2
           |FROM d ORDER BY conv_id""".stripMargin),
     "ts_hampel" ->
       (cte + metricsCte +
@@ -3574,7 +3640,9 @@ private object Oracles {
           |    list_sort(list(text_len)
           |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
           |            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS arr
-          |  FROM metrics
+          |  -- NULL contract: Spark's collect_list drops nulls, DuckDB's
+          |  -- list() keeps them; both sides filter nulls pre-window
+          |  FROM metrics WHERE text_len IS NOT NULL
           |), md AS (
           |  SELECT conv_id, ts, value, arr, len(arr) AS n,
           |    (arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2]) / 2 AS med
@@ -3599,7 +3667,7 @@ private object Oracles {
           |  coalesce(min(CASE WHEN is_out THEN epoch_ms(ts) END), -1)
           |    AS first_outlier_ms,
           |  coalesce(round(max(CASE WHEN mad > 0 THEN dev / mad END)
-          |                 + 1e-9, 4), -1.0) AS max_ratio
+          |                 + 1e-9, 4) + 0.0, -1.0) AS max_ratio
           |FROM o GROUP BY 1 ORDER BY conv_id""".stripMargin),
     "ts_bursts" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
@@ -4535,7 +4603,7 @@ private object Oracles {
           |)
           |SELECT doc_id, CAST(count(*) AS bigint) AS n_grams,
           |       CAST(sum(lr_micro) AS bigint) AS w_micro,
-          |       round(cast(sum(lr_micro) AS double) / count(*) / 1e6 + 1e-9, 4)
+          |       round(cast(sum(lr_micro) AS double) / count(*) / 1e6 + 1e-9, 4) + 0.0
           |         AS mean_lr
           |FROM b JOIN lr USING (bkt)
           |WHERE NOT is_target
@@ -4778,7 +4846,7 @@ private object Oracles {
           |  SELECT tri, round(ln(cast(count(*) AS double) / (SELECT t FROM tot)) + 1e-9, 6) AS lp
           |  FROM tris GROUP BY tri
           |)
-          |SELECT doc_id, count(*) AS n_tri, round(avg(lp) + 1e-9, 4) AS lm_score
+          |SELECT doc_id, count(*) AS n_tri, round(avg(lp) + 1e-9, 4) + 0.0 AS lm_score
           |FROM tris JOIN lp USING (tri)
           |GROUP BY 1 ORDER BY doc_id""".stripMargin),
     "txt_ppl_bucket" ->
@@ -4793,7 +4861,7 @@ private object Oracles {
           |  SELECT tri, round(ln(cast(count(*) AS double) / (SELECT t FROM tot)) + 1e-9, 6) AS lp
           |  FROM tris GROUP BY tri
           |), sc AS (
-          |  SELECT t.doc_id, d.lang, round(avg(t_lp.lp) + 1e-9, 4) AS lm_score
+          |  SELECT t.doc_id, d.lang, round(avg(t_lp.lp) + 1e-9, 4) + 0.0 AS lm_score
           |  FROM tris t JOIN lp t_lp USING (tri)
           |  JOIN documents d ON d.doc_id = t.doc_id
           |  GROUP BY t.doc_id, d.lang
@@ -5442,7 +5510,7 @@ private object Oracles {
       gdChain("", "0.1", iters, "cf2") +
       gdAccCte("accq", s"w$iters", "cf2") +
       s"""
-         |SELECT feature, w, a.acc AS train_acc FROM (
+         |SELECT feature, w + 0.0 AS w, a.acc AS train_acc FROM (
          |  SELECT 'bias' AS feature, b AS w FROM w$iters
          |  UNION ALL SELECT 'f_len', w1 FROM w$iters
          |  UNION ALL SELECT 'f_tool', w2 FROM w$iters

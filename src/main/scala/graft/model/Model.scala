@@ -39,6 +39,17 @@ case class TierPoint(
     min_v: Double,
     max_v: Double)
 
+/** One cell of the ≤64-bucket power-of-two value histogram carried inside
+  * tier state: `hb` = floor(log2 v) from the integer bit length (−1 for
+  * v ≤ 0), `cnt` = values in [2^hb, 2^(hb+1)). Mergeable across any
+  * partitioning and across tiers by summing counts per `hb`, so
+  * median/p90/p99 upper bounds stay answerable at 1h/1d/1mo AFTER the
+  * raw/1m tiers are expired (closes the SURVEY §7.4 retention contract
+  * hole: exact holistic quantiles need the finest retained tier, but the
+  * ≤1-bucket-error histogram survives every expiry).
+  */
+case class HistCell(hb: Int, cnt: Long)
+
 /** Byte-packed compressed chunk of one conversation×tier series:
   * delta-of-delta timestamps + Gorilla-XOR values (stored as binary columns;
   * ≙ the reference's int16+LZW packed COG blocks,

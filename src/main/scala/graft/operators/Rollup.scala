@@ -71,13 +71,82 @@ object Rollup {
     */
   def cascade(lowerState: DataFrame, to: Tier): DataFrame =
     lowerState
-      .groupBy(col("conv_id"), date_trunc(to.unit, col("bucket_ts")).as("bucket_ts"))
+      .groupBy(stateKeys(lowerState) :+
+        date_trunc(to.unit, col("bucket_ts")).as("bucket_ts"): _*)
       .agg(
         sum("n").as("n"),
         sum("sum_v").as("sum_v"),
         sum("sum2_v").as("sum2_v"),
         min("min_v").as("min_v"),
         max("max_v").as("max_v"))
+
+  /** Series-identity key of a state relation: conv_id, plus the `metric`
+    * band dimension when present (multi-band pipeline) — every cascade /
+    * histogram read groups per (conv, band) series, never across bands.
+    */
+  private def stateKeys(df: DataFrame): Seq[Column] =
+    col("conv_id") +:
+      (if (df.columns.contains("metric")) Seq(col("metric")) else Nil)
+  private def stateKeyNames(df: DataFrame): Seq[String] =
+    "conv_id" +: (if (df.columns.contains("metric")) Seq("metric") else Nil)
+
+  /** [[cascade]] for quantile-bearing state (`hist` column of
+    * [[graft.model.HistCell]] cells): moments merge algebraically as in
+    * [[cascade]]; histograms merge by summing counts per log2 cell
+    * (explode → partial-agg sum → re-pack sorted). Closes the SURVEY §7.4
+    * retention hole: after raw/1m expiry, exact medians are gone but the
+    * cascaded histogram still answers p50/p90/p99 upper bounds at 1d/1mo
+    * with ≤1-bucket error. Cost scales with TIER-STATE size (already
+    * ratio-compressed vs raw), and the exploded relation is ≤65× state
+    * rows with map-side combine — never a raw-data pass.
+    */
+  def cascadeHist(lowerState: DataFrame, to: Tier): DataFrame = {
+    val keys = stateKeyNames(lowerState)
+    val mergedHist = lowerState
+      .select(stateKeys(lowerState) :+
+        date_trunc(to.unit, col("bucket_ts")).as("bucket_ts") :+
+        explode(col("hist")).as("h"): _*)
+      .select(keys.map(col) ++ Seq(col("bucket_ts"),
+        col("h.hb").as("hb"), col("h.cnt").as("cnt")): _*)
+      .groupBy(keys.map(col) ++ Seq(col("bucket_ts"), col("hb")): _*)
+      .agg(sum("cnt").as("cnt"))
+      .groupBy(keys.map(col) :+ col("bucket_ts"): _*)
+      .agg(sort_array(collect_list(struct(col("hb"), col("cnt"))))
+        .as("hist"))
+    cascade(lowerState.drop("hist"), to)
+      .join(mergedHist, keys :+ "bucket_ts", "left")
+  }
+
+  /** Quantile upper bounds off the tier-state histogram: for each state
+    * row, each requested p answers the upper bound `2^(hb+1)−1` of the
+    * first histogram cell whose cumulative count reaches ⌈p·n⌉ — the
+    * [[Summary.logHistQuantiles]] read applied to CARRIED state instead of
+    * raw data (integer-exact cross-engine, bounded relative error). The
+    * explode is ≤65 rows per state row; the window partitions per state
+    * row. Output: (conv_id, bucket_ts, n_obs, p<P>_ub…).
+    */
+  def histQuantiles(state: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "bad quantiles")
+    val keys = stateKeyNames(state)
+    val ex = state
+      .select(stateKeys(state) ++ Seq(col("bucket_ts"), col("n"),
+        explode(col("hist")).as("h")): _*)
+      .select(keys.map(col) ++ Seq(col("bucket_ts"), col("n"),
+        col("h.hb").as("hb"), col("h.cnt").as("cnt")): _*)
+    val w = Window.partitionBy(keys.map(col) :+ col("bucket_ts"): _*)
+      .orderBy("hb")
+    val cum = ex
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("ub", when(col("hb") < 0, lit(0L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), hb + 1) - 1")))
+    val aggs = ps.map { p =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("ub")))
+        .as(s"p${(p * 100).round}_ub")
+    }
+    cum.groupBy(keys.map(col) ++ Seq(col("bucket_ts"),
+        col("n").as("n_obs")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Two-phase SALTED tier state for hot-key skew (north rule; the
     * reference has no skew handling — a big tile is just a slow worker,
@@ -127,7 +196,27 @@ object Rollup {
     val sealedSide = sealedState
       .filter(col("bucket_ts") < wmBucket)
       .select("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v")
-    val tail = tierState(rawSeries.filter(col(tsCol) >= wmBucket), tier, tsCol)
+    // Completeness guard: do NOT trust the caller's watermark to be covered
+    // by the sealed store. If the store is stale (sealed through an earlier
+    // bucket than the watermark implies), the buckets between its actual
+    // seal and the watermark would otherwise vanish — neither side covers
+    // them. Read the store's ACTUAL max sealed bucket (a one-row aggregate
+    // off the ratio-smaller tier store, not raw) and start the raw
+    // recompute right after it. In the current-store case this reduces to
+    // `ts >= wmBucket` exactly as before — `least` of two foldable
+    // literals, so the tail stays a plain pushable range predicate.
+    val maxSealedRow = sealedSide.agg(max("bucket_ts")).head()
+    val tailPred =
+      if (maxSealedRow.isNullAt(0)) lit(true) // empty store: all-raw recompute
+      else {
+        val ms = maxSealedRow.getTimestamp(0) // < wmBucket by the filter above
+        if (tier.millis > 0)
+          col(tsCol) >= least(
+            lit(new java.sql.Timestamp(ms.getTime + tier.millis)), wmBucket)
+        else // calendar tier (variable width): bucket-compare form
+          date_trunc(tier.unit, col(tsCol)) > lit(ms)
+      }
+    val tail = tierState(rawSeries.filter(tailPred), tier, tsCol)
     sealedSide.unionByName(tail)
   }
 

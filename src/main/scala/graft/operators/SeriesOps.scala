@@ -628,6 +628,15 @@ object SeriesOps {
     * cross-engine. Denominator √(Sxx·Syy) from whole-series raw sums.
     * Constant channels drop. One window pass carrying the three lags +
     * one partial agg. Output: (conv_id, n_obs, r0, r1, r2).
+    *
+    * Exactness domain: the integer-sum guarantee holds while every
+    * accumulated sum stays below 2^53. Each row contributes ≤ M² to
+    * Σx², so a conversation of n turns with |values| ≤ M is exact while
+    * n·M² < 2^53 — e.g. M = 10^5 (text_len) admits n up to ~9·10^5 turns
+    * per conversation. Past that bound double summation loses ULPs while
+    * DuckDB sums in higher precision, and the 4-dp quantized r can
+    * diverge; accumulate sxx/sxy in DecimalType if conversations that
+    * long ever carry magnitudes that large.
     */
   def ccf(metrics: DataFrame, xCol: String, yCol: String): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
@@ -684,7 +693,12 @@ object SeriesOps {
       (element_at(a, ((n + 1) / 2).cast("int")) +
         element_at(a, ((n + 2) / 2).cast("int"))) / 2
     }
+    // NULL contract: collect_list silently drops nulls (shrinking the
+    // window) while DuckDB's list() keeps them — filter nulls out up front
+    // (and the oracle carries the matching WHERE) so both engines see the
+    // same windows by construction, not by fixture luck.
     metrics
+      .filter(col(valueCol).isNotNull)
       .withColumn("arr", arr)
       .withColumn("med", medOf(col("arr")))
       .withColumn("mad",

@@ -182,4 +182,96 @@ object SeriesRollup {
       .withColumn("bucket_ts", timestamp_millis(col("b"))).drop("b")
       .select("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v")
   }
+
+  /** [[stateDense]] plus the ≤64-cell power-of-two value histogram
+    * ([[graft.model.HistCell]]) per (conv, coarse bucket) — the
+    * quantile-bearing tier state. The histogram is built inside the same
+    * group kernel (one extra O(1) bit-length per value, no extra shuffle)
+    * using the exact integer contract of [[Summary.log2Bucket]]
+    * (`v.toLong`, bucket −1 for v ≤ 0), so cascaded histograms merge
+    * bit-identically with the batch/streaming log2 paths. Feeds
+    * [[Rollup.cascadeHist]]/[[Rollup.histQuantiles]]: p50/p90/p99 upper
+    * bounds remain answerable at 1d/1mo after raw/1m expiry.
+    */
+  def stateDenseHist(spark: SparkSession, firstValid: DataFrame,
+      fine: Tier, coarse: Tier): DataFrame =
+    stateDenseHistMulti(spark,
+      firstValid.select(col("conv_id"), col("bucket_ts"),
+        col("value").as("__m0")), fine, coarse, Seq("__m0"))
+      .drop("metric")
+      .select("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v",
+        "max_v", "hist")
+
+  /** Multi-band [[stateDenseHist]]: every metric column of a
+    * [[Regularize.firstValidAll]] relation is gap-filled and rolled in ONE
+    * group pass — the raw turns are scanned and shuffled once total, like
+    * the reference's one-read-serves-all-bands job list
+    * (api_gdalcubes.R:506-513: tile×band×time jobs, one image read per
+    * tile). Output carries a `metric` dimension column; downstream
+    * [[Rollup.cascadeHist]]/[[Rollup.histQuantiles]] auto-include it in
+    * their grouping keys.
+    */
+  def stateDenseHistMulti(spark: SparkSession, firstValid: DataFrame,
+      fine: Tier, coarse: Tier, metrics: Seq[String]): DataFrame = {
+    require(metrics.nonEmpty, "no metric columns")
+    import spark.implicits._
+    val step = fine.millis
+    val cs = coarse.millis
+    val names = metrics.toArray
+    firstValid
+      .select(col("conv_id"), unix_millis(col("bucket_ts")).as("t"),
+        array(metrics.map(m => col(m).cast("double")): _*).as("vs"))
+      .as[(String, Long, Seq[Option[Double]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray
+        val out = Vector.newBuilder[(String, String, Long, Long,
+          Option[Double], Option[Double], Option[Double], Option[Double],
+          Seq[graft.model.HistCell])]
+        var mi = 0
+        while (mi < names.length) {
+          val obs = rows.map(r => (r._1, r._2, r._3(mi)))
+          val (t0, v) = filledGrid(obs, step)
+          var i = 0
+          while (i < v.length) {
+            val t = t0 + i * step
+            val b = t - t % cs
+            var j = i
+            while (j < v.length && t0 + j * step < b + cs) j += 1
+            var c = 0L; var sum = 0.0; var sum2 = 0.0
+            var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+            val hist = new Array[Long](65) // slot 0 ↔ hb=−1, slot s ↔ hb=s−1
+            var k = i
+            while (k < j) {
+              val x = v(k)
+              if (!x.isNaN) {
+                c += 1; sum += x; sum2 += x * x
+                if (x < mn) mn = x; if (x > mx) mx = x
+                val lv = x.toLong // cast contract of Summary.log2Bucket
+                val hb = if (lv <= 0) -1
+                         else 63 - java.lang.Long.numberOfLeadingZeros(lv)
+                hist(hb + 1) += 1
+              }
+              k += 1
+            }
+            val cells = (0 until 65).iterator
+              .filter(hist(_) > 0)
+              .map(s => graft.model.HistCell(s - 1, hist(s)))
+              .toSeq
+            out += ((conv, names(mi), b, c,
+              if (c > 0) Some(sum) else None, if (c > 0) Some(sum2) else None,
+              if (c > 0) Some(mn) else None, if (c > 0) Some(mx) else None,
+              cells))
+            i = j
+          }
+          mi += 1
+        }
+        out.result().iterator
+      }
+      .toDF("conv_id", "metric", "b", "n", "sum_v", "sum2_v", "min_v",
+        "max_v", "hist")
+      .withColumn("bucket_ts", timestamp_millis(col("b"))).drop("b")
+      .select("conv_id", "metric", "bucket_ts", "n", "sum_v", "sum2_v",
+        "min_v", "max_v", "hist")
+  }
 }

@@ -206,7 +206,11 @@ object Summary {
     * summary per partition (O(k) memory, no shuffle) and unions the ≤ k·P
     * candidate items; pass 2 exactly recounts ONLY rows matching a
     * candidate (broadcast semi-join — at 10^12 turns the full-vocabulary
-    * groupBy never happens) and keeps items with cnt·k > total. Every MG
+    * groupBy never happens) and keeps items with cnt·k > total. The corpus
+    * is read exactly TWICE: pass 1 emits each partition's row count as a
+    * (null, n) sentinel record next to its candidates, so `total` comes out
+    * of the same scan (a separate count() would be a third full read — the
+    * dominant cost at design scale). Every MG
     * partition summary retains any item with global count > n_p/k, so the
     * union retains every item with count > n/k regardless of how rows
     * land in partitions; the exact recount then removes sketch false
@@ -219,10 +223,14 @@ object Summary {
     import spark.implicits._
     val items = df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val candidates = items.as[String]
+    // ≤ ((k-1)+1)·P rows — collected once, so neither `total` nor the
+    // candidate set re-executes the pass-1 scan.
+    val summaries = items.as[String]
       .mapPartitions { it =>
         val counters = new scala.collection.mutable.HashMap[String, Long]()
+        var np = 0L
         it.foreach { x =>
+          np += 1
           if (counters.contains(x)) counters(x) += 1
           else if (counters.size < k - 1) counters(x) = 1
           else {
@@ -235,11 +243,13 @@ object Summary {
             dead.foreach(counters.remove)
           }
         }
-        counters.keysIterator
+        Iterator.single((null: String, np)) ++ counters.keysIterator.map((_, 0L))
       }
-      .distinct()
-      .toDF("item")
-    val total = items.count()
+      .collect()
+    val total = summaries.collect { case (null, np) => np }.sum
+    val candidates = summaries
+      .collect { case (item, _) if item != null => item }
+      .distinct.toSeq.toDF("item")
     items.join(broadcast(candidates), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > total)

@@ -244,7 +244,18 @@ object TierPipeline {
     * merge).
     */
   def compactTier(spark: SparkSession, outRoot: String, tier: String,
-      snapshotId: Long): Option[String] = {
+      snapshotId: Long): Option[String] =
+    compactTier(spark, outRoot, tier, snapshotId, () => ())
+
+  /** Test seam: `midSwap` runs after the consolidated dir is written but
+    * BEFORE the single manifest append (the swap point) — the window in
+    * which a concurrent ingest can commit a new batch. The swap replays
+    * only the (bucket, window) lines captured at planning time and
+    * tombstones only the planned source paths, so a batch committed inside
+    * the window stays live and un-tombstoned (RetentionSpec proves it).
+    */
+  private[graft] def compactTier(spark: SparkSession, outRoot: String,
+      tier: String, snapshotId: Long, midSwap: () => Unit): Option[String] = {
     val live = committedPaths(outRoot, tier, snapshotId)
     if (live.size <= 1) return None // nothing to merge (incl. fresh post-compact)
     // GENERATIONAL target name: batches committed after a compaction (a
@@ -303,6 +314,7 @@ object TierPipeline {
         s""""snapshotId":$snapshotId,"path":"$path","window":"-",""" +
         s""""status":"compacted"}"""
     }
+    midSwap()
     appendLines(outRoot, tier, newLines.toSeq)
     Some(target)
   }
@@ -471,14 +483,23 @@ object TierPipeline {
     */
   def runAll(spark: SparkSession, transcripts: DataFrame, inputPath: String,
       outRoot: String, nBuckets: Int = 8,
-      limitBuckets: Option[Int] = None): Seq[TierRun] = {
+      limitBuckets: Option[Int] = None,
+      metrics: Seq[String] = Seq("text_len")): Seq[TierRun] = {
+    require(metrics.nonEmpty, "no metrics")
+    val single = metrics.size == 1
     val snap = snapshotId(inputPath)
     val b = bucketCol(nBuckets)
 
     // firstValid feeds BOTH the 1m-chunk and 1h-state tiers → persist once
     // (observed-bucket cardinality, bounded; ≙ materializing the regular
-    // cube the reference writes to disk between stages)
-    val fv = Regularize.firstValid(transcripts, Tier.M1).persist()
+    // cube the reference writes to disk between stages). Multi-band runs
+    // aggregate EVERY metric in this one raw scan+shuffle
+    // (firstValidAll ≙ the reference's one-read-serves-all-bands job,
+    // api_gdalcubes.R:506-513) — the raw-data pass is paid once, not
+    // once per band; everything downstream reads the ratio-smaller fv.
+    val fv = (if (single) Regularize.firstValid(transcripts, Tier.M1, metrics.head)
+              else Regularize.firstValidAll(transcripts, Tier.M1, metrics))
+      .persist()
     fv.count() // materialize before forking the two independent tier jobs
 
     // tiers 1m and 1h are independent given fv → submit CONCURRENTLY; the
@@ -488,13 +509,27 @@ object TierPipeline {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val f1 = Future {
-      val chunks = ChunkStore.encodeFilled(spark, fv, Tier.M1).toDF()
-        .withColumn("bucket", bucketCol(nBuckets))
+      val chunksDf =
+        if (single) ChunkStore.encodeFilled(spark, fv, Tier.M1).toDF()
+        else metrics.map { m =>
+          ChunkStore.encodeFilled(spark,
+            fv.select(col("conv_id"), col("bucket_ts"), col(m).as("value")),
+            Tier.M1).toDF().withColumn("metric", lit(m))
+        }.reduce(_ unionByName _)
+      val chunks = chunksDf.withColumn("bucket", bucketCol(nBuckets))
       runTier(spark, outRoot, "1m-chunks", snap, nBuckets, chunks, limitBuckets)
     }
     val f2 = Future {
-      val st1h = SeriesRollup.stateDense(spark, fv, Tier.M1, Tier.H1)
-        .withColumn("bucket", b)
+      // quantile-bearing state: the ≤64-cell log2 histogram rides in the
+      // same kernel pass, so p50/p90/p99 stay answerable at 1h/1d/1mo
+      // after raw and 1m-chunks are expired (SURVEY §7.4); multi-band
+      // state carries a `metric` dimension column that cascadeHist and
+      // histQuantiles auto-include in their keys
+      val st1h0 =
+        if (single) SeriesRollup.stateDenseHist(spark, fv, Tier.M1, Tier.H1)
+        else SeriesRollup.stateDenseHistMulti(spark, fv, Tier.M1, Tier.H1,
+          metrics)
+      val st1h = st1h0.withColumn("bucket", b)
       runTier(spark, outRoot, "1h-state", snap, nBuckets, st1h, limitBuckets)
     }
     val r1 = Await.result(f1, Duration.Inf)
@@ -510,7 +545,7 @@ object TierPipeline {
         TierRun("1d-state", Nil, Nil, 0, 0)
       else {
         val st1hStored = readTier(spark, outRoot, "1h-state", snap)
-        val st1d = Rollup.cascade(st1hStored.drop("bucket"), Tier.D1)
+        val st1d = Rollup.cascadeHist(st1hStored.drop("bucket"), Tier.D1)
           .withColumn("bucket", b)
         runTier(spark, outRoot, "1d-state", snap, nBuckets, st1d, limitBuckets)
       }
@@ -522,7 +557,7 @@ object TierPipeline {
         TierRun("1mo-state", Nil, Nil, 0, 0)
       else {
         val st1dStored = readTier(spark, outRoot, "1d-state", snap)
-        val stMo = Rollup.cascade(st1dStored.drop("bucket"), Tier.Mo1)
+        val stMo = Rollup.cascadeHist(st1dStored.drop("bucket"), Tier.Mo1)
           .withColumn("bucket", b)
         runTier(spark, outRoot, "1mo-state", snap, nBuckets, stMo, limitBuckets)
       }

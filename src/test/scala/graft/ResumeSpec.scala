@@ -112,6 +112,68 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-metric runAll: one raw pass serves both bands; per-band tiers equal the single-metric runs; resume intact") {
+    import graft.operators.Rollup
+    val input = freshDir("mm_in")
+    Transcripts.synthetic(spark, nConv = 30).write.mode("overwrite")
+      .parquet(s"$input/transcripts.parquet")
+    val tr = spark.read.parquet(s"$input/transcripts.parquet")
+    val snap = TierPipeline.snapshotId(input)
+    val ms = Seq("text_len", "is_tool")
+
+    // interrupted multi-metric run resumes exactly like single-metric
+    val out = freshDir("mm")
+    val r1 = TierPipeline.runAll(spark, tr, input, out, nBuckets, Some(2),
+      metrics = ms)
+    assert(r1.take(2).map(_.processed.size) == Seq(2, 2))
+    val r2 = TierPipeline.runAll(spark, tr, input, out, nBuckets, metrics = ms)
+    assert(r2(2).processed.size == nBuckets && r2(3).processed.size == nBuckets)
+
+    // per-band slices of every tier equal the dedicated single-metric runs
+    val singles = ms.map { m =>
+      val o = freshDir(s"mm_$m")
+      TierPipeline.runAll(spark, tr, input, o, nBuckets, metrics = Seq(m))
+      m -> o
+    }.toMap
+    // sum_v/sum2_v are UNROUNDED internal state (the engine rounds only at
+    // output boundaries); the multi run's extra `metric` grouping key hash-
+    // partitions differently, so partial-agg merge ORDER differs and the
+    // last ~2 ULPs of the double sums can too — canonicalize at 10
+    // significant digits (way beyond the 4-dp output contract), keep
+    // n/min/max exact.
+    def canonState(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("conv_id"), col("bucket_ts"), col("n"),
+        format_string("%.10g", col("sum_v")).as("sum_v"),
+        format_string("%.10g", col("sum2_v")).as("sum2_v"),
+        col("min_v"), col("max_v"))
+      .collect().map(_.toString).sorted.toSeq
+    for (tier <- Seq("1h-state", "1d-state", "1mo-state"); m <- ms) {
+      val multi = canonState(TierPipeline.readTier(spark, out, tier, snap)
+        .filter(col("metric") === m))
+      val single = canonState(TierPipeline.readTier(spark, singles(m), tier, snap))
+      assert(multi == single, s"tier $tier band $m differs from single run")
+    }
+    // chunk tier: per-band chunk payloads byte-identical to single runs
+    // (md5 the binary columns — Row.toString prints array identity)
+    def canonChunks(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("conv_id"), col("n"), col("codec"),
+        md5(col("ts_payload")).as("tp"), md5(col("value_payload")).as("vp"))
+      .collect().map(_.toString).sorted.toSeq
+    for (m <- ms) {
+      val multi = canonChunks(TierPipeline.readTier(spark, out, "1m-chunks", snap)
+        .filter(col("metric") === m))
+      val single = canonChunks(
+        TierPipeline.readTier(spark, singles(m), "1m-chunks", snap))
+      assert(multi == single, s"chunks band $m differ from single run")
+    }
+    // quantile reads stay per-band (metric in the key)
+    val q = Rollup.histQuantiles(
+      TierPipeline.readTier(spark, out, "1d-state", snap).drop("bucket"),
+      Seq(0.5, 0.99))
+    assert(q.columns.contains("metric"))
+    assert(q.select("metric").distinct().count() == 2)
+  }
+
   test("snapshot id matching is exact, not prefix (123 must not match 1234)") {
     val out = freshDir("snap")
     java.nio.file.Files.writeString(

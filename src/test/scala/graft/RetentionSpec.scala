@@ -147,6 +147,82 @@ class RetentionSpec extends AnyFunSuite {
     assert(all == Seq(target2.get))
   }
 
+  test("quantiles survive retention: p50/p90/p99 at 1d answerable AFTER raw+1m+1h expiry, identical to pre-expiry") {
+    import graft.operators.Rollup
+    val input = java.nio.file.Files.createTempDirectory("qret_in").toString
+    graft.sources.Transcripts.synthetic(spark, nConv = 40)
+      .write.mode("overwrite").parquet(s"$input/transcripts.parquet")
+    val tr = spark.read.parquet(s"$input/transcripts.parquet")
+    val out = java.nio.file.Files.createTempDirectory("qret").toString
+    TierPipeline.runAll(spark, tr, input, out, nBuckets = 4)
+    val snap = TierPipeline.snapshotId(input)
+
+    def q1d() = Rollup.histQuantiles(
+      TierPipeline.readTier(spark, out, "1d-state", snap).drop("bucket"),
+      Seq(0.5, 0.9, 0.99)).collect().map(_.toString).sorted.toSeq
+    val pre = q1d()
+    assert(pre.nonEmpty, "no 1d quantile rows before expiry")
+
+    // expire + vacuum EVERYTHING below 1d (cutoff far in the future)
+    val far = Long.MaxValue / 2
+    assert(TierPipeline.expireBatches(out, "1m-chunks", snap, far,
+      guardTier = Some("1h-state"), nBuckets = 4).nonEmpty)
+    assert(TierPipeline.expireBatches(out, "1h-state", snap, far,
+      guardTier = Some("1d-state"), nBuckets = 4).nonEmpty)
+    TierPipeline.vacuumTier(out, "1m-chunks")
+    TierPipeline.vacuumTier(out, "1h-state")
+    // fine tiers truly gone: no live batches remain (readTier now refuses)
+    assert(TierPipeline.committedPaths(out, "1h-state", snap).isEmpty,
+      "1h tier still live after expiry")
+    assert(TierPipeline.committedPaths(out, "1m-chunks", snap).isEmpty,
+      "1m tier still live after expiry")
+
+    // the carried histogram still answers — and answers identically
+    assert(q1d() == pre, "1d quantiles changed after expiring finer tiers")
+  }
+
+  test("compaction mid-swap vs concurrent ingest: new window stays live, no (bucket,window) dropped or double-counted") {
+    val out = java.nio.file.Files.createTempDirectory("interleave").toString
+    val snap = 13L
+    TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+      dayDf(day1Ms), window = Some("d0"))
+    TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+      dayDf(day2Ms), window = Some("d1"))
+
+    // a third window commits INSIDE compaction's swap window (after the
+    // consolidated dir is written, before the single manifest append)
+    val target = TierPipeline.compactTier(spark, out, "1h-state", snap,
+      () => {
+        val r = TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+          dayDf(day2Ms + 86400000L), window = Some("d2"))
+        assert(r.processed.nonEmpty)
+      })
+    assert(target.nonEmpty)
+
+    // live paths: the consolidated batch AND the interleaved d2 batch —
+    // d2 was not tombstoned by a swap planned before it existed
+    val live = TierPipeline.committedPaths(out, "1h-state", snap)
+    assert(live.size == 2 && live.contains(target.get), s"live: $live")
+
+    // row multiset = exactly three days, nothing dropped, nothing doubled
+    val rows = TierPipeline.readTier(spark, out, "1h-state", snap)
+    assert(rows.count() == 3 * 48)
+    assert(rows.select("conv_id", "bucket_ts").distinct().count() == 3 * 48)
+
+    // resume diff: every (bucket, window) still done
+    Seq("d0", "d1", "d2").zipWithIndex.foreach { case (w, d) =>
+      val r = TierPipeline.runTier(spark, out, "1h-state", snap, 4,
+        dayDf(day1Ms + d * 86400000L), window = Some(w))
+      assert(r.processed.isEmpty, s"window $w re-ingested")
+    }
+
+    // the next compaction folds the interleaved batch in; rows preserved
+    val target2 = TierPipeline.compactTier(spark, out, "1h-state", snap)
+    assert(target2.nonEmpty && target2 != target)
+    assert(TierPipeline.committedPaths(out, "1h-state", snap) == Seq(target2.get))
+    assert(TierPipeline.readTier(spark, out, "1h-state", snap).count() == 3 * 48)
+  }
+
   test("vacuum refuses manifest paths that escape the tier root") {
     val out = java.nio.file.Files.createTempDirectory("retention2").toString
     java.nio.file.Files.writeString(

@@ -6,6 +6,13 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 Registers each parquet table as a view, runs every oracle SQL from
 oracle_sql.json, and diffs against the Spark parquet output: row count,
 column set, and (column-name-sorted, row-sorted) value equality.
+
+DRIVER FIDELITY: the driver hashes STRING RENDERINGS of every value, so
+this pre-flight compares string renderings too (astype(str)), for EVERY
+column. Numeric equality is NOT enough: -0.0 vs 0.0 (round-4 ts_holt),
+or a DuckDB HUGEINT rendered "38827026.0" vs a Spark BIGINT "38827026"
+(round-2/3 txt_winnow), are numerically equal yet driver-red. The only
+carve-out is a NaN==NaN pair (the driver treats nulls as equal).
 """
 import json, sys, glob, os
 import duckdb
@@ -43,22 +50,18 @@ for name, sql in sorted(oracle.items()):
     repr_cols = []
     for c in ocols:
         a, b = o[c], s[c]
-        # Driver semantics: it hashes STRING RENDERINGS, so a DuckDB HUGEINT
-        # column (rendered by pandas as float64 "38827026.0") vs a Spark
-        # BIGINT ("38827026") is a driver hash-mismatch even when the values
-        # are numerically identical. Flag that representation skew loudly
-        # instead of silently passing a numeric compare (the round-2/3
-        # txt_winnow blind spot).
+        # Loud dedicated message for the dtype-level representation skew:
+        # one side float64 with integral values, the other integer (the
+        # DuckDB HUGEINT blind spot). astype(str) below would also catch
+        # it, but the fix hint (cast the oracle to BIGINT) is worth naming.
         if (a.dtype.kind == 'f') != (b.dtype.kind == 'f'):
             f, i = (a, b) if a.dtype.kind == 'f' else (b, a)
             if i.dtype.kind in 'iu' and (f.dropna() == f.dropna().round()).all():
                 repr_cols.append(c)
                 continue
-        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-            import numpy as np
-            eq = ((a.isna() & b.isna()) | (a == b)).all()
-        else:
-            eq = ((a.isna() & b.isna()) | (a.astype(str) == b.astype(str))).all()
+        # Driver semantics: string renderings, every column. -0.0 != 0.0
+        # here, exactly as in the driver's hash. NaN-pair carve-out kept.
+        eq = ((a.isna() & b.isna()) | (a.astype(str) == b.astype(str))).all()
         if not eq:
             diff_cols.append(c)
     if repr_cols:
@@ -69,9 +72,10 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
     if diff_cols:
-        print(f"FAIL {name}: value mismatch in {diff_cols} ({len(o)} rows)")
+        print(f"FAIL {name}: render mismatch in {diff_cols} ({len(o)} rows)")
         for c in diff_cols[:3]:
-            mask = ~((o[c].isna() & s[c].isna()) | (o[c] == s[c]))
+            a, b = o[c], s[c]
+            mask = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
             print(f"  {c}: {mask.sum()} differing rows; first:")
             print("   oracle:", o[mask].head(2).to_dict('records'))
             print("   spark :", s[mask].head(2).to_dict('records'))
