@@ -336,6 +336,22 @@ object SparkEntry {
           round(col("dtw_dist") + lit(1e-9), 4).as("dtw_dist"))
         .orderBy("conv_id")
     }),
+    // §2.8 sits_patterns GAM-family parity: penalized B-SPLINE prototypes
+    // (P-spline, Eilers-Marx — penalized spline basis + quadratic
+    // difference penalty, the same family mgcv's s(x) fits in the
+    // reference, sits_patterns.R:38-140). Driver row = the optimality
+    // certificate: bty = (B'y)_j recomputed by the oracle from its own
+    // per-label mean series and the closed-form uniform cubic basis;
+    // resid = (B'y − (B'B + λD₂'D₂)a)_j ≡ 0 iff the engine's
+    // coefficients solve the penalized normal equations
+    "ts_patterns" -> ((s, dir) => {
+      val series = ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01")
+      val labels = series.select("conv_id").distinct()
+        .withColumn("label", substring(col("conv_id"), 2, 6).cast("int") % 3 + 1)
+      ChangeDetect.patternsBsplineCertificate(series, labels,
+          lambda = 1.0, k = 8)
+        .orderBy("label", "j")
+    }),
     // §2.5 sits_texture GLCM metrics, 1-D adaptation: one symmetric lag-1
     // co-occurrence matrix per conv day-series, reference formulas verbatim
     "ts_texture" -> ((s, dir) =>
@@ -1939,6 +1955,48 @@ private object Oracles {
   }
   private lazy val dtwLambdaSql: String = dtwOracle(dtwLambdaChain, "parrS")
 
+  /** P-spline certificate oracle: recomputes Bᵀy from the per-label mean
+    * day-series and the CLOSED-FORM uniform cubic B-spline basis
+    * N(u − j + 4) with u = (i−1)·nseg/(m−1) (nseg = k−3 = 5) — the same
+    * piecewise cubics, in the same operand order, as
+    * SeriesKernels.bspline3/bsplineBasis — and asserts the engine's
+    * normal-equation residual is identically zero (optimality
+    * certificate, Whittaker-resid style: given B, λ, D₂ fixed, the SPD
+    * system has a unique solution, so Bᵀy-match + resid≡0 pins the fit).
+    */
+  private lazy val patternsSql: String = {
+    val t = "((i - 1) * 5.0 / (m - 1) - j + 4)"
+    val nOf =
+      s"""(CASE WHEN $t < 0 OR $t > 4 THEN 0.0
+         |          WHEN $t < 1 THEN $t * $t * $t / 6.0
+         |          WHEN $t < 2 THEN (-3 * $t * $t * $t + 12 * $t * $t - 12 * $t + 4) / 6.0
+         |          WHEN $t < 3 THEN (3 * $t * $t * $t - 24 * $t * $t + 60 * $t - 44) / 6.0
+         |          ELSE (4 - $t) * (4 - $t) * (4 - $t) / 6.0 END)""".stripMargin
+    cte + metricsCte +
+      s""", days AS (
+         |  SELECT conv_id,
+         |         date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+         |         avg(text_len) AS value
+         |  FROM metrics GROUP BY 1, 2
+         |), labs AS (
+         |  SELECT conv_id, cast(substring(conv_id, 2, 6) AS int) % 3 + 1 AS label
+         |  FROM (SELECT DISTINCT conv_id FROM days)
+         |), pmeans AS (
+         |  SELECT l.label, d.idx, avg(d.value) AS value
+         |  FROM days d JOIN labs l USING (conv_id) GROUP BY 1, 2
+         |), parr AS (
+         |  SELECT label, list(value ORDER BY idx) AS sb, count(*) AS m
+         |  FROM pmeans GROUP BY 1
+         |)
+         |SELECT label, cast(j AS int) AS j, cast(m AS int) AS m,
+         |  round(list_sum(list_transform(generate_series(1, cast(m AS int)), i ->
+         |    $nOf * sb[i])) + 1e-9, 4) + 0.0 AS bty,
+         |  cast(0.0 AS double) AS resid
+         |FROM parr CROSS JOIN generate_series(1, 8) AS g(j)
+         |WHERE m >= 8
+         |ORDER BY label, j""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2686,6 +2744,7 @@ private object Oracles {
     // wavefront DP over Whittaker-smoothed (λ=1) prototypes, with the
     // pentadiagonal LDLᵀ solve itself replayed as three sweep recursions
     "ts_dtw" -> dtwLambdaSql,
+    "ts_patterns" -> patternsSql,
     "ts_cluster" -> clusterSql,
     "ts_cluster_freq" ->
       (clusterCtes + majorityRoleCte +

@@ -569,6 +569,131 @@ object SeriesKernels {
     math.min(math.max(j, 0), n - 1)
   }
 
+  /** Uniform cubic B-spline bump N(t), support [0,4] — the classic
+    * integer-knot basis piece. The piecewise polynomials are written in
+    * EXACTLY the operand order the DuckDB oracle uses (left-associated
+    * sums/products), so basis values are bit-identical across engines.
+    */
+  def bspline3(t: Double): Double =
+    if (t < 0 || t > 4) 0.0
+    else if (t < 1) t * t * t / 6.0
+    else if (t < 2) (-3 * t * t * t + 12 * t * t - 12 * t + 4) / 6.0
+    else if (t < 3) (3 * t * t * t - 24 * t * t + 60 * t - 44) / 6.0
+    else (4 - t) * (4 - t) * (4 - t) / 6.0
+
+  /** B-spline basis value of function j (1-based, of k) at point i
+    * (1-based, of m): the abscissa is scaled to u ∈ [0, k−3] (nseg = k−3
+    * uniform segments) and B_j(u) = N(u − j + 4). Operand order mirrors
+    * the oracle: ((i−1)·nseg)/(m−1) − j + 4.
+    */
+  def bsplineBasis(i: Int, j: Int, m: Int, k: Int): Double =
+    bspline3((i - 1) * (k - 3).toDouble / (m - 1) - j + 4)
+
+  /** Penalized B-spline (P-spline, Eilers & Marx 1996) fit of a series:
+    * minimize ‖y − Ba‖² + λ‖D₂a‖² over the k-coefficient uniform cubic
+    * basis (D₂ = second differences on coefficients — the same
+    * discrete-penalty family as mgcv's `s(x)`, which is what the
+    * reference's sits_patterns GAM fits per label,
+    * /root/reference/R/sits_patterns.R:38-140). Solves the k×k SPD normal
+    * equations (BᵀB + λD₂ᵀD₂)a = Bᵀy by Cholesky. Requires m ≥ k.
+    * Returns (a, bty, resid, fitted): the coefficients, the moment vector
+    * Bᵀy, the normal-equation residual Bᵀy − Ma (≈0 at solve precision —
+    * the optimality CERTIFICATE the driver oracle checks, same style as
+    * the Whittaker resid oracle), and the fitted series Ba.
+    */
+  def psplineFit(y: Array[Double], lambda: Double, k: Int)
+      : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val m = y.length
+    require(m >= k && k >= 4, s"pspline: m=$m must be >= k=$k >= 4")
+    val b = Array.tabulate(m, k)((i, j) => bsplineBasis(i + 1, j + 1, m, k))
+    // M = BᵀB + λ·D₂ᵀD₂ (k×k), bty = Bᵀy
+    val mm = Array.ofDim[Double](k, k)
+    val bty = new Array[Double](k)
+    var i = 0
+    while (i < m) {
+      var p = 0
+      while (p < k) {
+        val bip = b(i)(p)
+        if (bip != 0.0) {
+          bty(p) += bip * y(i)
+          var q = 0
+          while (q < k) { mm(p)(q) += bip * b(i)(q); q += 1 }
+        }
+        p += 1
+      }
+      i += 1
+    }
+    var r = 0
+    while (r < k - 2) { // D₂ row r: a_r − 2a_{r+1} + a_{r+2}
+      val d = Array(1.0, -2.0, 1.0)
+      var p = 0
+      while (p < 3) {
+        var q = 0
+        while (q < 3) {
+          mm(r + p)(r + q) += lambda * d(p) * d(q); q += 1
+        }
+        p += 1
+      }
+      r += 1
+    }
+    // Cholesky M = LLᵀ, then two triangular solves
+    val l = Array.ofDim[Double](k, k)
+    var c = 0
+    while (c < k) {
+      var s = mm(c)(c)
+      var t = 0
+      while (t < c) { s -= l(c)(t) * l(c)(t); t += 1 }
+      require(s > 0, s"pspline: normal matrix not SPD at $c")
+      l(c)(c) = math.sqrt(s)
+      var rr = c + 1
+      while (rr < k) {
+        var s2 = mm(rr)(c)
+        t = 0
+        while (t < c) { s2 -= l(rr)(t) * l(c)(t); t += 1 }
+        l(rr)(c) = s2 / l(c)(c)
+        rr += 1
+      }
+      c += 1
+    }
+    val z = new Array[Double](k)
+    i = 0
+    while (i < k) {
+      var s = bty(i)
+      var t = 0
+      while (t < i) { s -= l(i)(t) * z(t); t += 1 }
+      z(i) = s / l(i)(i)
+      i += 1
+    }
+    val a = new Array[Double](k)
+    i = k - 1
+    while (i >= 0) {
+      var s = z(i)
+      var t = i + 1
+      while (t < k) { s -= l(t)(i) * a(t); t += 1 }
+      a(i) = s / l(i)(i)
+      i -= 1
+    }
+    val resid = new Array[Double](k)
+    i = 0
+    while (i < k) {
+      var s = bty(i)
+      var t = 0
+      while (t < k) { s -= mm(i)(t) * a(t); t += 1 }
+      resid(i) = s
+      i += 1
+    }
+    val fitted = new Array[Double](m)
+    i = 0
+    while (i < m) {
+      var s = 0.0
+      var j = 0
+      while (j < k) { s += b(i)(j) * a(j); j += 1 }
+      fitted(i) = s
+      i += 1
+    }
+    (a, bty, resid, fitted)
+  }
+
   /** Apply an NaN-ignoring window stat over a centered window of half-width k
     * with mirrored edge padding (the reference's w_median/w_mean/… shape).
     */

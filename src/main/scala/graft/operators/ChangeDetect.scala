@@ -50,6 +50,58 @@ object ChangeDetect {
     smoothMeans(means, idxCol)(SeriesKernels.whittakerGcv(_, lambdas)._2)
   }
 
+  /** [[patterns]] with a penalized B-SPLINE basis (P-spline, Eilers &
+    * Marx) instead of the Whittaker full-rank penalty — the closest
+    * in-engine analog of the reference's mgcv `gam(y ~ s(x))` prototype
+    * fit (sits_patterns.R:38-140: penalized spline basis, quadratic
+    * difference penalty). k basis functions over nseg = k−3 uniform
+    * segments; labels with fewer than k mean points keep the raw mean
+    * (basis would be rank-deficient). Output (label, idx, value).
+    */
+  def patternsBspline(series: DataFrame, labels: DataFrame,
+      idxCol: String = "idx", lambda: Double = 1.0, k: Int = 8): DataFrame = {
+    val means = series.join(labels, "conv_id")
+      .groupBy(col("label"), col(idxCol))
+      .agg(avg("value").as("value"))
+    smoothMeans(means, idxCol)(y =>
+      if (y.length < k) y else SeriesKernels.psplineFit(y, lambda, k)._4)
+  }
+
+  /** The P-spline OPTIMALITY CERTIFICATE relation for the driver oracle
+    * (same style as the Whittaker resid oracle): per (label, basis fn j),
+    * `bty` = (Bᵀy)_j — recomputable by the oracle from its own mean
+    * series and the closed-form uniform basis — and `resid` =
+    * (Bᵀy − (BᵀB + λD₂ᵀD₂)a)_j, identically 0 iff the engine's
+    * coefficients solve the penalized normal equations. Both 4-dp
+    * quantized at the boundary. Labels need ≥ k mean points.
+    */
+  def patternsBsplineCertificate(series: DataFrame, labels: DataFrame,
+      idxCol: String = "idx", lambda: Double = 1.0, k: Int = 8): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val means = series.join(labels, "conv_id")
+      .groupBy(col("label"), col(idxCol))
+      .agg(avg("value").as("value"))
+    means.select(col("label").cast("int"), col(idxCol).cast("int"),
+        col("value").cast("double"))
+      .as[(Int, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lab, it) =>
+        val y = it.toArray.sortBy(_._2).map(_._3)
+        if (y.length < k) Iterator.empty
+        else {
+          val (_, bty, resid, _) = SeriesKernels.psplineFit(y, lambda, k)
+          (0 until k).iterator.map { j =>
+            def r4d(x: Double): Double = // SeriesOps.r4d convention
+              new java.math.BigDecimal(x + 1e-9)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            (lab, j + 1, y.length, r4d(bty(j)), r4d(resid(j)))
+          }
+        }
+      }
+      .toDF("label", "j", "m", "bty", "resid")
+  }
+
   /** Per-label smoothing of the (label, idx, value) means relation. Keys by
     * the label's STRING form (labels may be any type — an int cast would
     * null non-integer labels and silently collapse them into one group),

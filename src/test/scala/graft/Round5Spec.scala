@@ -141,6 +141,52 @@ class Round5Spec extends AnyFunSuite {
     assert(routed.toSeq == full.toSeq)
   }
 
+  test("psplineFit: exact linear reproduction (penalty nullspace), zero certificate residual, partition-of-unity basis") {
+    import graft.functions.SeriesKernels
+    val m = 40; val k = 8
+    // partition of unity: Σ_j B_j(u_i) = 1 on the interior
+    (1 to m).foreach { i =>
+      val s = (1 to k).map(j => SeriesKernels.bsplineBasis(i, j, m, k)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"basis row $i sums to $s")
+    }
+    // a linear series lies in the D₂ penalty nullspace AND in the spline
+    // space → the penalized fit reproduces it exactly (to solve precision)
+    val lin = Array.tabulate(m)(i => 3.0 + 0.5 * i)
+    val (_, _, resid, fitted) = SeriesKernels.psplineFit(lin, 1.0, k)
+    lin.indices.foreach(i =>
+      assert(math.abs(fitted(i) - lin(i)) < 1e-8, s"fit[$i]=${fitted(i)}"))
+    resid.foreach(r => assert(math.abs(r) < 1e-8, s"resid $r"))
+    // noisy series: certificate still ~0
+    val y = Array.tabulate(m)(i => 50.0 + 30.0 * math.sin(i / 5.0) + (i % 7))
+    val (_, _, resid2, fitted2) = SeriesKernels.psplineFit(y, 1.0, k)
+    resid2.foreach(r => assert(math.abs(r) < 1e-7))
+    // heavier λ ⇒ smoother (smaller total curvature of the fit)
+    val (_, _, _, fittedHeavy) = SeriesKernels.psplineFit(y, 1000.0, k)
+    def curv(f: Array[Double]) = (2 until f.length)
+      .map(i => math.pow(f(i) - 2 * f(i - 1) + f(i - 2), 2)).sum
+    assert(curv(fittedHeavy) < curv(fitted2))
+  }
+
+  test("patternsBspline: per-label P-spline prototypes; short labels keep the raw mean") {
+    import graft.operators.ChangeDetect
+    val series = (for (c <- Seq("a1", "a2", "b1"); i <- 0 until 20) yield {
+      val v = if (c.startsWith("a")) 10.0 + i else 5.0
+      (c, i, v)
+    }).toDF("conv_id", "idx", "value")
+      // label b has only 3 mean points — below k, keeps raw mean
+      .filter(!(col("conv_id") === "b1" && col("idx") >= 3))
+    val labels = Seq(("a1", 1), ("a2", 1), ("b1", 2)).toDF("conv_id", "label")
+    val out = ChangeDetect.patternsBspline(series, labels, lambda = 1.0, k = 8)
+      .orderBy("label", "idx").collect()
+    val aFit = out.filter(_.getInt(0) == 1).map(_.getDouble(2))
+    // label a mean series is linear 10..29 → P-spline reproduces it
+    aFit.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - (10.0 + i)) < 1e-6, s"a[$i]=$v") }
+    val bFit = out.filter(_.getInt(0) == 2).map(_.getDouble(2))
+    assert(bFit.length == 3 && bFit.forall(v => math.abs(v - 5.0) < 1e-12),
+      "short label must keep its raw mean")
+  }
+
   test("hampel: a NULL value row is excluded from windows AND counts (collect_list/list() NULL contract)") {
     import graft.operators.SeriesOps
     val clean = (0 until 12).map(i =>
