@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Forecast, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1286,6 +1286,55 @@ object SparkEntry {
       SeriesOps.lttb(metrics(s, dir).withColumnRenamed("text_len", "value"),
         buckets = 12)
         .orderBy("conv_id", "seq")),
+    // Holt-Winters additive seasonal smoother (dyadic alpha/beta/gamma,
+    // period 4; three-state recursive-CTE oracle with a rolling seasonal
+    // list)
+    "ts_holtwinters" -> ((s, dir) =>
+      Forecast.holtWinters(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        alpha = 0.25, beta = 0.125, gamma = 0.25, period = 4)
+        .orderBy("conv_id", "idx")),
+    // one-step-naive backtest: MAE/RMSE/WAPE/MASE on an 80/20 split
+    // (integer-sum ratios — no float-order exposure)
+    "ts_forecast_acc" -> ((s, dir) =>
+      Forecast.forecastAccuracy(
+        metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // offline single changepoint by binary segmentation (L2 mean-shift
+    // cost via prefix sums — purely relational, one window pass)
+    "ts_changepoint" -> ((s, dir) =>
+      ChangeDetect.changepointBinseg(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), minSeg = 2)
+        .orderBy("conv_id")),
+    // Piecewise Aggregate Approximation into 10 frames (the SAX substrate
+    // as its own relation)
+    "ts_paa" -> ((s, dir) =>
+      Downsample.paa(metrics(s, dir).withColumnRenamed("text_len", "value"),
+        segments = 10)
+        .orderBy("conv_id", "frame")),
+    // historian deadband compression: keep first/last + every |Δ|>0.5 move
+    // vs the last KEPT value (store-on-change historian mode)
+    // (recursive-CTE oracle carries the last-kept state)
+    "ts_deadband" -> ((s, dir) =>
+      Downsample.deadband(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        deviation = 0.5)
+        .orderBy("conv_id", "seq")),
+    // dominant seasonality period: argmax of the lag-1..6 sample ACF
+    "ts_dominant_period" -> ((s, dir) =>
+      SeriesOps.dominantPeriod(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), maxLag = 6)
+        .orderBy("conv_id")),
+    // Goh-Barabasi burstiness / Fano factor on the per-minute count
+    // process (integer-exact: counts, not inter-arrival squares)
+    "ts_burstiness" -> ((s, dir) =>
+      SeriesOps.burstiness(metrics(s, dir))
+        .orderBy("conv_id")),
+    // HyperLogLog register sketch (p=8) over turn texts — the mergeable
+    // state relation itself, integer-exact cross-engine
+    "ts_hll" -> ((s, dir) =>
+      Summary.hllRegisters(transcripts(s, dir), "text", p = 8)
+        .orderBy("register")),
     // user→assistant response latency per conversation (exact-ms SLA stats)
     "ts_latency" -> ((s, dir) =>
       SeriesOps.responseLatency(transcripts(s, dir), "user", "assistant")
@@ -3403,6 +3452,227 @@ private object Oracles {
           |SELECT conv_id, idx, y AS value, l + 0.0 AS level, b + 0.0 AS trend,
           |  round(l + b + 1e-9, 4) + 0.0 AS forecast
           |FROM r ORDER BY conv_id, idx""".stripMargin),
+    // Holt-Winters: three-state recursion; the m seasonal states travel as
+    // a rolling list (head = the slot the NEXT observation consumes), so
+    // each step is ring[1] in, list_append(ring[2:], s_new) out — exactly
+    // the kernel's Queue. Nested subqueries order the intra-step dataflow
+    // (l first, then b and s_new from l) identically to the kernel.
+    "ts_holtwinters" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |), init AS (
+          |  SELECT conv_id,
+          |    round(avg(y) FILTER (WHERE idx <= 4) + 1e-9, 4) AS l0
+          |  FROM v GROUP BY 1 HAVING max(n) > 4
+          |), sinit AS (
+          |  SELECT v.conv_id,
+          |    list(round(v.y - i.l0 + 1e-9, 4) ORDER BY v.idx) AS ring, i.l0
+          |  FROM v JOIN init i USING (conv_id) WHERE v.idx <= 4
+          |  GROUP BY v.conv_id, i.l0
+          |), r AS (
+          |  SELECT conv_id, 4 AS idx, cast(NULL AS double) AS y, l0 AS l,
+          |    CAST(0.0 AS DOUBLE) AS b, ring,
+          |    cast(NULL AS double) AS s_new, cast(NULL AS double) AS fc
+          |  FROM sinit
+          |  UNION ALL
+          |  SELECT conv_id, idx, y, l,
+          |    round(0.125 * (l - l_prev) + 0.875 * b_prev + 1e-9, 4) AS b,
+          |    list_append(ring[2:], round(0.25 * (y - l) + 0.75 * s_used + 1e-9, 4)) AS ring,
+          |    round(0.25 * (y - l) + 0.75 * s_used + 1e-9, 4) AS s_new,
+          |    fc
+          |  FROM (
+          |    SELECT v.conv_id AS conv_id, v.idx AS idx, v.y AS y,
+          |      round(0.25 * (v.y - r.ring[1]) + 0.75 * (r.l + r.b) + 1e-9, 4) AS l,
+          |      r.l AS l_prev, r.b AS b_prev, r.ring AS ring,
+          |      r.ring[1] AS s_used,
+          |      round(r.l + r.b + r.ring[1] + 1e-9, 4) AS fc
+          |    FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
+          |  )
+          |)
+          |SELECT conv_id, idx, y AS value, l + 0.0 AS level, b + 0.0 AS trend,
+          |  s_new + 0.0 AS seasonal, fc + 0.0 AS forecast
+          |FROM r WHERE idx >= 5 ORDER BY conv_id, idx""".stripMargin),
+    "ts_forecast_acc" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    lag(text_len) OVER w AS prev,
+          |    cast(row_number() OVER w AS int) AS idx,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), f AS (
+          |  SELECT *, (n * 4) // 5 AS h FROM v WHERE n >= 5
+          |), a AS (
+          |  SELECT conv_id, any_value(n) AS n, any_value(h) AS h,
+          |    sum(CASE WHEN idx > h THEN abs(y - prev) ELSE 0.0 END) AS sae,
+          |    sum(CASE WHEN idx > h THEN (y - prev) * (y - prev) ELSE 0.0 END) AS sse,
+          |    sum(CASE WHEN idx > h THEN abs(y) ELSE 0.0 END) AS say,
+          |    sum(CASE WHEN idx > 1 AND idx <= h THEN abs(y - prev) ELSE 0.0 END) AS strain
+          |  FROM f GROUP BY 1
+          |)
+          |SELECT conv_id, cast(n AS bigint) AS n_obs,
+          |  cast(n - h AS bigint) AS n_test,
+          |  round(sae / (n - h) + 1e-9, 4) AS mae,
+          |  round(sqrt(sse / (n - h)) + 1e-9, 4) AS rmse,
+          |  CASE WHEN say > 0 THEN round(100 * sae / say + 1e-9, 4) END AS wape,
+          |  CASE WHEN strain > 0
+          |       THEN round(sae * (h - 1) / ((n - h) * strain) + 1e-9, 4) END AS mase
+          |FROM a ORDER BY conv_id""".stripMargin),
+    "ts_changepoint" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, cast(row_number() OVER w AS int) AS t,
+          |    sum(text_len) OVER w AS s_t,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n,
+          |    sum(text_len) OVER (PARTITION BY conv_id) AS s_n
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), sc AS (
+          |  SELECT conv_id, n, t, s_n,
+          |    round(s_t * s_t / t + (s_n - s_t) * (s_n - s_t) / (n - t) + 1e-9, 4) AS score
+          |  FROM v WHERE n >= 4 AND t >= 2 AND t <= n - 2
+          |), pick AS (
+          |  SELECT *, row_number() OVER (PARTITION BY conv_id
+          |                               ORDER BY score DESC, t) AS rn
+          |  FROM sc
+          |)
+          |SELECT conv_id, cast(n AS bigint) AS n_obs, t AS cp_idx, score,
+          |  round(score - s_n * s_n / n + 1e-9, 4) + 0.0 AS gain
+          |FROM pick WHERE rn = 1 ORDER BY conv_id""".stripMargin),
+    "ts_paa" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS i,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |)
+          |SELECT conv_id, cast((i - 1) * 10 // n AS int) AS frame,
+          |  count(*) AS n_pts, round(avg(y) + 1e-9, 4) AS value
+          |FROM v GROUP BY 1, 2 ORDER BY conv_id, frame""".stripMargin),
+    // deadband: the recursion carries ONLY (seq, last_kept, kept); the
+    // keep rule is first OR last OR |y - last_kept| > 0.5
+    "ts_deadband" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, epoch_ms(ts) AS t, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |), r AS (
+          |  SELECT conv_id, idx, t, y, n, 1 AS seq, y AS last_kept, true AS kept
+          |  FROM v WHERE idx = 1
+          |  UNION ALL
+          |  SELECT conv_id, idx, t, y, n,
+          |    CASE WHEN keep THEN seq + 1 ELSE seq END AS seq,
+          |    CASE WHEN keep THEN y ELSE last_kept END AS last_kept,
+          |    keep AS kept
+          |  FROM (
+          |    SELECT v.conv_id AS conv_id, v.idx AS idx, v.t AS t, v.y AS y,
+          |      v.n AS n, r.seq AS seq, r.last_kept AS last_kept,
+          |      (v.idx = v.n OR abs(v.y - r.last_kept) > 0.5) AS keep
+          |    FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
+          |  )
+          |)
+          |SELECT conv_id, seq, idx, t, y AS value, cast(n AS bigint) AS n_obs
+          |FROM r WHERE kept ORDER BY conv_id, seq""".stripMargin),
+    // dominant period: the per-lag quantized r is normalized (+ 0.0)
+    // BEFORE the argmax ordering so a DuckDB -0.0 can never order
+    // differently from the engine's BigDecimal +0.0
+    "ts_dominant_period" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    round(avg(text_len) + 1e-9, 4) AS mu
+          |  FROM metrics GROUP BY 1
+          |), d AS (
+          |  SELECT m.conv_id, st.n_obs, m.text_len - st.mu AS dx,
+          |    lag(m.text_len - st.mu, 1) OVER w AS dx1,
+          |    lag(m.text_len - st.mu, 2) OVER w AS dx2,
+          |    lag(m.text_len - st.mu, 3) OVER w AS dx3,
+          |    lag(m.text_len - st.mu, 4) OVER w AS dx4,
+          |    lag(m.text_len - st.mu, 5) OVER w AS dx5,
+          |    lag(m.text_len - st.mu, 6) OVER w AS dx6
+          |  FROM metrics m JOIN st USING (conv_id)
+          |  WINDOW w AS (PARTITION BY m.conv_id ORDER BY m.ts, m.turn_idx)
+          |), c AS (
+          |  SELECT conv_id, any_value(n_obs) AS n_obs,
+          |    sum(dx * dx) AS c0, sum(dx * dx1) AS c1, sum(dx * dx2) AS c2,
+          |    sum(dx * dx3) AS c3, sum(dx * dx4) AS c4, sum(dx * dx5) AS c5,
+          |    sum(dx * dx6) AS c6
+          |  FROM d GROUP BY 1
+          |), rl AS (
+          |  SELECT conv_id, n_obs, u.l AS l,
+          |    round(u.cl / c0 + 1e-9, 4) + 0.0 AS r
+          |  FROM (
+          |    SELECT *, unnest([
+          |      struct_pack(l := 1, cl := c1), struct_pack(l := 2, cl := c2),
+          |      struct_pack(l := 3, cl := c3), struct_pack(l := 4, cl := c4),
+          |      struct_pack(l := 5, cl := c5), struct_pack(l := 6, cl := c6)
+          |    ]) AS u
+          |    FROM c WHERE round(c0 + 1e-9, 4) > 0 AND n_obs > 7
+          |  )
+          |), pick AS (
+          |  SELECT *, row_number() OVER (PARTITION BY conv_id
+          |                               ORDER BY r DESC, l) AS rn
+          |  FROM rl
+          |)
+          |SELECT conv_id, n_obs, cast(l AS int) AS period, r
+          |FROM pick WHERE rn = 1 ORDER BY conv_id""".stripMargin),
+    "ts_burstiness" ->
+      (cte + metricsCte +
+        """, pm AS (
+          |  SELECT conv_id, epoch_ms(ts) - epoch_ms(ts) % 60000 AS mb,
+          |    count(*) AS c
+          |  FROM metrics GROUP BY 1, 2
+          |), agg AS (
+          |  SELECT conv_id,
+          |    (max(mb) - min(mb)) // 60000 + 1 AS n_buckets,
+          |    cast(sum(c) AS bigint) AS n_obs,
+          |    cast(sum(c * c) AS bigint) AS sc2
+          |  FROM pm GROUP BY 1
+          |), mo AS (
+          |  SELECT conv_id, n_buckets, n_obs,
+          |    cast(n_obs AS double) / n_buckets AS mu,
+          |    cast(sc2 AS double) / n_buckets
+          |      - (cast(n_obs AS double) / n_buckets)
+          |        * (cast(n_obs AS double) / n_buckets) AS v
+          |  FROM agg
+          |)
+          |SELECT conv_id, cast(n_buckets AS bigint) AS n_buckets, n_obs,
+          |  round(v / mu + 1e-9, 4) + 0.0 AS fano,
+          |  round(sqrt(greatest(v, 0.0)) / mu + 1e-9, 4) + 0.0 AS cv,
+          |  round((sqrt(greatest(v, 0.0)) - mu)
+          |        / (sqrt(greatest(v, 0.0)) + mu) + 1e-9, 4) + 0.0 AS b
+          |FROM mo ORDER BY conv_id""".stripMargin),
+    // HLL p=8: register = top 8 bits of u32(md5(text)), rho = leading
+    // zeros of the low 24 bits + 1 via minimal-width bin() (identical in
+    // both engines); output is the sparse register relation (the
+    // mergeable sketch state), integer-exact
+    "ts_hll" ->
+      (cte +
+        """, h AS (
+          |  SELECT CAST(list_sum(list_transform(generate_series(1, 8), d ->
+          |    cast(strpos('0123456789abcdef', substr(md5(text), cast(d AS int), 1)) - 1 AS bigint)
+          |      * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) AS u32
+          |  FROM transcripts WHERE text IS NOT NULL
+          |), reg AS (
+          |  SELECT cast(u32 // 16777216 AS int) AS register,
+          |    u32 % 16777216 AS rem
+          |  FROM h
+          |)
+          |SELECT register,
+          |  cast(max(CASE WHEN rem = 0 THEN 25
+          |                ELSE 24 - length(bin(rem)) + 1 END) AS int) AS rho
+          |FROM reg GROUP BY 1 ORDER BY register""".stripMargin),
     "ts_lttb" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
         """, v AS (

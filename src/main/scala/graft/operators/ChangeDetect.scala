@@ -305,6 +305,56 @@ object ChangeDetect {
     clustered.join(broadcast(top), Seq("cluster", "label"))
   }
 
+  /** Offline single-changepoint detection by binary segmentation with the
+    * L2 (mean-shift) cost (Scott & Knott 1974; the first split of any
+    * binseg/PELT cascade) — the OFFLINE counterpart of the online
+    * [[SeriesOps.cusum]] / [[bayts]] detectors, mirroring the reference's
+    * change-detection family (/root/reference/R/sits_detect_change.R) on a
+    * whole-series retrospective contract.
+    *
+    * With prefix sums S_t and total sum-of-squares fixed, minimizing
+    *   cost(t) = Σ_{i≤t}(y_i − ȳ_L)² + Σ_{i>t}(y_i − ȳ_R)²
+    * is equivalent to maximizing
+    *   score(t) = S_t²/t + (S_n − S_t)²/(n − t),
+    * so the whole detector is one conv-partitioned window pass (the prefix
+    * sum shares the ordering sort) plus a per-conv top-1 — no per-series
+    * kernel, purely relational, one shuffle. Split points respect a
+    * minimum segment of `minSeg` on both sides; series shorter than
+    * 2·minSeg are excluded. On integer-valued series S_t is an exact
+    * integer, so score(t) is two IEEE divisions in a fixed expression
+    * order — bit-identical cross-engine; the 4-dp-quantized score orders
+    * the argmax (ties → earliest t). Output: (conv_id, n_obs, cp_idx,
+    * score, gain) where gain = r4(score − S_n²/n) ≥ 0 is the variance
+    * explained by the split (×n).
+    */
+  def changepointBinseg(metrics: DataFrame, minSeg: Int = 2,
+      valueCol: String = "value"): DataFrame = {
+    require(minSeg >= 1, "minSeg >= 1")
+    def r4(c: org.apache.spark.sql.Column) = round(c + lit(1e-9), 4)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    val scored = metrics
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("s_t", sum(col(valueCol)).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s_n", sum(col(valueCol)).over(wAll))
+      .filter(col("n") >= 2 * minSeg &&
+        col("t") >= minSeg && col("t") <= col("n") - minSeg)
+      .withColumn("score", r4(
+        col("s_t") * col("s_t") / col("t") +
+        (col("s_n") - col("s_t")) * (col("s_n") - col("s_t")) /
+          (col("n") - col("t"))))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("score").desc, col("t"))
+    scored
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("conv_id"), col("n").cast("long").as("n_obs"),
+        col("t").as("cp_idx"), col("score"),
+        r4(col("score") - col("s_n") * col("s_n") / col("n")).as("gain"))
+  }
+
   /** Day-index series of a metric (shared input shape for this module). */
   def daySeries(transcripts: DataFrame, metric: String, origin: String): DataFrame =
     Regularize.withMetrics(transcripts)

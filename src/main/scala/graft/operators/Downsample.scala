@@ -235,4 +235,76 @@ object Downsample {
         expr("array_join(transform(sort_array(collect_list(struct(frame, sym))), p -> p.sym), '')")
           .as("sax"))
   }
+
+  /** Piecewise Aggregate Approximation (Keogh et al. 2001) — the plain-mean
+    * k-segment downsample underlying [[sax]], exposed as its own relation
+    * (PAA is the standard distance-lower-bounding representation for
+    * whole-series indexing; sax quantizes it further to symbols). Frame of
+    * the 1-based observation i is ⌊(i−1)·k / n⌋ — the same integer-division
+    * frame rule as [[SeriesOps.lttb]], which keeps frames contiguous,
+    * non-empty, and balanced for any n ≥ k (series with n < k pass through
+    * with one point per frame). Purely relational: one conv-ordered window
+    * (the index) + one partial agg; integer sums → exact cross-engine.
+    * Output: (conv_id, frame, n_pts, value).
+    */
+  def paa(metrics: DataFrame, segments: Int,
+      valueCol: String = "value"): DataFrame = {
+    require(segments >= 1, "segments >= 1")
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+      // floor division ((i-1)·k never within an ulp of a multiple of n at
+      // sane magnitudes; Spark `/` is double division)
+      .withColumn("frame",
+        floor((col("i") - 1) * segments / col("n")).cast("int"))
+      .groupBy("conv_id", "frame")
+      .agg(count(lit(1)).as("n_pts"), r4(avg(col(valueCol))).as("value"))
+  }
+
+  /** Deadband compression (the PI-historian "compression deviation" rule,
+    * the keep-on-change half of swinging-door): keep the first observation
+    * of each series, then keep observation i iff |y_i − lastKept| >
+    * `deviation`; always keep the last observation so the series endpoint
+    * survives (historian convention — a dropped tail would misreport the
+    * current value). Inherently sequential (the kept-set depends on the
+    * previous KEPT value, not the previous value), so — like holt/cusum —
+    * a typed sorted-fold kernel per series with O(1) state, one conv_id
+    * shuffle, exactly replayable by a recursive-CTE oracle. On
+    * integer-valued series with an integer deviation every comparison is
+    * integer-exact. Output kept rows: (conv_id, seq, idx, t, value) plus
+    * the series length n_obs (seq = rank among kept, idx = original
+    * 1-based index).
+    */
+  def deadband(metrics: DataFrame, deviation: Double,
+      valueCol: String = "value"): DataFrame = {
+    require(deviation >= 0, "deviation >= 0")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), unix_millis(col("ts").cast("timestamp")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val n = rows.length
+        var lastKept = 0.0
+        var seq = 0
+        val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Long, Double, Long)]()
+        var i = 0
+        while (i < n) {
+          val (_, t, _, y) = rows(i)
+          val keep = i == 0 || i == n - 1 || math.abs(y - lastKept) > deviation
+          if (keep) {
+            seq += 1
+            out += ((conv, seq, i + 1, t, y, n.toLong))
+            lastKept = y
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("conv_id", "seq", "idx", "t", "value", "n_obs")
+  }
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forecasting members of the series-analytics battery: the seasonal
+  * completion of the exponential family ([[SeriesOps.holt]] adds trend to
+  * EWMA's level; [[holtWinters]] adds the seasonal state), plus the
+  * backtest harness that grades any one-step forecaster on a train/test
+  * split ([[forecastAccuracy]]).
+  *
+  * Scale shapes:
+  *  - [[holtWinters]] is an inherently sequential three-state recursion per
+  *    series — the same typed sorted-fold kernel shape as holt/cusum
+  *    (state_i depends on state_{i−1}), O(m) state, one conv_id shuffle.
+  *    Every state transition is 4-dp quantized so the DuckDB recursive-CTE
+  *    oracle replays the machine exactly (the list-state rolling window is
+  *    the seasonal ring buffer).
+  *  - [[forecastAccuracy]] is purely relational: one conv-partitioned
+  *    window (the lag-1 naive forecast + the ordering index) and one
+  *    partial agg. All four error metrics are ratios of INTEGER sums
+  *    (|e|, e², |y| are integers on integer-valued series), so no float
+  *    summation-order hazard exists at any corpus size — the ccf 2^53
+  *    lesson applied by construction.
+  */
+object Forecast {
+
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+  private def r4d(v: Double): Double =
+    new java.math.BigDecimal(v + 1e-9)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Holt-Winters additive triple-exponential smoother (level + trend +
+    * seasonal; Winters 1960), the seasonal member of the `sits_filter`
+    * streaming family (/root/reference/R/sits_filters.R — the whole-series
+    * matrix smoothers' O(m)-state streaming counterpart).
+    *
+    * Initialization (first full cycle of `period` = m observations):
+    *   l = r4(mean(y_1..y_m)),  b = 0,  s_j = r4(y_j − l) for j = 1..m.
+    * Recursion for i = m+1..n, with seasonal slot s⁻ = state of slot
+    * ((i−1) mod m) (last written at i−m):
+    *   forecast_i = r4(l + b + s⁻)                 (one-step-ahead, pre-update)
+    *   l_i = r4(α·(y_i − s⁻) + (1−α)·(l + b))
+    *   b_i = r4(β·(l_i − l) + (1−β)·b)
+    *   s_i = r4(γ·(y_i − l_i) + (1−γ)·s⁻)
+    * Per-step 4-dp quantization of ALL THREE states makes the recursion
+    * exactly replayable by a recursive-CTE oracle carrying the m seasonal
+    * states as a rolling list (head = next slot to consume).
+    *
+    * Emits one row per post-warmup observation (idx = m+1..n):
+    * (conv_id, idx, value, level, trend, seasonal, forecast). Series with
+    * n ≤ m have no post-warmup points and are excluded.
+    */
+  def holtWinters(metrics: DataFrame, alpha: Double, beta: Double,
+      gamma: Double, period: Int, valueCol: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1, "alpha in (0,1], beta/gamma in [0,1]")
+    require(period >= 2, "period >= 2")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    val m = period
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val n = rows.length
+        if (n <= m) Iterator.empty
+        else {
+          val y = rows.map(_._4)
+          // integer-valued inputs: the init mean's sum is exact
+          var s0 = 0.0
+          var j = 0
+          while (j < m) { s0 += y(j); j += 1 }
+          var l = r4d(s0 / m)
+          var b = 0.0
+          // ring buffer, head = seasonal state of the NEXT observation's slot
+          val ring = scala.collection.mutable.Queue.tabulate(m)(k => r4d(y(k) - l))
+          Iterator.range(m, n).map { i =>
+            val sUsed = ring.dequeue()
+            val fc = r4d(l + b + sUsed)
+            val lPrev = l
+            l = r4d(alpha * (y(i) - sUsed) + (1 - alpha) * (l + b))
+            b = r4d(beta * (l - lPrev) + (1 - beta) * b)
+            val sNew = r4d(gamma * (y(i) - l) + (1 - gamma) * sUsed)
+            ring.enqueue(sNew)
+            (conv, i + 1, y(i), l, b, sNew, fc)
+          }
+        }
+      }
+      .toDF("conv_id", "idx", "value", "level", "trend", "seasonal", "forecast")
+  }
+
+  /** One-step-naive forecast backtest: split each series at the 80% point
+    * (train h = ⌊4n/5⌋, test the rest; series with n < 5 are excluded),
+    * forecast every test point with the PREVIOUS observation (rolling
+    * naive, the standard no-refit baseline), and grade:
+    *   mae  = r4( Σ|e| / n_test )
+    *   rmse = r4( √(Σe² / n_test) )
+    *   wape = r4( 100·Σ|e| / Σ|y| )            (aggregate percent error;
+    *          the summation-order-safe form of MAPE — both sums integer)
+    *   mase = r4( (Σ|e|·(h−1)) / (n_test·Σ_train|y_i − y_{i−1}|) )
+    *          (Hyndman & Koehler 2006; NULL when the train scale is 0)
+    * Every numerator/denominator is an integer sum on integer-valued
+    * series, so the four ratios are single IEEE divisions — bit-identical
+    * cross-engine with no aggregation-order exposure.
+    */
+  def forecastAccuracy(metrics: DataFrame,
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val idxd = metrics
+      .withColumn("idx", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .withColumn("prev", lag(col(valueCol), 1).over(w))
+      .filter(col("n") >= 5)
+      // floor division (Spark `/` is double division; products are far
+      // below 2^53 so floor(double) == integer div)
+      .withColumn("h", floor(col("n") * 4 / lit(5)).cast("long"))
+    idxd.groupBy("conv_id")
+      .agg(
+        first("n").as("n"), first("h").as("h"),
+        sum(when(col("idx") > col("h"),
+          abs(col(valueCol) - col("prev"))).otherwise(lit(0.0))).as("sae"),
+        sum(when(col("idx") > col("h"),
+          (col(valueCol) - col("prev")) * (col(valueCol) - col("prev")))
+          .otherwise(lit(0.0))).as("sse"),
+        sum(when(col("idx") > col("h"), abs(col(valueCol)))
+          .otherwise(lit(0.0))).as("say"),
+        sum(when(col("idx") > lit(1) && col("idx") <= col("h"),
+          abs(col(valueCol) - col("prev"))).otherwise(lit(0.0))).as("strain"))
+      .select(col("conv_id"),
+        col("n").cast("long").as("n_obs"),
+        (col("n") - col("h")).cast("long").as("n_test"),
+        r4(col("sae") / (col("n") - col("h"))).as("mae"),
+        r4(sqrt(col("sse") / (col("n") - col("h")))).as("rmse"),
+        when(col("say") > 0, r4(lit(100) * col("sae") / col("say")))
+          .as("wape"),
+        when(col("strain") > 0,
+          r4(col("sae") * (col("h") - 1) /
+            ((col("n") - col("h")) * col("strain")))).as("mase"))
+  }
+}

@@ -771,4 +771,77 @@ object SeriesOps {
       .toDF("conv_id", "n_gaps", "total_cost", "n_burst", "max_burst_run",
         "first_burst_ms")
   }
+
+  /** Dominant seasonality period per series: the lag L in 1..`maxLag`
+    * maximizing the sample autocorrelation r_L (ties → smallest lag) —
+    * the period-detection step a seasonal model ([[Forecast.holtWinters]],
+    * [[seasonalDecompose]]) runs first. Same exact-arithmetic shape as
+    * [[acf]] (4-dp-quantized mean, lagged cross-products, one partial agg,
+    * quantized variance gate) but at a parameterized lag fan and with the
+    * argmax folded in. One conv-ordered window pass computes all `maxLag`
+    * lag columns on one sort; constant and too-short series (n ≤
+    * maxLag + 1) are excluded. Output: (conv_id, n_obs, period, r).
+    */
+  def dominantPeriod(metrics: DataFrame, maxLag: Int,
+      valueCol: String = "value"): DataFrame = {
+    require(maxLag >= 1, "maxLag >= 1")
+    val stats = metrics.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"), r4(avg(col(valueCol))).as("mu"))
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val withLags = (1 to maxLag).foldLeft(
+      metrics.join(stats, "conv_id")
+        .withColumn("dx", col(valueCol) - col("mu"))) {
+      (df, l) => df.withColumn(s"dx$l", lag("dx", l).over(w))
+    }
+    val aggs = Seq(sum(col("dx") * col("dx")).as("c0")) ++
+      (1 to maxLag).map(l => sum(col("dx") * col(s"dx$l")).as(s"c$l"))
+    withLags.groupBy("conv_id")
+      .agg(first("n_obs").as("n_obs"), aggs: _*)
+      .filter(r4(col("c0")) > 0 && col("n_obs") > maxLag + 1)
+      // argmax over (r desc, lag asc): array_max on (r, -lag) structs —
+      // struct ordering is lexicographic, so negating the lag breaks ties
+      // toward the SMALLEST lag
+      .withColumn("best", array_max(array(
+        (1 to maxLag).map(l =>
+          struct(r4(col(s"c$l") / col("c0")).as("r"),
+            lit(-l).as("neglag"))): _*)))
+      .select(col("conv_id"), col("n_obs"),
+        (-col("best.neglag")).cast("int").as("period"),
+        // -0.0 can't survive: array_max picked r as a quantized value and
+        // the oracle replays the same quantization + 0.0 normalizer
+        (col("best.r") + lit(0.0)).as("r"))
+  }
+
+  /** Count-process burstiness per series, on the per-minute event-count
+    * process over the series' own [min, max] minute span (empty minutes
+    * count 0 — they are what burstiness measures): Fano factor var/μ,
+    * coefficient of variation σ/μ, and the Goh-Barabási burstiness
+    * B = (σ−μ)/(σ+μ) ∈ [−1, 1). Defined on COUNTS, not inter-arrival
+    * times, so every aggregate is an integer sum (Σc, Σc² over occupied
+    * minutes; the empty-minute zeros contribute nothing) — exact at any
+    * scale, sidestepping the 2^53 inter-arrival-squared hazard entirely.
+    * Two-level partial agg (minute buckets, then the series), no windows.
+    * Output: (conv_id, n_buckets, n_obs, fano, cv, b).
+    */
+  def burstiness(metrics: DataFrame): DataFrame = {
+    val perMin = metrics
+      .groupBy(col("conv_id"),
+        (ms(col("ts")) - pmod(ms(col("ts")), lit(60000L))).as("mb"))
+      .agg(count(lit(1)).as("c"))
+    perMin.groupBy("conv_id")
+      .agg(
+        ((max("mb") - min("mb")) / lit(60000L) + 1).as("n_buckets"),
+        sum("c").as("n_obs"),
+        sum(col("c") * col("c")).as("sc2"))
+      .withColumn("mu", col("n_obs").cast("double") / col("n_buckets"))
+      .withColumn("v",
+        col("sc2").cast("double") / col("n_buckets") - col("mu") * col("mu"))
+      .withColumn("sd", sqrt(greatest(col("v"), lit(0.0))))
+      .select(col("conv_id"), col("n_buckets").cast("long").as("n_buckets"),
+        col("n_obs").cast("long").as("n_obs"),
+        r4(col("v") / col("mu")).as("fano"),
+        r4(col("sd") / col("mu")).as("cv"),
+        (r4((col("sd") - col("mu")) / (col("sd") + col("mu"))) + lit(0.0))
+          .as("b"))
+  }
 }

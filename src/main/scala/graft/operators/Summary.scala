@@ -326,4 +326,37 @@ object Summary {
           .otherwise(round((lit(k) - 1) * lit(4294967296.0) / col("h_k")
             + lit(1e-9), 4))
           .as("est_distinct"))
+
+  /** HyperLogLog register relation (Flajolet et al. 2007) over a key
+    * column: 2^p registers, register id = top p bits of [[Accuracy.u32Md5]],
+    * register value = max over keys of (leading-zero count of the
+    * remaining 32−p bits) + 1 (the classic ρ). The OUTPUT is the sketch
+    * itself — 2^p integer rows — not the harmonic-mean estimate: the
+    * register relation is the mergeable state a 1000-executor fleet
+    * combines with a plain max-groupBy (register-wise max IS the HLL merge
+    * operator), and it is integer-exact cross-engine, whereas the
+    * Σ2^{−M_j} harmonic sum needs up to 33+p significant bits — past
+    * double's 53 only in pathological cases, but the register contract
+    * removes the question entirely. The leading-zero count is computed
+    * from the minimal-width binary rendering (`bin`, identical in Spark
+    * and DuckDB): ρ = (32−p) − len(bin(rem)) + 1, with rem = 0 → 33−p.
+    * One hash-partial-agg pass; registers never seen stay absent (sparse
+    * representation — dense-ify at merge time if needed).
+    * Output: (register, rho) sorted by register.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val remBits = 32 - p
+    val h = Accuracy.u32Md5(col(keyCol))
+    df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .select(
+        shiftright(h, remBits).cast("int").as("register"),
+        pmod(h, lit(1L << remBits)).as("rem"))
+      .withColumn("rho",
+        when(col("rem") === 0, lit(remBits + 1))
+          .otherwise(lit(remBits) - length(bin(col("rem"))) + 1)
+          .cast("int"))
+      .groupBy("register")
+      .agg(max("rho").as("rho"))
+  }
 }
