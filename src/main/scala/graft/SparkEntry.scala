@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Forecast, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Forecast, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1335,6 +1335,48 @@ object SparkEntry {
     "ts_hll" -> ((s, dir) =>
       Summary.hllRegisters(transcripts(s, dir), "text", p = 8)
         .orderBy("register")),
+    // matrix-profile top-1 discord (w=4, non-overlapping NN, raw
+    // Euclidean in integer ten-thousandths) over the day series
+    "ts_discord" -> ((s, dir) =>
+      SeriesMining.discord(
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"),
+        w = 4)
+        .orderBy("conv_id")),
+    // Theil-Sen robust trend over the calendar day series (lower-median
+    // slope/intercept of all pairwise slopes, 4-dp quantized pre-sort)
+    "ts_theilsen" -> ((s, dir) =>
+      SeriesMining.theilSen(
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"))
+        .orderBy("conv_id")),
+    // max drawdown of the CENTERED cumulative metric (CUSUM-style wander).
+    // Centering is INTEGER-scaled (y·n − S, all integer-valued doubles):
+    // a fractional mean would make the running sum order-sensitive
+    // (DuckDB's segment-tree window order ≠ Spark's sequential order);
+    // the single de-scaling division happens once, at the output
+    "ts_drawdown" -> ((s, dir) => {
+      val m = metrics(s, dir)
+      val st = m.groupBy("conv_id")
+        .agg(sum("text_len").as("s_tot"), count(lit(1)).as("cnt"))
+      SeriesOps.drawdown(
+        m.join(st, "conv_id")
+          .withColumn("value", col("text_len") * col("cnt") - col("s_tot")))
+        .select(col("conv_id"), col("n_obs"),
+          round(col("max_drawdown") / col("n_obs") + lit(1e-9), 4)
+            .as("max_drawdown"),
+          col("at_idx"))
+        .orderBy("conv_id")
+    }),
+    // role diversity per conversation: exact rational indices (Gini
+    // impurity + inverse Simpson), no transcendentals
+    "ts_role_diversity" -> ((s, dir) =>
+      SeriesOps.roleDiversity(transcripts(s, dir))
+        .orderBy("conv_id")),
+    // top-3 conversations by turn count per day (WindowGroupLimit plan:
+    // partial top-k before the shuffle)
+    "ts_topk_daily" -> ((s, dir) =>
+      Summary.topPerBucket(transcripts(s, dir),
+        date_trunc("day", col("ts")), col("conv_id"), k = 3)
+        .orderBy("bucket", "rank")),
     // user→assistant response latency per conversation (exact-ms SLA stats)
     "ts_latency" -> ((s, dir) =>
       SeriesOps.responseLatency(transcripts(s, dir), "user", "assistant")
@@ -3673,6 +3715,128 @@ private object Oracles {
           |  cast(max(CASE WHEN rem = 0 THEN 25
           |                ELSE 24 - length(bin(rem)) + 1 END) AS int) AS rho
           |FROM reg GROUP BY 1 ORDER BY register""".stripMargin),
+    // discord: all distance math in integer ten-thousandths; the m=n-w+1
+    // subsequences expand via two sequential unnests, the NN min filters
+    // |i-j| >= w, argmax breaks ties to the smallest position
+    "ts_discord" ->
+      (cte + metricsCte +
+        """, days AS (
+          |  SELECT conv_id,
+          |    date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+          |    avg(text_len) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), sarr AS (
+          |  SELECT conv_id,
+          |    list(cast(round(value * 10000) AS bigint) ORDER BY idx) AS v,
+          |    cast(count(*) AS int) AS n
+          |  FROM days GROUP BY 1
+          |), subs AS (
+          |  SELECT conv_id, n, n - 3 AS m, v FROM sarr WHERE n >= 8
+          |), ii AS (
+          |  SELECT conv_id, n, m, v, unnest(generate_series(1, m)) AS i FROM subs
+          |), pair AS (
+          |  SELECT conv_id, n, v, i, unnest(generate_series(1, m)) AS j FROM ii
+          |), nn AS (
+          |  SELECT conv_id, n, i,
+          |    min(list_sum(list_transform(generate_series(0, 3), k ->
+          |      (v[i + k] - v[j + k]) * (v[i + k] - v[j + k])))) AS nn
+          |  FROM pair WHERE abs(i - j) >= 4 GROUP BY 1, 2, 3
+          |), best AS (
+          |  SELECT *, row_number() OVER (PARTITION BY conv_id
+          |                               ORDER BY nn DESC, i) AS rn
+          |  FROM nn
+          |)
+          |SELECT conv_id, cast(n AS bigint) AS n_days, cast(i AS int) AS disc_pos,
+          |  cast(nn AS bigint) AS nn_dist2
+          |FROM best WHERE rn = 1 ORDER BY conv_id""".stripMargin),
+    // theil-sen: every pairwise slope is quantized AND -0.0-normalized
+    // BEFORE the sort; the estimate is the LOWER MEDIAN (element
+    // (m-1)//2, 0-based) — deterministic, no midpoint averaging
+    "ts_theilsen" ->
+      (cte + metricsCte +
+        """, days AS (
+          |  SELECT conv_id,
+          |    date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+          |    avg(text_len) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), pairs AS (
+          |  SELECT a.conv_id AS conv_id,
+          |    round((b.value - a.value) / (b.idx - a.idx) + 1e-9, 4) + 0.0 AS s
+          |  FROM days a JOIN days b
+          |    ON a.conv_id = b.conv_id AND b.idx > a.idx
+          |), sl AS (
+          |  SELECT conv_id, list(s ORDER BY s) AS ss,
+          |    cast(count(*) AS bigint) AS m
+          |  FROM pairs GROUP BY 1
+          |), est AS (
+          |  SELECT conv_id, m, ss[cast((m - 1) // 2 AS int) + 1] AS slope FROM sl
+          |), res AS (
+          |  SELECT d.conv_id AS conv_id, any_value(e.m) AS m,
+          |    any_value(e.slope) AS slope,
+          |    list(round(d.value - e.slope * d.idx + 1e-9, 4) + 0.0
+          |         ORDER BY round(d.value - e.slope * d.idx + 1e-9, 4) + 0.0) AS rr,
+          |    cast(count(*) AS bigint) AS n
+          |  FROM days d JOIN est e USING (conv_id) GROUP BY 1
+          |)
+          |SELECT conv_id, n AS n_days, m AS n_pairs, slope,
+          |  rr[cast((n - 1) // 2 AS int) + 1] AS intercept
+          |FROM res WHERE n >= 2 ORDER BY conv_id""".stripMargin),
+    // drawdown of the centered cumulative in INTEGER scale (y·n − S): the
+    // running sum stays integer-valued, so DuckDB's segment-tree window
+    // summation and Spark's sequential one agree exactly; one de-scaling
+    // division at the output
+    "ts_drawdown" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, sum(text_len) AS s_tot,
+          |    cast(count(*) AS bigint) AS cnt
+          |  FROM metrics GROUP BY 1
+          |), v AS (
+          |  SELECT m.conv_id,
+          |    cast(row_number() OVER w AS int) AS idx,
+          |    sum(m.text_len * st.cnt - st.s_tot) OVER w AS cum
+          |  FROM metrics m JOIN st USING (conv_id)
+          |  WINDOW w AS (PARTITION BY m.conv_id ORDER BY m.ts, m.turn_idx)
+          |), dd AS (
+          |  SELECT conv_id, idx,
+          |    max(cum) OVER (PARTITION BY conv_id ORDER BY idx) - cum AS dd
+          |  FROM v
+          |), mx AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_obs, max(dd) AS maxdd
+          |  FROM dd GROUP BY 1
+          |)
+          |SELECT d.conv_id AS conv_id, any_value(m.n_obs) AS n_obs,
+          |  round(any_value(m.maxdd) / any_value(m.n_obs) + 1e-9, 4) AS max_drawdown,
+          |  min(CASE WHEN d.dd = m.maxdd THEN d.idx END) AS at_idx
+          |FROM dd d JOIN mx m USING (conv_id)
+          |GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_role_diversity" ->
+      (cte +
+        """, rc AS (
+          |  SELECT conv_id, role, count(*) AS c FROM transcripts GROUP BY 1, 2
+          |), agg AS (
+          |  SELECT conv_id, cast(sum(c) AS bigint) AS n_obs,
+          |    cast(count(*) AS bigint) AS n_roles,
+          |    cast(sum(c * c) AS bigint) AS sc2
+          |  FROM rc GROUP BY 1
+          |)
+          |SELECT conv_id, n_obs, n_roles,
+          |  round(1.0 - cast(sc2 AS double) / (n_obs * n_obs) + 1e-9, 4) AS impurity,
+          |  round(cast(n_obs * n_obs AS double) / sc2 + 1e-9, 4) AS inv_simpson
+          |FROM agg ORDER BY conv_id""".stripMargin),
+    "ts_topk_daily" ->
+      (cte +
+        """, dc AS (
+          |  SELECT date_trunc('day', ts) AS bucket, conv_id AS key,
+          |    count(*) AS n
+          |  FROM transcripts GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT *, cast(row_number() OVER (PARTITION BY bucket
+          |    ORDER BY n DESC, key) AS int) AS rank
+          |  FROM dc
+          |)
+          |SELECT bucket, rank, key, cast(n AS bigint) AS n
+          |FROM rk WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin),
     "ts_lttb" ->
       (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
         """, v AS (

@@ -772,6 +772,50 @@ object SeriesOps {
         "first_burst_ms")
   }
 
+  /** Maximum drawdown of the per-series CUMULATIVE metric (the classic
+    * peak-to-trough statistic, here over the running total of a turn
+    * metric — e.g. cumulative text volume): dd_t = (max_{s≤t} C_s) − C_t,
+    * max_dd = max_t dd_t, reported with the FIRST index attaining it
+    * (0 when the cumulative never dips, i.e. all values ≥ 0). Three
+    * running windows sharing ONE conv-ordered sort (cumsum, running max,
+    * first-argmax) + one partial agg; all-integer on integer-valued
+    * series. Output: (conv_id, n_obs, max_drawdown, at_idx).
+    */
+  def drawdown(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("idx", row_number().over(w))
+      .withColumn("cum", sum(col(valueCol)).over(w))
+      .withColumn("dd", max(col("cum")).over(w) - col("cum"))
+      .withColumn("maxdd",
+        max(col("dd")).over(Window.partitionBy("conv_id")))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        first("maxdd").as("max_drawdown"),
+        min(when(col("dd") === col("maxdd"), col("idx"))).as("at_idx"))
+  }
+
+  /** Role diversity per conversation via EXACT rational indices (no
+    * transcendentals — libm log() differs in the last ulp across engines,
+    * so entropy is not oracle-replayable; Gini impurity and inverse
+    * Simpson are): impurity = 1 − Σ_r (c_r/n)², inv_simpson = n²/Σ_r c_r²
+    * ("effective number of roles"). One two-level partial agg; integer
+    * sums throughout. Output: (conv_id, n_obs, n_roles, impurity,
+    * inv_simpson).
+    */
+  def roleDiversity(transcripts: DataFrame): DataFrame =
+    transcripts
+      .groupBy("conv_id", "role")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("conv_id")
+      .agg(sum("c").as("n_obs"), count(lit(1)).as("n_roles"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("conv_id"), col("n_obs"), col("n_roles"),
+        r4(lit(1.0) - col("sc2").cast("double") /
+          (col("n_obs") * col("n_obs"))).as("impurity"),
+        r4((col("n_obs") * col("n_obs")).cast("double") / col("sc2"))
+          .as("inv_simpson"))
+
   /** Dominant seasonality period per series: the lag L in 1..`maxLag`
     * maximizing the sample autocorrelation r_L (ties → smallest lag) —
     * the period-detection step a seasonal model ([[Forecast.holtWinters]],

@@ -327,6 +327,28 @@ object Summary {
             + lit(1e-9), 4))
           .as("est_distinct"))
 
+  /** Grouped top-k: the `k` heaviest keys per bucket (count desc, key asc
+    * tie-break) — the TimescaleDB `topn`/"top conversations per day"
+    * verb. The rank window is partitioned by bucket, so Spark plans a
+    * WindowGroupLimit: each map task keeps only its local top-k per
+    * bucket BEFORE the shuffle — the whole-bucket row set never
+    * materializes on one task at any corpus size. Output:
+    * (bucket, rank, key, n).
+    */
+  def topPerBucket(df: DataFrame, bucketCol: Column, keyCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val counted = df
+      .groupBy(bucketCol.as("bucket"), keyCol.as("key"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("n").desc, col("key"))
+    counted
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("bucket"), col("rank"), col("key"), col("n"))
+  }
+
   /** HyperLogLog register relation (Flajolet et al. 2007) over a key
     * column: 2^p registers, register id = top p bits of [[Accuracy.u32Md5]],
     * register value = max over keys of (leading-zero count of the

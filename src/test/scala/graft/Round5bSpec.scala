@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{ChangeDetect, Downsample, Forecast, SeriesOps, Summary}
+import graft.operators.{ChangeDetect, Downsample, Forecast, SeriesMining, SeriesOps, Summary}
 
 /** Round-5 series additions: Holt-Winters, forecast backtest, binseg
   * changepoint, PAA, deadband compression, dominant period, burstiness,
@@ -126,6 +126,64 @@ class Round5bSpec extends AnyFunSuite {
       burst.toDF("conv_id", "turn_idx", "ts", "value")).collect()(0)
     assert(b.getLong(1) == 11 && b.getLong(2) == 11)
     assert(b.getDouble(3) > 1.0 && b.getDouble(5) > 0.0, b.toString)
+  }
+
+  test("discord: the isolated shape wins; overlapping neighbors are excluded from the NN") {
+    // day-series (conv_id, idx, value): flat zeros with a (9,9) bump at
+    // positions 7-8; w=2 → the (9,9) subsequence's only non-overlapping
+    // neighbors are (0,0)-shaped: nn = 2·(9·10⁴)² = 16.2e9
+    val days = (1 to 12).map(i =>
+      ("a", i, if (i == 7 || i == 8) 9.0 else 0.0))
+      .toDF("conv_id", "idx", "value")
+    val out = SeriesMining.discord(days, w = 2).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getInt(2) == 7 && r.getLong(3) == 16200000000L, r.toString)
+    // series too short for a non-overlapping pair emit nothing
+    val short = (1 to 3).map(i => ("a", i, 1.0)).toDF("conv_id", "idx", "value")
+    assert(SeriesMining.discord(short, w = 2).count() == 0)
+  }
+
+  test("theilSen: breakdown resistance — one wild outlier moves neither median slope nor intercept") {
+    val days = Seq(("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, 5.0),
+      ("a", 3, 7.0), ("a", 4, 100.0)).toDF("conv_id", "idx", "value")
+    val r = SeriesMining.theilSen(days).collect()(0)
+    assert(r.getLong(1) == 5 && r.getLong(2) == 10)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 1.0, r.toString)
+  }
+
+  test("drawdown: peak-to-trough of the cumulative with FIRST argmax index") {
+    // values 1,-2,3,-1 → cum 1,-1,2,1; runmax 1,1,2,2; dd 0,2,0,1
+    val m = Seq(1.0, -2.0, 3.0, -1.0).zipWithIndex.map { case (v, i) =>
+      ("a", i, tsAt(i * 60L), v)
+    }.toDF("conv_id", "turn_idx", "ts", "value")
+    val r = SeriesOps.drawdown(m).collect()(0)
+    assert(r.getLong(1) == 4 && r.getDouble(2) == 2.0 && r.getInt(3) == 2,
+      r.toString)
+  }
+
+  test("roleDiversity: exact rational impurity and inverse Simpson") {
+    val tr = Seq(("a", 0, "user"), ("a", 1, "user"), ("a", 2, "assistant"),
+      ("a", 3, "tool"), ("b", 0, "user"))
+      .toDF("conv_id", "turn_idx", "role")
+    val out = SeriesOps.roleDiversity(tr).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 3 &&
+      a.getDouble(3) == 0.625 && a.getDouble(4) == 2.6667, a.toString)
+    val b = out("b") // single role: impurity 0, effective roles 1
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == 1.0)
+  }
+
+  test("topPerBucket: k heaviest keys per bucket, count-desc/key-asc ties; plan is WindowGroupLimit") {
+    val df = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq.fill(2)("k3") ++
+      Seq("k4")).map(k => (1, k)).toDF("b", "k")
+    val top = Summary.topPerBucket(df, col("b"), col("k"), k = 3)
+    val rows = top.orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1, "k1", 3L), (2, "k2", 2L), (3, "k3", 2L)), rows)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
   }
 
   test("hllRegisters: rho in [1, 33-p]; register in [0, 2^p); split-merge (max) equals whole-corpus sketch") {
