@@ -1377,6 +1377,49 @@ object SparkEntry {
       Summary.topPerBucket(transcripts(s, dir),
         date_trunc("day", col("ts")), col("conv_id"), k = 3)
         .orderBy("bucket", "rank")),
+    // top-1 motif (discord's mirror: the closest non-overlapping
+    // subsequence pair, integer-ten-thousandths Euclidean)
+    "ts_motif" -> ((s, dir) =>
+      SeriesMining.motif(
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"),
+        w = 4)
+        .orderBy("conv_id")),
+    // Mann-Kendall trend test on the EXACT RATIONAL day mean: pairwise
+    // sign(s_j·c_i − s_i·c_j) — pure integer cross-multiplication, so a
+    // float-summation-order tie can never flip a sign
+    "ts_mann_kendall" -> ((s, dir) => {
+      val days = metrics(s, dir)
+        .groupBy(col("conv_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("2024-01-01").cast("date")).as("idx"))
+        .agg(sum(col("text_len").cast("long")).as("s"),
+          count(lit(1)).as("c"))
+      SeriesMining.mannKendall(days).orderBy("conv_id")
+    }),
+    // longest active-day streak per conversation (gaps-and-islands)
+    "ts_streaks" -> ((s, dir) =>
+      SeriesOps.streaks(
+        ChangeDetect.daySeries(transcripts(s, dir), "text_len", "2024-01-01"))
+        .orderBy("conv_id")),
+    // Spearman rank trend of turn length vs time order (doubled average
+    // ranks keep every aggregate integer)
+    "ts_spearman" -> ((s, dir) =>
+      SeriesOps.spearmanTrend(metrics(s, dir), "text_len")
+        .orderBy("conv_id")),
+    // order-3 ordinal-pattern histogram (Bandt-Pompe counts, strict
+    // orderings, ties bucketed separately)
+    "ts_ordinal" -> ((s, dir) =>
+      SeriesOps.ordinalPatterns(metrics(s, dir), "text_len")
+        .orderBy("conv_id")),
+    // corpus role-transition matrix with exact rational transition shares
+    "ts_role_trans" -> ((s, dir) =>
+      SeriesOps.roleTransitions(transcripts(s, dir))
+        .orderBy("from_role", "to_role")),
+    // Gini concentration of turn volume across conversations — NO corpus-
+    // wide rank window: ranks reconstructed from the bounded distinct-
+    // count relation
+    "ts_gini" -> ((s, dir) =>
+      Summary.giniCounts(transcripts(s, dir), col("conv_id"))),
     // user→assistant response latency per conversation (exact-ms SLA stats)
     "ts_latency" -> ((s, dir) =>
       SeriesOps.responseLatency(transcripts(s, dir), "user", "assistant")
@@ -3824,6 +3867,176 @@ private object Oracles {
           |  round(1.0 - cast(sc2 AS double) / (n_obs * n_obs) + 1e-9, 4) AS impurity,
           |  round(cast(n_obs * n_obs AS double) / sc2 + 1e-9, 4) AS inv_simpson
           |FROM agg ORDER BY conv_id""".stripMargin),
+    // motif: the same double-unnest subsequence expansion as ts_discord,
+    // min over j > i+w-1 pairs, argmin ties to the smallest (i, j)
+    "ts_motif" ->
+      (cte + metricsCte +
+        """, days AS (
+          |  SELECT conv_id,
+          |    date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+          |    avg(text_len) AS value
+          |  FROM metrics GROUP BY 1, 2
+          |), sarr AS (
+          |  SELECT conv_id,
+          |    list(cast(round(value * 10000) AS bigint) ORDER BY idx) AS v,
+          |    cast(count(*) AS int) AS n
+          |  FROM days GROUP BY 1
+          |), subs AS (
+          |  SELECT conv_id, n, n - 3 AS m, v FROM sarr WHERE n >= 8
+          |), ii AS (
+          |  SELECT conv_id, n, m, v, unnest(generate_series(1, m)) AS i FROM subs
+          |), pr AS (
+          |  SELECT conv_id, n, v, i, unnest(generate_series(i + 4, m)) AS j FROM ii
+          |), d AS (
+          |  SELECT conv_id, n, i, j,
+          |    list_sum(list_transform(generate_series(0, 3), k ->
+          |      (v[i + k] - v[j + k]) * (v[i + k] - v[j + k]))) AS d2
+          |  FROM pr
+          |), best AS (
+          |  SELECT *, row_number() OVER (PARTITION BY conv_id
+          |                               ORDER BY d2, i, j) AS rn
+          |  FROM d
+          |)
+          |SELECT conv_id, cast(n AS bigint) AS n_days, cast(i AS int) AS pos_a,
+          |  cast(j AS int) AS pos_b, cast(d2 AS bigint) AS dist2
+          |FROM best WHERE rn = 1 ORDER BY conv_id""".stripMargin),
+    // mann-kendall: integer cross-multiplied day-mean comparison — no
+    // float mean anywhere, so both engines agree on every sign exactly
+    "ts_mann_kendall" ->
+      (cte + metricsCte +
+        """, days AS (
+          |  SELECT conv_id,
+          |    date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+          |    cast(sum(text_len) AS bigint) AS s, cast(count(*) AS bigint) AS c
+          |  FROM metrics GROUP BY 1, 2
+          |), pr AS (
+          |  SELECT a.conv_id AS conv_id,
+          |    CASE WHEN b.s * a.c > a.s * b.c THEN 1
+          |         WHEN b.s * a.c < a.s * b.c THEN -1 ELSE 0 END AS sg
+          |  FROM days a JOIN days b
+          |    ON a.conv_id = b.conv_id AND b.idx > a.idx
+          |), ag AS (
+          |  SELECT conv_id,
+          |    cast(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS bigint) AS n_pos,
+          |    cast(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS bigint) AS n_neg,
+          |    cast(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS bigint) AS n_tie
+          |  FROM pr GROUP BY 1
+          |), nd AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_days FROM days GROUP BY 1
+          |)
+          |SELECT d.conv_id AS conv_id, d.n_days AS n_days,
+          |  a.n_pos AS n_pos, a.n_neg AS n_neg, a.n_tie AS n_tie,
+          |  a.n_pos - a.n_neg AS s_stat,
+          |  CASE WHEN a.n_pos > a.n_neg THEN 'increasing'
+          |       WHEN a.n_pos < a.n_neg THEN 'decreasing'
+          |       ELSE 'none' END AS direction
+          |FROM nd d JOIN ag a USING (conv_id) ORDER BY conv_id""".stripMargin),
+    // streaks: the classic idx − row_number() island key; longest-streak
+    // start via the same first-argmax join shape as ts_drawdown
+    "ts_streaks" ->
+      (cte + metricsCte +
+        """, days AS (
+          |  SELECT DISTINCT conv_id,
+          |    date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx
+          |  FROM metrics
+          |), isl AS (
+          |  SELECT conv_id, idx,
+          |    idx - cast(row_number() OVER (PARTITION BY conv_id ORDER BY idx) AS int) AS k
+          |  FROM days
+          |), runs AS (
+          |  SELECT conv_id, k, cast(count(*) AS bigint) AS len, min(idx) AS start
+          |  FROM isl GROUP BY 1, 2
+          |), mx AS (
+          |  SELECT conv_id, max(len) AS ml FROM runs GROUP BY 1
+          |)
+          |SELECT r.conv_id AS conv_id, cast(sum(r.len) AS bigint) AS n_days,
+          |  cast(count(*) AS bigint) AS n_streaks,
+          |  cast(any_value(m.ml) AS bigint) AS longest,
+          |  cast(min(CASE WHEN r.len = m.ml THEN r.start END) AS int)
+          |    AS longest_start_idx
+          |FROM runs r JOIN mx m USING (conv_id)
+          |GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    // spearman: doubled average ranks (2·minrank + ties − 1) keep every
+    // aggregate integer; one correctly-rounded sqrt then 4-dp + (-0.0
+    // normalized)
+    "ts_spearman" ->
+      (cte + metricsCte +
+        """, rk AS (
+          |  SELECT conv_id,
+          |    2 * rank() OVER (PARTITION BY conv_id ORDER BY text_len)
+          |      + count(*) OVER (PARTITION BY conv_id, text_len) - 1 AS dr,
+          |    2 * row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS dt
+          |  FROM metrics
+          |), ag AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_obs,
+          |    cast(sum(dr) AS bigint) AS sx, cast(sum(dt) AS bigint) AS sy,
+          |    cast(sum(dr * dr) AS bigint) AS sxx,
+          |    cast(sum(dt * dt) AS bigint) AS syy,
+          |    cast(sum(dr * dt) AS bigint) AS sxy
+          |  FROM rk GROUP BY 1
+          |)
+          |SELECT conv_id, n_obs,
+          |  round(cast(n_obs * sxy - sx * sy AS double) /
+          |    sqrt(cast(n_obs * sxx - sx * sx AS double) *
+          |         cast(n_obs * syy - sy * sy AS double)) + 1e-9, 4) + 0.0 AS rho
+          |FROM ag
+          |WHERE n_obs >= 3 AND n_obs * sxx - sx * sx > 0
+          |  AND n_obs * syy - sy * sy > 0
+          |ORDER BY conv_id""".stripMargin),
+    "ts_ordinal" ->
+      (cte + metricsCte +
+        """, tri AS (
+          |  SELECT conv_id, text_len AS a,
+          |    lead(text_len, 1) OVER w AS b, lead(text_len, 2) OVER w AS c
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |)
+          |SELECT conv_id, cast(count(*) AS bigint) AS n_triples,
+          |  cast(sum(CASE WHEN a < b AND b < c THEN 1 ELSE 0 END) AS bigint) AS p123,
+          |  cast(sum(CASE WHEN a < c AND c < b THEN 1 ELSE 0 END) AS bigint) AS p132,
+          |  cast(sum(CASE WHEN b < a AND a < c THEN 1 ELSE 0 END) AS bigint) AS p213,
+          |  cast(sum(CASE WHEN c < a AND a < b THEN 1 ELSE 0 END) AS bigint) AS p231,
+          |  cast(sum(CASE WHEN b < c AND c < a THEN 1 ELSE 0 END) AS bigint) AS p312,
+          |  cast(sum(CASE WHEN c < b AND b < a THEN 1 ELSE 0 END) AS bigint) AS p321,
+          |  cast(sum(CASE WHEN a = b OR b = c OR a = c THEN 1 ELSE 0 END) AS bigint) AS n_tied
+          |FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+          |GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_role_trans" ->
+      (cte +
+        """, pr AS (
+          |  SELECT role AS from_role,
+          |    lead(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS to_role
+          |  FROM transcripts
+          |), cg AS (
+          |  SELECT from_role, to_role, cast(count(*) AS bigint) AS n
+          |  FROM pr WHERE to_role IS NOT NULL GROUP BY 1, 2
+          |)
+          |SELECT from_role, to_role, n,
+          |  round(cast(n AS double) /
+          |    cast(sum(n) OVER (PARTITION BY from_role) AS double) + 1e-9, 4) AS p
+          |FROM cg ORDER BY from_role, to_role""".stripMargin),
+    // gini: Σ rank·x reconstructed from the grouped-by-count relation
+    // (rank blocks of tied counts), doubled to stay integer end-to-end
+    "ts_gini" ->
+      (cte +
+        """, kc AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS c
+          |  FROM transcripts GROUP BY 1
+          |), g AS (
+          |  SELECT c, cast(count(*) AS bigint) AS m FROM kc GROUP BY 1
+          |), cum AS (
+          |  SELECT c, m, cast(sum(m) OVER (ORDER BY c) - m AS bigint) AS bigM
+          |  FROM g
+          |), t AS (
+          |  SELECT cast(sum(m) AS bigint) AS n_keys,
+          |    cast(sum(c * m) AS bigint) AS total,
+          |    cast(sum(c * (2 * m * bigM + m * (m + 1))) AS bigint) AS srx2
+          |  FROM cum
+          |)
+          |SELECT n_keys, total,
+          |  round(cast(srx2 - (n_keys + 1) * total AS double) /
+          |        cast(n_keys * total AS double) + 1e-9, 4) AS gini
+          |FROM t""".stripMargin),
     "ts_topk_daily" ->
       (cte +
         """, dc AS (

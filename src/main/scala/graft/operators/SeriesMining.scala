@@ -78,6 +78,96 @@ object SeriesMining {
       .toDF("conv_id", "n_days", "disc_pos", "nn_dist2")
   }
 
+  /** Top-1 motif — the discord's mirror (Yeh et al. ICDM 2016): the pair
+    * of NON-OVERLAPPING (|i−j| ≥ w) w-subsequences at MINIMUM raw
+    * Euclidean distance², integer-ten-thousandths math as [[discord]];
+    * ties → smallest (pos_a, pos_b). The recurring-shape hunter: where
+    * the discord finds the most isolated shape, the motif finds the most
+    * repeated one. Output: (conv_id, n_days, pos_a, pos_b, dist2).
+    */
+  def motif(daySeries: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, "w >= 2")
+    val spark = daySeries.sparkSession
+    import spark.implicits._
+    daySeries
+      .select(col("conv_id").cast("string"), col("idx").cast("int"),
+        col("value").cast("double"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        if (n < 2 * w) Iterator.empty
+        else {
+          val v = rows.map(r => math.round(r._3 * 10000.0))
+          val m = n - w + 1
+          var bestA = -1; var bestB = -1; var best = Long.MaxValue
+          var i = 0
+          while (i < m) {
+            var j = i + w
+            while (j < m) {
+              var d = 0L; var k = 0
+              while (k < w) {
+                val df = v(i + k) - v(j + k); d += df * df; k += 1
+              }
+              if (d < best) { best = d; bestA = i + 1; bestB = j + 1 }
+              j += 1
+            }
+            i += 1
+          }
+          Iterator.single((conv, n.toLong, bestA, bestB, best))
+        }
+      }
+      .toDF("conv_id", "n_days", "pos_a", "pos_b", "dist2")
+  }
+
+  /** Mann-Kendall trend test (Mann 1945, Kendall 1975) over the day
+    * series, on the EXACT RATIONAL day mean: day i carries (s_i = Σ
+    * text_len, c_i = count), and the pairwise comparison is
+    * sign(s_j·c_i − s_i·c_j) — pure integer cross-multiplication, no
+    * float mean whose last-ulp summation order could flip a sign at a
+    * tie boundary. S = Σ_{i<j} sign; direction = increasing / decreasing
+    * / none by S's sign. |s|·|c| per day is far below 2^62 at any
+    * per-day volume the retention horizon admits. Output: (conv_id,
+    * n_days, n_pos, n_neg, n_tie, s_stat, direction).
+    */
+  def mannKendall(dayStats: DataFrame): DataFrame = {
+    val spark = dayStats.sparkSession
+    import spark.implicits._
+    dayStats
+      .select(col("conv_id").cast("string"), col("idx").cast("int"),
+        col("s").cast("long"), col("c").cast("long"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        if (n < 2) Iterator.empty
+        else {
+          var pos = 0L; var neg = 0L; var tie = 0L
+          var i = 0
+          while (i < n - 1) {
+            var j = i + 1
+            while (j < n) {
+              val lhs = rows(j)._3 * rows(i)._4
+              val rhs = rows(i)._3 * rows(j)._4
+              if (lhs > rhs) pos += 1
+              else if (lhs < rhs) neg += 1
+              else tie += 1
+              j += 1
+            }
+            i += 1
+          }
+          val s = pos - neg
+          val dir = if (s > 0) "increasing" else if (s < 0) "decreasing"
+            else "none"
+          Iterator.single((conv, n.toLong, pos, neg, tie, s, dir))
+        }
+      }
+      .toDF("conv_id", "n_days", "n_pos", "n_neg", "n_tie", "s_stat",
+        "direction")
+  }
+
   /** Theil-Sen robust trend (Theil 1950, Sen 1968): the lower median of
     * all C(n,2) pairwise slopes (v_j − v_i)/(idx_j − idx_i) over the
     * CALENDAR day index (gaps count — a 3-day gap flattens the pair's

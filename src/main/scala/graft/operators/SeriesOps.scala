@@ -816,6 +816,123 @@ object SeriesOps {
         r4((col("n_obs") * col("n_obs")).cast("double") / col("sc2"))
           .as("inv_simpson"))
 
+  /** Longest active-day streak per series (gaps-and-islands): over the
+    * distinct calendar day indices, consecutive runs are islands keyed by
+    * the classic idx − row_number() constant; reports the island count
+    * and the longest streak (ties → earliest start). All-integer: one
+    * conv-partitioned window + two partial aggs. Output: (conv_id,
+    * n_days, n_streaks, longest, longest_start_idx).
+    */
+  def streaks(daySeries: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("idx")
+    daySeries
+      .select(col("conv_id"), col("idx").cast("int"))
+      .withColumn("isl", col("idx") - row_number().over(w))
+      .groupBy("conv_id", "isl")
+      .agg(count(lit(1)).as("len"), min("idx").as("start"))
+      .groupBy("conv_id")
+      .agg(sum("len").as("n_days"), count(lit(1)).as("n_streaks"),
+        max("len").as("longest"),
+        min(struct(negate(col("len")), col("start")))
+          .getField("start").as("longest_start_idx"))
+  }
+
+  /** Spearman rank correlation of a metric against time order per
+    * conversation — the monotonic-trend detector (is this conversation's
+    * turn length drifting up or down, in rank terms, robust to outliers).
+    * Average ranks are kept EXACT by doubling: 2·avgrank = 2·min_rank +
+    * (ties − 1) is an integer, and rho is Pearson on the doubled ranks
+    * (scale-invariant), so every aggregate is an integer sum — same
+    * exactness contract as [[seriesCorrelation]]: one correctly-rounded
+    * sqrt then 4-dp quantization. Integer sums stay below 2^53 for
+    * per-conv lengths up to ~2×10^4 (Σ(2r)²·n ≈ 4n³). Ties in the TIME
+    * axis cannot occur (turn_idx is unique), value ties are the rank
+    * window's business. Output: (conv_id, n_obs, rho).
+    */
+  def spearmanTrend(metrics: DataFrame, valueCol: String = "value")
+      : DataFrame = {
+    val wv = Window.partitionBy("conv_id").orderBy(valueCol)
+    val wt = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val wties = Window.partitionBy("conv_id", valueCol)
+    val ranked = metrics
+      .filter(col(valueCol).isNotNull)
+      .withColumn("dr",
+        (rank().over(wv) * 2 + count(lit(1)).over(wties) - 1).cast("long"))
+      .withColumn("dt", (row_number().over(wt) * 2).cast("long"))
+    ranked
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum("dr").as("sx"), sum("dt").as("sy"),
+        sum(col("dr") * col("dr")).as("sxx"),
+        sum(col("dt") * col("dt")).as("syy"),
+        sum(col("dr") * col("dt")).as("sxy"))
+      .withColumn("vx", col("n_obs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_obs") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n_obs") >= 3 && col("vx") > 0 && col("vy") > 0)
+      .select(col("conv_id"), col("n_obs"),
+        r4((col("n_obs") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt(col("vx").cast("double") * col("vy").cast("double")))
+          .as("rho"))
+  }
+
+  /** Ordinal-pattern histogram of order 3 (Bandt-Pompe 2002, minus the
+    * entropy — log() is not oracle-replayable; the raw pattern counts
+    * are, and they carry the same information): each consecutive triple
+    * (v, v', v'') with STRICT orderings is classified into one of the 6
+    * permutations; any triple containing a tie counts in `n_tied`. One
+    * conv-ordered window (two leads), one partial agg, all integers.
+    * Output: (conv_id, n_triples, p123, p132, p213, p231, p312, p321,
+    * n_tied) where pabc is the RANK VECTOR of (v1, v2, v3) — position 1
+    * has rank a, position 2 rank b, position 3 rank c; e.g. p123 =
+    * strictly increasing, p321 = strictly decreasing, p231 = v3 < v1 <
+    * v2 (middle value first).
+    */
+  def ordinalPatterns(metrics: DataFrame, valueCol: String = "value")
+      : DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val a = col(valueCol)
+    val b = lead(valueCol, 1).over(w)
+    val c = lead(valueCol, 2).over(w)
+    def n(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    metrics
+      .select(col("conv_id"), a.as("a"), b.as("b"), c.as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_triples"),
+        n(col("a") < col("b") && col("b") < col("c")).as("p123"),
+        n(col("a") < col("c") && col("c") < col("b")).as("p132"),
+        n(col("b") < col("a") && col("a") < col("c")).as("p213"),
+        n(col("c") < col("a") && col("a") < col("b")).as("p231"),
+        n(col("b") < col("c") && col("c") < col("a")).as("p312"),
+        n(col("c") < col("b") && col("b") < col("a")).as("p321"),
+        n(col("a") === col("b") || col("b") === col("c") ||
+          col("a") === col("c")).as("n_tied"))
+  }
+
+  /** Corpus-level role-transition matrix — the Markov-chain view of the
+    * conversation protocol: for every adjacent turn pair within a
+    * conversation, count (from_role → to_role), and report the exact
+    * rational transition share p = n / Σ_to n (4-dp quantized, no
+    * transcendentals). One conv-ordered window + a role-pair groupBy
+    * whose cardinality is |roles|² — bounded, so the final agg is a
+    * near-free shuffle. Output: (from_role, to_role, n, p).
+    */
+  def roleTransitions(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val pairs = transcripts
+      .select(col("conv_id"), col("ts"), col("turn_idx"),
+        col("role").as("from_role"))
+      .withColumn("to_role", lead("from_role", 1).over(w))
+      .filter(col("to_role").isNotNull)
+      .groupBy("from_role", "to_role")
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_role")
+    pairs
+      .withColumn("tot", sum("n").over(wf))
+      .select(col("from_role"), col("to_role"), col("n"),
+        r4(col("n").cast("double") / col("tot")).as("p"))
+  }
+
   /** Dominant seasonality period per series: the lag L in 1..`maxLag`
     * maximizing the sample autocorrelation r_L (ties → smallest lag) —
     * the period-detection step a seasonal model ([[Forecast.holtWinters]],

@@ -327,6 +327,41 @@ object Summary {
             + lit(1e-9), 4))
           .as("est_distinct"))
 
+  /** Gini concentration of activity across keys (how unequal is the
+    * per-conversation turn volume) WITHOUT a corpus-wide rank window:
+    * keys are first counted (one hash agg), then grouped BY COUNT VALUE
+    * (distinct counts are bounded by the max per-key volume, thousands
+    * not billions), and the classic Σ rank·x term is reconstructed from
+    * the grouped relation — a tie block of `m` keys at count `c` whose
+    * ranks span (M, M+m] contributes c·(m·M + m(m+1)/2), with M the
+    * running key total over smaller counts (a window over the SMALL
+    * distinct-count relation). G = (2·Σ rank·x − (n+1)·T) / (n·T), all
+    * integer until the one division. Output: one row (n_keys, total,
+    * gini).
+    */
+  def giniCounts(df: DataFrame, keyCol: Column): DataFrame = {
+    val counted = df.groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("c"))
+    val grouped = counted.groupBy("c").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("bigM", sum("m").over(w) - col("m"))
+      // srx2 = 2·Σ rank·x kept in ONE integer product chain (no mid-
+      // division — m(m+1) is even but `/` would go double); exact while
+      // n_keys²·c_max < 2^63
+      .select(col("c"), col("m"),
+        (col("c") * (lit(2) * col("m") * col("bigM") +
+          col("m") * (col("m") + 1))).as("rx2"),
+        (col("c") * col("m")).as("x"))
+      .agg(sum("m").as("n_keys"), sum("x").as("total"), sum("rx2").as("srx2"))
+      .select(col("n_keys"), col("total"),
+        round((col("srx2") - (col("n_keys") + 1) * col("total"))
+          .cast("double") /
+          (col("n_keys") * col("total")).cast("double") + lit(1e-9), 4)
+          .as("gini"))
+  }
+
   /** Grouped top-k: the `k` heaviest keys per bucket (count desc, key asc
     * tie-break) — the TimescaleDB `topn`/"top conversations per day"
     * verb. The rank window is partitioned by bucket, so Spark plans a
