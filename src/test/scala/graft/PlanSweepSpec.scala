@@ -33,7 +33,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "txt_bm25", "txt_dsir",
     "txt_budget", // corpus-word total over |langs|×|sources| cells
     "ts_bottomk", // rank window over the k-row TakeOrdered result
-    "ts_kmv") // one-row aggregate of the k-row sketch
+    "ts_kmv", // one-row aggregate of the k-row sketch
+    "ts_gini") // running window over the DISTINCT-COUNT relation (|distinct
+                // per-key volumes| rows, bounded by max key volume) + the
+                // one-row final reduce — the full key relation never funnels
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
