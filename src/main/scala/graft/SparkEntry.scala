@@ -1559,6 +1559,54 @@ object SparkEntry {
       Accuracy.kfoldValidate(pred.join(act, Seq("conv_id", "bucket_ts")),
         "actual", "pred", k = 5).orderBy("fold")
     }),
+    // hourly OHLC candlestick of turn length (TimescaleDB candlestick_agg):
+    // open/close via partial-aggregable struct min/max, no window pass
+    "ts_ohlc" -> ((s, dir) =>
+      Rollup.ohlcPresent(Rollup.ohlcState(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), Tier.H1))
+        .orderBy("conv_id", "bucket_ts")),
+    // daily OHLC CASCADED from the hourly state (never reads raw turns);
+    // the oracle computes the daily candle directly from raw — driver-
+    // verified algebraic-merge equivalence
+    "ts_ohlc_1d" -> ((s, dir) =>
+      Rollup.ohlcPresent(Rollup.ohlcCascade(Rollup.ohlcState(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), Tier.H1),
+        Tier.D1))
+        .orderBy("conv_id", "bucket_ts")),
+    // heartbeat/uptime: 5-minute liveness window, all-integer milliseconds
+    "ts_heartbeat" -> ((s, dir) =>
+      SeriesOps.heartbeat(transcripts(s, dir), windowMs = 300000L)
+        .orderBy("conv_id")),
+    // top-1% concentration of turn volume — grouped-by-count
+    // reconstruction, tie-break-free boundary contribution
+    "ts_top_share" -> ((s, dir) =>
+      Summary.topShare(transcripts(s, dir), col("conv_id"), 1, 100)),
+    // Kendall tau-b with tie correction from the Mann-Kendall pair counts
+    "ts_kendall_tau" -> ((s, dir) => {
+      val days = metrics(s, dir)
+        .groupBy(col("conv_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("2024-01-01").cast("date")).as("idx"))
+        .agg(sum(col("text_len").cast("long")).as("s"),
+          count(lit(1)).as("c"))
+      SeriesMining.kendallTau(days).orderBy("conv_id")
+    }),
+    // corpus month-over-month growth: totals per calendar month + deltas
+    // and exact-rational percent change vs the previous month (the lag
+    // window runs over the BOUNDED month relation, never raw turns)
+    "ts_mom" -> ((s, dir) => {
+      val mo = metrics(s, dir)
+        .groupBy(date_trunc("month", col("ts")).as("bucket_ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("text_len").cast("long")).as("sum_len"))
+      val w = Window.orderBy("bucket_ts")
+      mo.withColumn("prev_n", lag("n", 1).over(w))
+        .select(col("bucket_ts"), col("n"), col("sum_len"),
+          (col("n") - col("prev_n")).as("delta_n"),
+          (round(col("n").cast("double") / col("prev_n") * 100 - 100
+            + lit(1e-9), 4) + lit(0.0)).as("pct_n"))
+        .orderBy("bucket_ts")
+    }),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -5783,6 +5831,132 @@ private object Oracles {
           |  64 + (b0 % 64) AS height,
           |  byte_len // 100 + 1 AS frames
           |FROM mm ORDER BY doc_id""".stripMargin),
+    // OHLC candlestick: open/close replayed via bidirectional row_number
+    // (the oracle's window stand-in for the engine's struct min/max)
+    "ts_ohlc" ->
+      (cte + metricsCte +
+        """, b AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, text_len,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          |                       ORDER BY ts, turn_idx) AS ra,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+          |                       ORDER BY ts DESC, turn_idx DESC) AS rd
+          |  FROM metrics
+          |)
+          |SELECT conv_id, bucket_ts, cast(count(*) AS bigint) AS n,
+          |  max(CASE WHEN ra = 1 THEN text_len END) AS open,
+          |  max(text_len) AS high, min(text_len) AS low,
+          |  max(CASE WHEN rd = 1 THEN text_len END) AS close
+          |FROM b GROUP BY 1, 2 ORDER BY conv_id, bucket_ts""".stripMargin),
+    // daily candle computed DIRECTLY from raw — the engine answers it by
+    // cascading hourly states, so a green row proves the algebraic merge
+    "ts_ohlc_1d" ->
+      (cte + metricsCte +
+        """, b AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts, text_len,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('day', ts)
+          |                       ORDER BY ts, turn_idx) AS ra,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('day', ts)
+          |                       ORDER BY ts DESC, turn_idx DESC) AS rd
+          |  FROM metrics
+          |)
+          |SELECT conv_id, bucket_ts, cast(count(*) AS bigint) AS n,
+          |  max(CASE WHEN ra = 1 THEN text_len END) AS open,
+          |  max(text_len) AS high, min(text_len) AS low,
+          |  max(CASE WHEN rd = 1 THEN text_len END) AS close
+          |FROM b GROUP BY 1, 2 ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_heartbeat" ->
+      (cte +
+        """, hb AS (
+          |  SELECT conv_id, epoch_ms(ts) AS t,
+          |    lead(epoch_ms(ts)) OVER (PARTITION BY conv_id
+          |      ORDER BY ts, turn_idx) - epoch_ms(ts) AS gap
+          |  FROM transcripts
+          |), ag AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_beats,
+          |    cast(sum(CASE WHEN gap > 300000 THEN 1 ELSE 0 END) + 1
+          |      AS bigint) AS n_segments,
+          |    cast(sum(CASE WHEN gap IS NOT NULL THEN least(gap, 300000)
+          |      ELSE 0 END) + 300000 AS bigint) AS live_ms,
+          |    cast(max(t) - min(t) + 300000 AS bigint) AS span_ms
+          |  FROM hb GROUP BY 1
+          |)
+          |SELECT conv_id, n_beats, n_segments, live_ms,
+          |  span_ms - live_ms AS dead_ms
+          |FROM ag ORDER BY conv_id""".stripMargin),
+    // top-1% volume share: the boundary count-group contributes
+    // (k − keys_above)·c for ANY tie-break, so no key ordering is needed
+    "ts_top_share" ->
+      (cte +
+        """, kc AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS c
+          |  FROM transcripts GROUP BY 1
+          |), g AS (
+          |  SELECT c, cast(count(*) AS bigint) AS m FROM kc GROUP BY 1
+          |), t AS (
+          |  SELECT cast(sum(m) AS bigint) AS n_keys,
+          |    cast(sum(c * m) AS bigint) AS total FROM g
+          |), cum AS (
+          |  SELECT c, m,
+          |    cast(sum(m) OVER (ORDER BY c DESC) - m AS bigint) AS above
+          |  FROM g
+          |)
+          |SELECT t.n_keys AS n_keys, t.total AS total,
+          |  cast((t.n_keys + 99) // 100 AS bigint) AS top_k,
+          |  cast(sum(greatest(0, least(m, (t.n_keys + 99) // 100 - above))
+          |    * c) AS bigint) AS top_sum,
+          |  round(cast(sum(greatest(0, least(m, (t.n_keys + 99) // 100
+          |    - above)) * c) AS double) / t.total + 1e-9, 4) AS top_share
+          |FROM cum CROSS JOIN t
+          |GROUP BY 1, 2""".stripMargin),
+    // tau-b from the MK pair counts: T_x = 0 (distinct day indices), so
+    // the denominator is sqrt(n0 * (n0 - n_tie)); all-tied series excluded
+    "ts_kendall_tau" ->
+      (cte + metricsCte +
+        """, days AS (
+          |  SELECT conv_id,
+          |    date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS date)) AS idx,
+          |    cast(sum(text_len) AS bigint) AS s, cast(count(*) AS bigint) AS c
+          |  FROM metrics GROUP BY 1, 2
+          |), pr AS (
+          |  SELECT a.conv_id AS conv_id,
+          |    CASE WHEN b.s * a.c > a.s * b.c THEN 1
+          |         WHEN b.s * a.c < a.s * b.c THEN -1 ELSE 0 END AS sg
+          |  FROM days a JOIN days b
+          |    ON a.conv_id = b.conv_id AND b.idx > a.idx
+          |), ag AS (
+          |  SELECT conv_id,
+          |    cast(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS bigint) AS n_pos,
+          |    cast(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS bigint) AS n_neg,
+          |    cast(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS bigint) AS n_tie
+          |  FROM pr GROUP BY 1
+          |), nd AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_days FROM days GROUP BY 1
+          |)
+          |SELECT d.conv_id AS conv_id, d.n_days AS n_days,
+          |  a.n_pos - a.n_neg AS s_stat, a.n_tie AS n_tie,
+          |  round(cast(a.n_pos - a.n_neg AS double) /
+          |    sqrt(cast(a.n_pos + a.n_neg + a.n_tie AS double) *
+          |         cast(a.n_pos + a.n_neg AS double)) + 1e-9, 4) + 0.0 AS tau_b
+          |FROM nd d JOIN ag a USING (conv_id)
+          |WHERE a.n_pos + a.n_neg > 0
+          |ORDER BY conv_id""".stripMargin),
+    "ts_mom" ->
+      (cte + metricsCte +
+        """, mo AS (
+          |  SELECT date_trunc('month', ts) AS bucket_ts,
+          |    cast(count(*) AS bigint) AS n,
+          |    cast(sum(cast(text_len AS bigint)) AS bigint) AS sum_len
+          |  FROM metrics GROUP BY 1
+          |), lg AS (
+          |  SELECT bucket_ts, n, sum_len,
+          |    lag(n) OVER (ORDER BY bucket_ts) AS prev_n
+          |  FROM mo
+          |)
+          |SELECT bucket_ts, n, sum_len, n - prev_n AS delta_n,
+          |  round(cast(n AS double) / prev_n * 100 - 100 + 1e-9, 4) + 0.0
+          |    AS pct_n
+          |FROM lg ORDER BY bucket_ts""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

@@ -312,4 +312,46 @@ object Rollup {
         percentile(col("value"), lit(0.75)).as("t_tqr"),
         r4(max("value") - min("value")).as("t_amplitude"))
       .withColumn("t_iqr", col("t_tqr") - col("t_fqr"))
+
+  /** OHLC candlestick state per (conv, tier bucket) — the TimescaleDB
+    * `candlestick_agg` verb over a turn metric. State = (n, o, c, low,
+    * high) where o/c carry the full (ts, turn_idx, value) struct at the
+    * MIN/MAX (ts, turn_idx) key: struct min/max are plain partial-
+    * aggregable aggregates (lexicographic ordering; turn_idx breaks ts
+    * ties deterministically, and since (ts, turn_idx) is unique per conv
+    * the value field never decides), so the shuffle carries one state row
+    * per group — no first/last window pass over raw turns — and
+    * [[ohlcCascade]] merges states up a tier without touching finer data.
+    * Input: (conv_id, ts, turn_idx, value).
+    */
+  def ohlcState(metrics: DataFrame, tier: Tier, valueCol: String = "value")
+      : DataFrame =
+    metrics
+      .groupBy(col("conv_id"), date_trunc(tier.unit, col("ts")).as("bucket_ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts"), col("turn_idx"), col(valueCol).as("v"))).as("o"),
+        max(struct(col("ts"), col("turn_idx"), col(valueCol).as("v"))).as("c"),
+        min(valueCol).as("low"),
+        max(valueCol).as("high"))
+
+  /** Merge OHLC states up a tier (1h→1d→1mo): open = min struct, close =
+    * max struct, extremes = min/max — the same algebraic cascade shape as
+    * [[cascade]]; a coarse candlestick never reads raw turns.
+    */
+  def ohlcCascade(state: DataFrame, to: Tier): DataFrame =
+    state
+      .groupBy(col("conv_id"), date_trunc(to.unit, col("bucket_ts")).as("bucket_ts"))
+      .agg(
+        sum("n").as("n"),
+        min("o").as("o"),
+        max("c").as("c"),
+        min("low").as("low"),
+        max("high").as("high"))
+
+  /** Present an OHLC state relation as the user-facing candlestick row. */
+  def ohlcPresent(state: DataFrame): DataFrame =
+    state.select(col("conv_id"), col("bucket_ts"), col("n"),
+      col("o").getField("v").as("open"), col("high"), col("low"),
+      col("c").getField("v").as("close"))
 }

@@ -210,4 +210,22 @@ object SeriesMining {
       }
       .toDF("conv_id", "n_days", "n_pairs", "slope", "intercept")
   }
+
+  /** Kendall's τ-b (Kendall 1945) from the [[mannKendall]] pair counts:
+    * τ_b = S / √((n₀ − T_x)(n₀ − T_y)) with n₀ = C(n,2) the pair total,
+    * T_x = 0 (the time axis has no ties — day indices are distinct) and
+    * T_y = the value-tie pair count the MK pass already emits. Everything
+    * but the final √ and 4-dp quantization is integer. Series whose values
+    * are ALL tied (n₀ = T_y) have no defined τ and are excluded.
+    * Output: (conv_id, n_days, s_stat, n_tie, tau_b).
+    */
+  def kendallTau(dayStats: DataFrame): DataFrame =
+    mannKendall(dayStats)
+      .withColumn("n0", col("n_pos") + col("n_neg") + col("n_tie"))
+      .filter(col("n0") > col("n_tie"))
+      .select(col("conv_id"), col("n_days"), col("s_stat"), col("n_tie"),
+        round(col("s_stat").cast("double") /
+          sqrt(col("n0").cast("double") *
+            (col("n0") - col("n_tie")).cast("double")) + lit(1e-9), 4)
+          .as("tau_b"))
 }

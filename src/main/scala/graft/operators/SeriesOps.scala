@@ -1005,4 +1005,31 @@ object SeriesOps {
         (r4((col("sd") - col("mu")) / (col("sd") + col("mu"))) + lit(0.0))
           .as("b"))
   }
+
+  /** Heartbeat/uptime aggregate (TimescaleDB `heartbeat_agg`): each
+    * observation keeps its series "live" for `windowMs` after it; the
+    * live time is the measure of the union of intervals [ts_i, ts_i+W) =
+    * Σ min(gap_i, W) over adjacent gaps plus the last beat's trailing W,
+    * segments split where a gap exceeds W, and dead time is the covered
+    * span minus live time. All-integer milliseconds (one conv-ordered
+    * window + one partial agg — hash-exact cross-engine by construction).
+    * Output: (conv_id, n_beats, n_segments, live_ms, dead_ms).
+    */
+  def heartbeat(transcripts: DataFrame, windowMs: Long): DataFrame = {
+    require(windowMs > 0, "windowMs > 0")
+    val w = Window.partitionBy("conv_id").orderBy("t", "turn_idx")
+    transcripts
+      .select(col("conv_id"), ms(col("ts")).as("t"), col("turn_idx"))
+      .withColumn("gap", lead("t", 1).over(w) - col("t"))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_beats"),
+        (sum(when(col("gap") > windowMs, 1L).otherwise(0L)) + 1L)
+          .as("n_segments"),
+        (sum(when(col("gap").isNotNull, least(col("gap"), lit(windowMs)))
+          .otherwise(0L)) + windowMs).as("live_ms"),
+        (max("t") - min("t") + windowMs).as("span_ms"))
+      .select(col("conv_id"), col("n_beats"), col("n_segments"),
+        col("live_ms"), (col("span_ms") - col("live_ms")).as("dead_ms"))
+  }
 }

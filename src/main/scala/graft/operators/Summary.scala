@@ -416,4 +416,40 @@ object Summary {
       .groupBy("register")
       .agg(max("rho").as("rho"))
   }
+
+  /** Top-share concentration ([[giniCounts]]'s companion): the fraction of
+    * total volume held by the heaviest ⌈n·num/den⌉ keys — "the top 1% of
+    * conversations carry X% of turns". Same no-corpus-rank-window design
+    * as Gini: keys are counted (one hash agg), grouped BY COUNT VALUE
+    * (bounded distinct counts), and the top-k volume is reconstructed by
+    * walking count groups from the heaviest — a boundary group of tied
+    * keys contributes (k − keys_above)·c, identical for ANY tie-break, so
+    * the result is deterministic without ordering keys. k uses integer
+    * ceiling (n·num + den − 1) DIV den — no float boundary. Output: one
+    * row (n_keys, total, top_k, top_sum, top_share).
+    */
+  def topShare(df: DataFrame, keyCol: Column, num: Int = 1, den: Int = 100)
+      : DataFrame = {
+    require(num > 0 && den >= num, "0 < num <= den")
+    val grouped = df.groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("m"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("n_keys", sum("m").over(wAll))
+      .withColumn("total", sum(col("m") * col("c")).over(wAll))
+      .withColumn("k", expr(s"(n_keys * $num + ${den - 1}) DIV $den"))
+      .withColumn("above", sum("m").over(wDesc) - col("m"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("m"), col("k") - col("above"))))
+      .groupBy("n_keys", "total", "k")
+      .agg(sum(col("take") * col("c")).as("top_sum"))
+      .select(col("n_keys"), col("total"), col("k").as("top_k"),
+        col("top_sum"),
+        round(col("top_sum").cast("double") / col("total").cast("double")
+          + lit(1e-9), 4).as("top_share"))
+  }
 }

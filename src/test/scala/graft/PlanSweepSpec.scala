@@ -34,9 +34,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "txt_budget", // corpus-word total over |langs|×|sources| cells
     "ts_bottomk", // rank window over the k-row TakeOrdered result
     "ts_kmv", // one-row aggregate of the k-row sketch
-    "ts_gini") // running window over the DISTINCT-COUNT relation (|distinct
+    "ts_gini", // running window over the DISTINCT-COUNT relation (|distinct
                 // per-key volumes| rows, bounded by max key volume) + the
                 // one-row final reduce — the full key relation never funnels
+    "ts_top_share", // same bounded distinct-count relation as ts_gini
+    "ts_mom") // lag window over the calendar-month relation (|months| rows)
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
