@@ -328,12 +328,18 @@ object Rollup {
       : DataFrame =
     metrics
       .groupBy(col("conv_id"), date_trunc(tier.unit, col("ts")).as("bucket_ts"))
-      .agg(
-        count(lit(1)).as("n"),
-        min(struct(col("ts"), col("turn_idx"), col(valueCol).as("v"))).as("o"),
-        max(struct(col("ts"), col("turn_idx"), col(valueCol).as("v"))).as("c"),
-        min(valueCol).as("low"),
-        max(valueCol).as("high"))
+      .agg(ohlcAggs(valueCol).head, ohlcAggs(valueCol).tail: _*)
+
+  /** The candlestick aggregate expressions, shared verbatim with
+    * [[graft.streaming.StreamingRollup.ohlcStream]] — struct min/max state
+    * is order-insensitive, so stream and batch agree exactly.
+    */
+  private[graft] def ohlcAggs(valueCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    min(struct(col("ts"), col("turn_idx"), col(valueCol).as("v"))).as("o"),
+    max(struct(col("ts"), col("turn_idx"), col(valueCol).as("v"))).as("c"),
+    min(valueCol).as("low"),
+    max(valueCol).as("high"))
 
   /** Merge OHLC states up a tier (1h→1d→1mo): open = min struct, close =
     * max struct, extremes = min/max — the same algebraic cascade shape as

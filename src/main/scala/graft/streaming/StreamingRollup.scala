@@ -160,6 +160,25 @@ object StreamingRollup {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("cnt"))
 
+  /** Streaming OHLC candlestick per (conv, event-time window): the SAME
+    * aggregate expressions as [[graft.operators.Rollup.ohlcState]]
+    * (struct min/max and count are order-insensitive, commutative,
+    * mergeable state), so a shuffled/late-arriving stream produces the
+    * batch candle bit-identically once the watermark closes the window.
+    * Append mode; input (conv_id, ts, turn_idx, value).
+    */
+  def ohlcStream(metrics: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, window}
+    val aggs = graft.operators.Rollup.ohlcAggs("value")
+    metrics.withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), window(col("ts"), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("conv_id"), col("window.start").as("bucket_ts"),
+        col("n"), col("o.v").as("open"), col("high"), col("low"),
+        col("c.v").as("close"))
+  }
+
   /** Streaming near-dup SCREEN: LSH-band every incoming doc and join it
     * against the committed corpus's banded signatures (a stream-static
     * equi-join — the supported streaming join shape; no stream-side state

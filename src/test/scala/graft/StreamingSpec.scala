@@ -332,4 +332,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(after.sameElements(batch))
     } finally q.stop()
   }
+
+  test("streaming OHLC == batch candle after every prefix (shared agg exprs; late in-window arrival reopens the candle)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Int, Double)]
+    val q = StreamingRollup.ohlcStream(
+      mem.toDF().toDF("conv_id", "ts", "turn_idx", "value"))
+      .writeStream.format("memory").queryName("ohlcs")
+      .outputMode("complete")
+      .start()
+    try {
+      def at(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+      val b1 = Seq(("a", at(10), 0, 5.0), ("a", at(30), 1, 9.0),
+        ("b", at(3700), 0, 4.0))
+      // late-but-in-window turn 2 arrives in batch 2 and, being EARLIER
+      // than turn 0, must take over conv a's OPEN; turn 3 extends close
+      val b2 = Seq(("a", at(5), 2, 1.0), ("a", at(50), 3, 7.0))
+      def streamed() = spark.sql(
+        "SELECT conv_id, bucket_ts, n, open, high, low, close FROM ohlcs")
+        .collect().map(_.toString).sorted.toSeq
+      def batch(rows: Seq[(String, java.sql.Timestamp, Int, Double)]) =
+        graft.operators.Rollup.ohlcPresent(graft.operators.Rollup.ohlcState(
+          rows.toDF("conv_id", "ts", "turn_idx", "value"), Tier.H1))
+          .collect().map(_.toString).sorted.toSeq
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(streamed() == batch(b1))
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(streamed() == batch(b1 ++ b2))
+      val a = spark.sql("SELECT open, close FROM ohlcs WHERE conv_id = 'a'")
+        .head()
+      assert(a.getDouble(0) == 1.0 && a.getDouble(1) == 7.0)
+    } finally q.stop()
+  }
 }
