@@ -986,6 +986,23 @@ object SparkEntry {
     // top-50 vocabulary (tokenizer prep): count desc, word tie-break
     "txt_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(documents(s, dir), 50)),
+    // lexical diversity per doc: type-token ratio + hapax share — low TTR
+    // flags template/spam; doc-bounded groups, embarrassingly parallel
+    "txt_ttr" -> ((s, dir) =>
+      TextAnalysis.typeTokenRatio(documents(s, dir)).orderBy("doc_id")),
+    // Zipf rank-frequency OLS over the top-64 vocab (natural text ≈ −1);
+    // ln values integer-quantized before summation — exact cross-engine
+    "txt_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(documents(s, dir), 64)),
+    // PSI ingest-drift monitor between the even/odd doc shards over log2
+    // length buckets (Laplace-smoothed shares, ≤64-bucket relation)
+    "txt_psi" -> ((s, dir) =>
+      TextAnalysis.psiDrift(documents(s, dir),
+        pmod(col("doc_id"), lit(2)) === 0).orderBy("bucket")),
+    // Benford first-digit census over turn text lengths — the pipeline-bug
+    // / fabricated-data screen; 9 digit groups, hard-coded log10 literals
+    "ts_benford" -> ((s, dir) =>
+      Summary.benfordDigits(metrics(s, dir), "text_len").orderBy("digit")),
     // corpus-composition report: per (lang, source) doc/word/subword/char
     // counts + corpus-word share — the table data-mixing decisions read
     "txt_budget" -> ((s, dir) =>
@@ -1521,6 +1538,44 @@ object SparkEntry {
         .filter(col("gap").isNotNull)
       Summary.logHistQuantiles(g, "conv_id", "gap", Seq(0.5, 0.95, 0.99))
         .orderBy("conv_id")
+    }),
+    // CORPUS-WIDE hourly rollup — two-phase conv-salted global aggregate:
+    // at 10^12 turns one hour of global traffic is billions of rows, so
+    // phase 1 splits each bucket across 32 conv-hash salts (exact distinct
+    // conv counts merge by sum because salts partition conversations)
+    "ts_rollup_global" -> ((s, dir) =>
+      Rollup.presentGlobal(Rollup.tierStateGlobal(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), Tier.H1,
+        saltWidth = 32, tsCol = "ts")).orderBy("bucket_ts")),
+    // agent tool-loop screen: maximal runs of consecutive same-tool calls
+    // over each conversation's tool-turn subsequence; runs ≥3 are loops
+    "ts_tool_loops" -> ((s, dir) =>
+      SeriesOps.toolLoops(transcripts(s, dir), minLoop = 3)
+        .orderBy("conv_id")),
+    // retry-echo storms: consecutive same-role turns with equal normalized
+    // payload (fixture text embeds conv:turn_idx: — fingerprint strips it)
+    "ts_retry_echo" -> ((s, dir) =>
+      SeriesOps.retryEcho(transcripts(s, dir),
+        regexp_replace(col("text"), "^[^:]*:[^:]*:", ""))
+        .orderBy("conv_id")),
+    // per-tool response latency: exact integer moments + log2-bucket
+    // histogram UB quantiles — the tool-grouped sibling of ts_latency_hist
+    // (bounded tool vocab; never a per-tool exact-median sort at scale)
+    "ts_tool_latency" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val t = transcripts(s, dir)
+        .withColumn("d", lead(tsMs, 1).over(w) - tsMs)
+        .filter(col("tool").isNotNull && col("d").isNotNull)
+      val hist = Summary.logHistQuantiles(t, "tool", "d", Seq(0.5, 0.95))
+      val mom = t.groupBy("tool").agg(
+        count(lit(1)).as("n_calls"),
+        round(avg("d") + lit(1e-9), 4).as("mean_ms"),
+        min("d").as("min_ms"), max("d").as("max_ms"))
+      mom.join(hist, "tool")
+        .select("tool", "n_calls", "mean_ms", "min_ms", "max_ms",
+          "p50_ub", "p95_ub")
+        .orderBy("tool")
     }),
     // KMV bottom-64 key sample over (conv, turn) keys: deterministic
     // mergeable uniform sample, planned as TakeOrderedAndProject (partial
@@ -4577,6 +4632,110 @@ private object Oracles {
           |  min(CASE WHEN cum >= ceil(0.95 * n) THEN ub END) AS p95_ub,
           |  min(CASE WHEN cum >= ceil(0.99 * n) THEN ub END) AS p99_ub
           |FROM c GROUP BY 1, 2 ORDER BY conv_id""".stripMargin),
+    "ts_rollup_global" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT date_trunc('hour', ts) AS bucket_ts,
+          |    count(text_len) AS n,
+          |    cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+          |    sum(text_len) AS sum_v, sum(text_len * text_len) AS sum2_v,
+          |    min(text_len) AS min_v, max(text_len) AS max_v
+          |  FROM metrics GROUP BY 1
+          |)
+          |SELECT bucket_ts, n, n_convs,
+          |  round(sum_v + 1e-9, 4) AS sum_v,
+          |  round(sum_v / n + 1e-9, 4) AS mean_v,
+          |  min_v, max_v,
+          |  CASE WHEN n > 1 THEN
+          |    round(sqrt(greatest(0.0, (sum2_v - sum_v * sum_v / n) / (n - 1)))
+          |          + 1e-9, 4) END AS std_v,
+          |  round(max_v - min_v + 1e-9, 4) AS amp_v
+          |FROM st ORDER BY bucket_ts""".stripMargin),
+    "ts_tool_loops" ->
+      (cte +
+        """, tl AS (
+          |  SELECT conv_id, ts, turn_idx, tool,
+          |    CASE WHEN lag(tool) OVER w IS NULL
+          |           OR lag(tool) OVER w <> tool THEN 1 ELSE 0 END AS chg
+          |  FROM transcripts WHERE tool IS NOT NULL
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), tr AS (
+          |  SELECT conv_id,
+          |    cast(sum(chg) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |                        ROWS UNBOUNDED PRECEDING) AS bigint) AS run_id
+          |  FROM tl
+          |), runs AS (
+          |  SELECT conv_id, run_id, cast(count(*) AS bigint) AS len
+          |  FROM tr GROUP BY 1, 2
+          |)
+          |SELECT conv_id, cast(sum(len) AS bigint) AS n_tool_turns,
+          |  cast(count(*) AS bigint) AS n_runs,
+          |  cast(max(len) AS bigint) AS max_run,
+          |  cast(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS bigint) AS n_loops
+          |FROM runs GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_retry_echo" ->
+      (cte +
+        """, fp0 AS (
+          |  SELECT conv_id, ts, turn_idx, role,
+          |    regexp_replace(text, '^[^:]*:[^:]*:', '') AS fp
+          |  FROM transcripts
+          |), fl AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    CASE WHEN lag(fp) OVER w = fp AND lag(role) OVER w = role
+          |         THEN 1 ELSE 0 END AS echo
+          |  FROM fp0 WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), gl AS (
+          |  SELECT conv_id, echo,
+          |    cast(sum(1 - echo) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |                             ROWS UNBOUNDED PRECEDING) AS bigint) AS grp
+          |  FROM fl
+          |), runs AS (
+          |  SELECT conv_id, grp, cast(count(*) AS bigint) AS n_g,
+          |    cast(sum(echo) AS bigint) AS streak
+          |  FROM gl GROUP BY 1, 2
+          |)
+          |SELECT conv_id, cast(sum(n_g) AS bigint) AS n_turns,
+          |  cast(sum(streak) AS bigint) AS n_echoes,
+          |  cast(max(streak) AS bigint) AS max_echo_run,
+          |  round(cast(sum(streak) AS double) / sum(n_g) + 1e-9, 4) AS echo_share
+          |FROM runs GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_tool_latency" ->
+      (cte +
+        """, g AS (
+          |  SELECT conv_id, tool,
+          |    lead(epoch_ms(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |      - epoch_ms(ts) AS d
+          |  FROM transcripts
+          |), t AS (
+          |  SELECT tool, d FROM g WHERE tool IS NOT NULL AND d IS NOT NULL
+          |), h AS (
+          |  SELECT tool,
+          |    CASE WHEN d <= 0 THEN -1
+          |         ELSE length(printf('%b', d)) - 1 END AS bucket,
+          |    count(*) AS cnt
+          |  FROM t GROUP BY 1, 2
+          |), c AS (
+          |  SELECT tool, bucket, cnt,
+          |    CAST(sum(cnt) OVER (PARTITION BY tool ORDER BY bucket)
+          |         AS BIGINT) AS cum,
+          |    CAST(sum(cnt) OVER (PARTITION BY tool) AS BIGINT) AS n,
+          |    CASE WHEN bucket < 0 THEN 0
+          |         ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS ub
+          |  FROM h
+          |), q AS (
+          |  SELECT tool,
+          |    min(CASE WHEN cum >= ceil(0.5 * n) THEN ub END) AS p50_ub,
+          |    min(CASE WHEN cum >= ceil(0.95 * n) THEN ub END) AS p95_ub
+          |  FROM c GROUP BY 1
+          |), m AS (
+          |  SELECT tool, cast(count(*) AS bigint) AS n_calls,
+          |    round(avg(cast(d AS double)) + 1e-9, 4) AS mean_ms,
+          |    min(d) AS min_ms, max(d) AS max_ms
+          |  FROM t GROUP BY 1
+          |)
+          |SELECT m.tool, m.n_calls, m.mean_ms, m.min_ms, m.max_ms,
+          |  q.p50_ub, q.p95_ub
+          |FROM m JOIN q USING (tool) ORDER BY tool""".stripMargin),
     "ts_bottomk" ->
       (cte +
         s""", keys AS (
@@ -5261,6 +5420,102 @@ private object Oracles {
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           |WHERE word != '' GROUP BY 1
           |ORDER BY cnt DESC, word LIMIT 50""".stripMargin),
+    "txt_ttr" ->
+      ("""WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          |  FROM documents
+          |), wc AS (
+          |  SELECT doc_id, word, cast(count(*) AS bigint) AS cnt
+          |  FROM tok WHERE word != '' GROUP BY 1, 2
+          |), a AS (
+          |  SELECT doc_id, cast(sum(cnt) AS bigint) AS n_tokens,
+          |    cast(count(*) AS bigint) AS n_types,
+          |    cast(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS bigint)
+          |      AS n_hapax
+          |  FROM wc GROUP BY 1
+          |)
+          |SELECT doc_id, n_tokens, n_types,
+          |  round(cast(n_types AS double) / n_tokens + 1e-9, 4) AS ttr,
+          |  n_hapax,
+          |  round(cast(n_hapax AS double) / n_tokens + 1e-9, 4) AS hapax_share
+          |FROM a ORDER BY doc_id""".stripMargin),
+    "txt_zipf" ->
+      ("""WITH v AS (
+          |  SELECT word, cast(count(*) AS bigint) AS cnt FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |  WHERE word != '' GROUP BY 1
+          |  ORDER BY cnt DESC, word LIMIT 64
+          |), r AS (
+          |  SELECT
+          |    cast(round(ln(cast(row_number() OVER (ORDER BY cnt DESC, word)
+          |      AS double)) * 10000) AS bigint) AS x,
+          |    cast(round(ln(cast(cnt AS double)) * 10000) AS bigint) AS y
+          |  FROM v
+          |), s AS (
+          |  SELECT cast(count(*) AS bigint) AS n,
+          |    cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+          |    cast(sum(x * x) AS bigint) AS sxx,
+          |    cast(sum(x * y) AS bigint) AS sxy,
+          |    cast(sum(y * y) AS bigint) AS syy
+          |  FROM r
+          |)
+          |SELECT n AS n_terms,
+          |  round(cast(n * sxy - sx * sy AS double)
+          |        / cast(n * sxx - sx * sx AS double) + 1e-9, 4) AS slope,
+          |  round(cast(sy * sxx - sx * sxy AS double)
+          |        / (cast(n * sxx - sx * sx AS double) * 10000.0) + 1e-9, 4)
+          |    AS intercept,
+          |  round(cast(n * sxy - sx * sy AS double)
+          |        * cast(n * sxy - sx * sy AS double)
+          |        / (cast(n * sxx - sx * sx AS double)
+          |           * cast(n * syy - sy * sy AS double)) + 1e-9, 4) AS r2
+          |FROM s""".stripMargin),
+    "txt_psi" ->
+      ("""WITH b AS (
+          |  SELECT CASE WHEN n_chars <= 0 THEN -1
+          |              ELSE length(printf('%b', n_chars)) - 1 END AS bucket,
+          |    cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS bigint)
+          |      AS n_a,
+          |    cast(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS bigint)
+          |      AS n_b
+          |  FROM documents GROUP BY 1
+          |), sm AS (
+          |  SELECT bucket, n_a, n_b,
+          |    cast(n_a + 1 AS double)
+          |      / (sum(n_a) OVER () + count(*) OVER ()) AS pa,
+          |    cast(n_b + 1 AS double)
+          |      / (sum(n_b) OVER () + count(*) OVER ()) AS pb
+          |  FROM b
+          |)
+          |SELECT bucket, n_a, n_b,
+          |  round(pa + 1e-9, 4) AS p_a,
+          |  round(pb + 1e-9, 4) AS p_b,
+          |  round((pa - pb) * ln(pa / pb) + 1e-9, 4) AS psi_term
+          |FROM sm ORDER BY bucket""".stripMargin),
+    "ts_benford" ->
+      (cte + metricsCte +
+        """, d AS (
+          |  SELECT substr(cast(cast(text_len AS bigint) AS varchar), 1, 1)
+          |    AS digit, cast(count(*) AS bigint) AS n
+          |  FROM metrics WHERE cast(text_len AS bigint) > 0 GROUP BY 1
+          |), p AS (
+          |  SELECT * FROM (VALUES
+          |    ('1', 0.3010299956639812), ('2', 0.17609125905568124),
+          |    ('3', 0.12493873660829993), ('4', 0.09691001300805642),
+          |    ('5', 0.07918124604762482), ('6', 0.06694678963061322),
+          |    ('7', 0.05799194697768673), ('8', 0.05115252244738129),
+          |    ('9', 0.04575749056067514)) AS p(digit, exp_p)
+          |), t AS (
+          |  SELECT d.digit, d.n, cast(p.exp_p AS double) AS exp_p,
+          |    cast(sum(d.n) OVER () AS bigint) AS total
+          |  FROM d JOIN p USING (digit)
+          |)
+          |SELECT digit, n,
+          |  round(cast(n AS double) / total + 1e-9, 4) AS share,
+          |  round(exp_p + 1e-9, 4) AS exp_p,
+          |  round((n - total * exp_p) * (n - total * exp_p)
+          |        / (total * exp_p) + 1e-9, 4) AS chi_term
+          |FROM t ORDER BY digit""".stripMargin),
     "txt_budget" ->
       ("""WITH t AS (
           |  SELECT lang, source, text, string_split(text, ' ') AS toks FROM documents

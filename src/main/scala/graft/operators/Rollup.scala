@@ -360,4 +360,55 @@ object Rollup {
     state.select(col("conv_id"), col("bucket_ts"), col("n"),
       col("o").getField("v").as("open"), col("high"), col("low"),
       col("c").getField("v").as("close"))
+
+  /** CORPUS-WIDE tier rollup — the fleet dashboard query ("all traffic per
+    * hour"), the one aggregation where per-conv partitioning does NOT
+    * protect against hot keys: at 10^12 turns a single bucket key (one
+    * hour of global traffic) holds billions of rows, so a naive
+    * groupBy(bucket) funnels each hour through one reducer. Two phases:
+    * phase 1 groups by (bucket, salt) where salt partitions CONVERSATIONS
+    * (hash(conv_id) mod saltWidth) — deterministic, so retries/resume
+    * reproduce, and conv-disjoint, so the per-salt DISTINCT conversation
+    * count is exact and merges by plain sum; phase 2 merges ≤saltWidth
+    * partials per bucket. Both phases are partially aggregable; the
+    * shuffle carries (buckets × saltWidth) rows, never raw turns. Output:
+    * (bucket_ts, n, n_convs, sum_v, sum2_v, min_v, max_v).
+    */
+  def tierStateGlobal(series: DataFrame, tier: Tier, saltWidth: Int = 32,
+      tsCol: String = "bucket_ts", valueCol: String = "value"): DataFrame = {
+    require(saltWidth > 0, "saltWidth > 0")
+    series
+      .withColumn("__salt", pmod(hash(col("conv_id")), lit(saltWidth)))
+      .groupBy(date_trunc(tier.unit, col(tsCol)).as("bucket_ts"), col("__salt"))
+      .agg(
+        count(col(valueCol)).as("n"),
+        count_distinct(col("conv_id")).as("n_convs"),
+        sum(valueCol).as("sum_v"),
+        sum(col(valueCol) * col(valueCol)).as("sum2_v"),
+        min(valueCol).as("min_v"),
+        max(valueCol).as("max_v"))
+      .groupBy("bucket_ts")
+      .agg(
+        sum("n").as("n"),
+        sum("n_convs").as("n_convs"),
+        sum("sum_v").as("sum_v"),
+        sum("sum2_v").as("sum2_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+  }
+
+  /** User-facing read of [[tierStateGlobal]]: mean/std (sample, via
+    * moments)/amplitude, rounded at the output boundary only.
+    */
+  def presentGlobal(state: DataFrame): DataFrame =
+    state.select(
+      col("bucket_ts"), col("n"), col("n_convs"),
+      r4(col("sum_v")).as("sum_v"),
+      r4(col("sum_v") / col("n")).as("mean_v"),
+      col("min_v"), col("max_v"),
+      when(col("n") > 1,
+        r4(sqrt(greatest(lit(0.0),
+          (col("sum2_v") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1)))))
+        .otherwise(lit(null).cast("double")).as("std_v"),
+      r4(col("max_v") - col("min_v")).as("amp_v"))
 }

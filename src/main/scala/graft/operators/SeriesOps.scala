@@ -1032,4 +1032,68 @@ object SeriesOps {
       .select(col("conv_id"), col("n_beats"), col("n_segments"),
         col("live_ms"), (col("span_ms") - col("live_ms")).as("dead_ms"))
   }
+
+  /** Tool-call loop detection — the agent-transcript retry-loop screen.
+    * Over a conversation's time-ordered TOOL turns (`tool IS NOT NULL`;
+    * interleaved user/assistant turns are skipped, because an agent loop
+    * is tool→reply→same tool→reply…), a *run* is a maximal streak of
+    * consecutive tool turns invoking the same tool; a run of length ≥
+    * `minLoop` is flagged as a loop. Run ids come from the classic
+    * change-flag running sum, sharing ONE conv-ordered sort with the lag
+    * (single window pass), then two partial aggs over the ratio-smaller
+    * run relation. All-integer output — hash-exact cross-engine:
+    * (conv_id, n_tool_turns, n_runs, max_run, n_loops).
+    */
+  def toolLoops(transcripts: DataFrame, minLoop: Int): DataFrame = {
+    require(minLoop >= 2, "a loop needs at least 2 consecutive calls")
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val run = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    transcripts
+      .filter(col("tool").isNotNull)
+      .withColumn("chg",
+        when(lag("tool", 1).over(w).isNull ||
+          lag("tool", 1).over(w) =!= col("tool"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(run))
+      .groupBy(col("conv_id"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("conv_id")
+      .agg(
+        sum("len").as("n_tool_turns"),
+        count(lit(1)).as("n_runs"),
+        max("len").as("max_run"),
+        sum(when(col("len") >= minLoop, 1L).otherwise(0L)).as("n_loops"))
+  }
+
+  /** Retry-echo screen — consecutive near-duplicate turns (an agent retry
+    * storm re-issues the same message): a turn is an *echo* when its
+    * (role, fingerprint) equals the previous time-ordered turn's. The
+    * fingerprint column lets callers normalize away per-turn noise (our
+    * fixture text embeds `conv:turn_idx:` — the caller strips it; raw
+    * text is the degenerate identity choice). Echo streak lengths come
+    * from the run-id trick over the SAME single sort; share is 4-dp
+    * quantized at the output boundary. Output: (conv_id, n_turns,
+    * n_echoes, max_echo_run, echo_share).
+    */
+  def retryEcho(transcripts: DataFrame, fingerprint: Column): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val run = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = transcripts
+      .withColumn("fp", fingerprint)
+      .withColumn("echo",
+        when(lag("fp", 1).over(w) === col("fp") &&
+          lag("role", 1).over(w) === col("role"), 1L).otherwise(0L))
+      .withColumn("grp", sum(lit(1L) - col("echo")).over(run))
+    flagged
+      .groupBy(col("conv_id"), col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum("echo").as("streak"))
+      .groupBy("conv_id")
+      .agg(
+        sum("n_g").as("n_turns"),
+        sum("streak").as("n_echoes"),
+        max("streak").as("max_echo_run"))
+      .withColumn("echo_share",
+        r4(col("n_echoes").cast("double") / col("n_turns")))
+  }
 }

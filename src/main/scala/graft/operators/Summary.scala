@@ -452,4 +452,40 @@ object Summary {
         round(col("top_sum").cast("double") / col("total").cast("double")
           + lit(1e-9), 4).as("top_share"))
   }
+
+  /** Benford's-law literals log10(1 + 1/d), d = 1..9 — hard-coded doubles
+    * so BOTH engines consume identical constants (no libm log10 call in
+    * either plan).
+    */
+  val benfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** First-significant-digit census vs Benford's law — the classic
+    * fabricated-data / pipeline-bug screen over a positive integer-valued
+    * metric. One partially-aggregated groupBy into ≤9 digit groups (string
+    * head of the integer rendering — no float log), then shares and χ²
+    * contributions (O_d − n·p_d)²/(n·p_d) on the 9-row relation. Output:
+    * (digit, n, share, exp_p, chi_term), 4-dp at the boundary.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val pExpr = element_at(array(benfordP.map(lit): _*),
+      col("digit").cast("int"))
+    val d = df
+      .filter(col(valueCol).cast("long") > 0)
+      .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    d.withColumn("total", sum("n").over(w))
+      .withColumn("exp_p", pExpr)
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total") + lit(1e-9), 4)
+          .as("share"),
+        round(col("exp_p") + lit(1e-9), 4).as("exp_p"),
+        round((col("n") - col("total") * col("exp_p")) *
+          (col("n") - col("total") * col("exp_p")) /
+          (col("total") * col("exp_p")) + lit(1e-9), 4).as("chi_term"))
+  }
 }

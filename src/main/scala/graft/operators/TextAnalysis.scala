@@ -858,4 +858,92 @@ object TextAnalysis {
         }
       }.toDF("doc_id", "n_fp", "fp_sum", "fp_min", "fp_max")
   }
+
+  /** Type-token ratio + hapax share per document — the lexical-diversity
+    * quality signal (low TTR flags template/spam text; high hapax share
+    * flags noise). One (doc_id, word) partial agg then one doc_id agg —
+    * groups bounded by document length, embarrassingly parallel at any
+    * corpus size. Output: (doc_id, n_tokens, n_types, ttr, n_hapax,
+    * hapax_share); ratios are exact rationals, 4-dp at the boundary.
+    */
+  def typeTokenRatio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens") + lit(1e-9), 4)
+          .as("ttr"),
+        col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_tokens") + lit(1e-9), 4)
+          .as("hapax_share"))
+
+  /** Zipf rank-frequency fit over the top-`k` vocabulary: OLS of ln(cnt)
+    * on ln(rank) — natural text slopes ≈ −1 (Zipf 1949); a far-off slope
+    * flags synthetic/boilerplate corpora. The corpus-sized work is exactly
+    * [[vocabTopK]] (partial agg + TakeOrderedAndProject); the regression
+    * runs on the k-row bounded relation (rank window over k rows). ln() at
+    * 4-dp follows the entropy/logit oracle precedent. Output one row:
+    * (n_terms, slope, intercept, r2).
+    */
+  def zipfFit(docs: DataFrame, k: Int): DataFrame = {
+    // ln values quantized to integer ten-thousandths BEFORE summation —
+    // every aggregate below is an exact integer sum (the ccf/olsTrend
+    // lesson: cross-row double sums are order-sensitive; integers aren't).
+    // The 1e4 scale cancels in slope and r², and divides out once in the
+    // intercept. ln() itself at 4-dp follows the entropy/logit precedent.
+    val ranked = vocabTopK(docs, k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+      .select(
+        round(log(col("rank").cast("double")) * 10000).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 10000).cast("long").as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("den",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("num",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .select(col("n").as("n_terms"),
+        round(col("num") / col("den") + lit(1e-9), 4).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / (col("den") * 10000.0) + lit(1e-9), 4).as("intercept"),
+        round(col("num") * col("num") /
+          (col("den") * (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))
+          + lit(1e-9), 4).as("r2"))
+  }
+
+  /** Population-stability-index drift monitor between two corpus shards
+    * (the production "did the ingest distribution move?" check): log2
+    * doc-length buckets (integer bit length — [[Summary.log2Bucket]]'s
+    * rule), Laplace-smoothed shares p = (cnt+1)/(n+B) over the observed
+    * bucket union, per-bucket term (pA−pB)·ln(pA/pB). Everything after
+    * the one corpus-scan partial agg runs on the ≤64-bucket relation.
+    * Output per bucket: (bucket, n_a, n_b, p_a, p_b, psi_term), 4-dp.
+    */
+  def psiDrift(docs: DataFrame, shardA: Column): DataFrame = {
+    val b = docs.select(
+      Summary.log2Bucket(col("n_chars")).as("bucket"),
+      when(shardA, 1L).otherwise(0L).as("in_a"))
+      .groupBy("bucket")
+      .agg(sum("in_a").as("n_a"), (count(lit(1)) - sum("in_a")).as("n_b"))
+    val w = Window.partitionBy()
+    val sm = b
+      .withColumn("ta", sum("n_a").over(w))
+      .withColumn("tb", sum("n_b").over(w))
+      .withColumn("nb", count(lit(1)).over(w))
+      .withColumn("pa", (col("n_a") + 1).cast("double") / (col("ta") + col("nb")))
+      .withColumn("pb", (col("n_b") + 1).cast("double") / (col("tb") + col("nb")))
+    sm.select(col("bucket"), col("n_a"), col("n_b"),
+      round(col("pa") + lit(1e-9), 4).as("p_a"),
+      round(col("pb") + lit(1e-9), 4).as("p_b"),
+      round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+        + lit(1e-9), 4).as("psi_term"))
+  }
 }

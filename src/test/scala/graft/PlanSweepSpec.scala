@@ -38,7 +38,10 @@ class PlanSweepSpec extends AnyFunSuite {
                 // per-key volumes| rows, bounded by max key volume) + the
                 // one-row final reduce — the full key relation never funnels
     "ts_top_share", // same bounded distinct-count relation as ts_gini
-    "ts_mom") // lag window over the calendar-month relation (|months| rows)
+    "ts_mom", // lag window over the calendar-month relation (|months| rows)
+    "ts_benford", // total window over the ≤9-row digit census
+    "txt_psi", // share window over the ≤64-row log2-bucket census
+    "txt_zipf") // rank window + one-row reduce over the k-row top vocab
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
