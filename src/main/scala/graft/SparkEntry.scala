@@ -1003,6 +1003,42 @@ object SparkEntry {
     // / fabricated-data screen; 9 digit groups, hard-coded log10 literals
     "ts_benford" -> ((s, dir) =>
       Summary.benfordDigits(metrics(s, dir), "text_len").orderBy("digit")),
+    // corpus-wide DAILY rollup via the global continuous-aggregate merge:
+    // hourly global states cascade to daily (moments only — distinct-conv
+    // counts are not algebraic and are deliberately dropped); the oracle
+    // computes the day directly from raw, proving the merge exact
+    "ts_rollup_global_1d" -> ((s, dir) =>
+      Rollup.presentGlobal(Rollup.cascadeGlobal(
+        Rollup.tierStateGlobal(
+          metrics(s, dir).withColumnRenamed("text_len", "value"), Tier.H1,
+          saltWidth = 32, tsCol = "ts"),
+        Tier.D1)).orderBy("bucket_ts")),
+    // per-HOUR corpus-wide inter-arrival quantile UBs — the fleet latency
+    // dashboard: log2 buckets make the hot-hour group (billions of rows at
+    // 10^12 turns) a ≤64-cell partially-aggregated census, never a sort
+    "ts_global_latency_hist" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val g = metrics(s, dir)
+        .withColumn("gap", tsMs - lag(tsMs, 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("hour_ts", date_trunc("hour", col("ts")))
+      Summary.logHistQuantiles(g, "hour_ts", "gap", Seq(0.5, 0.95, 0.99))
+        .orderBy("hour_ts")
+    }),
+    // deterministic weighted priority sample of conversations (heavier
+    // conversations sampled first): integer key u32(md5(conv)) div weight
+    // — no RNG, resume-stable, planned as TakeOrderedAndProject
+    "ts_weighted_sample" -> ((s, dir) =>
+      Select.weightedPrioritySample(
+        transcripts(s, dir).groupBy("conv_id")
+          .agg(sum(length(col("text"))).as("w")),
+        "conv_id", "w", k = 16)),
+    // token-level vocabulary drift between the even/odd doc shards over
+    // the top-64 terms — psi's companion at the term dimension
+    "txt_kl_drift" -> ((s, dir) =>
+      TextAnalysis.klVocabDrift(documents(s, dir),
+        pmod(col("doc_id"), lit(2)) === 0, 64).orderBy("word")),
     // corpus-composition report: per (lang, source) doc/word/subword/char
     // counts + corpus-word share — the table data-mixing decisions read
     "txt_budget" -> ((s, dir) =>
@@ -5516,6 +5552,90 @@ private object Oracles {
           |  round((n - total * exp_p) * (n - total * exp_p)
           |        / (total * exp_p) + 1e-9, 4) AS chi_term
           |FROM t ORDER BY digit""".stripMargin),
+    "ts_rollup_global_1d" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT date_trunc('day', ts) AS bucket_ts,
+          |    count(text_len) AS n,
+          |    sum(text_len) AS sum_v, sum(text_len * text_len) AS sum2_v,
+          |    min(text_len) AS min_v, max(text_len) AS max_v
+          |  FROM metrics GROUP BY 1
+          |)
+          |SELECT bucket_ts, n,
+          |  round(sum_v + 1e-9, 4) AS sum_v,
+          |  round(sum_v / n + 1e-9, 4) AS mean_v,
+          |  min_v, max_v,
+          |  CASE WHEN n > 1 THEN
+          |    round(sqrt(greatest(0.0, (sum2_v - sum_v * sum_v / n) / (n - 1)))
+          |          + 1e-9, 4) END AS std_v,
+          |  round(max_v - min_v + 1e-9, 4) AS amp_v
+          |FROM st ORDER BY bucket_ts""".stripMargin),
+    "ts_global_latency_hist" ->
+      (cte + metricsCte +
+        """, g AS (
+          |  SELECT date_trunc('hour', ts) AS hour_ts,
+          |    epoch_ms(ts) - lag(epoch_ms(ts))
+          |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
+          |  FROM metrics
+          |), gg AS (
+          |  SELECT hour_ts, gap,
+          |    CASE WHEN gap <= 0 THEN -1
+          |         ELSE length(printf('%b', gap)) - 1 END AS bucket
+          |  FROM g WHERE gap IS NOT NULL
+          |), h AS (
+          |  SELECT hour_ts, bucket, count(*) AS cnt FROM gg GROUP BY 1, 2
+          |), c AS (
+          |  SELECT hour_ts, bucket, cnt,
+          |    CAST(sum(cnt) OVER (PARTITION BY hour_ts ORDER BY bucket)
+          |         AS BIGINT) AS cum,
+          |    CAST(sum(cnt) OVER (PARTITION BY hour_ts) AS BIGINT) AS n,
+          |    CASE WHEN bucket < 0 THEN 0
+          |         ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS ub
+          |  FROM h
+          |)
+          |SELECT hour_ts, n AS n_obs,
+          |  min(CASE WHEN cum >= ceil(0.5 * n) THEN ub END) AS p50_ub,
+          |  min(CASE WHEN cum >= ceil(0.95 * n) THEN ub END) AS p95_ub,
+          |  min(CASE WHEN cum >= ceil(0.99 * n) THEN ub END) AS p99_ub
+          |FROM c GROUP BY 1, 2 ORDER BY hour_ts""".stripMargin),
+    "ts_weighted_sample" ->
+      (cte +
+        s""", wts AS (
+          |  SELECT conv_id AS key, cast(sum(length(text)) AS bigint) AS weight
+          |  FROM transcripts GROUP BY 1
+          |), k AS (
+          |  SELECT key, weight, ${u32Sql("key")} AS h FROM wts
+          |  WHERE weight > 0
+          |), p AS (
+          |  SELECT key, weight, h, h // weight AS priority
+          |  FROM k ORDER BY priority, key LIMIT 16
+          |)
+          |SELECT key, weight, h, priority,
+          |  CAST(row_number() OVER (ORDER BY priority, key) AS INT) AS rank
+          |FROM p ORDER BY rank""".stripMargin),
+    "txt_kl_drift" ->
+      ("""WITH tok AS (
+          |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+          |    unnest(string_split(text, ' ')) AS word
+          |  FROM documents
+          |), top AS (
+          |  SELECT word, cast(sum(in_a) AS bigint) AS n_a,
+          |    cast(count(*) - sum(in_a) AS bigint) AS n_b
+          |  FROM tok WHERE word != '' GROUP BY 1
+          |  ORDER BY n_a + n_b DESC, word LIMIT 64
+          |), sm AS (
+          |  SELECT word, n_a, n_b,
+          |    cast(n_a + 1 AS double)
+          |      / (sum(n_a) OVER () + count(*) OVER ()) AS pa,
+          |    cast(n_b + 1 AS double)
+          |      / (sum(n_b) OVER () + count(*) OVER ()) AS pb
+          |  FROM top
+          |)
+          |SELECT word, n_a, n_b,
+          |  round(pa + 1e-9, 4) AS p_a,
+          |  round(pb + 1e-9, 4) AS p_b,
+          |  round(pa * ln(pa / pb) + 1e-9, 4) AS kl_term
+          |FROM sm ORDER BY word""".stripMargin),
     "txt_budget" ->
       ("""WITH t AS (
           |  SELECT lang, source, text, string_split(text, ' ') AS toks FROM documents

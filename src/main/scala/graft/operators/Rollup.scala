@@ -374,19 +374,27 @@ object Rollup {
     * shuffle carries (buckets × saltWidth) rows, never raw turns. Output:
     * (bucket_ts, n, n_convs, sum_v, sum2_v, min_v, max_v).
     */
+  /** The global-rollup moment aggregates — shared verbatim with
+    * [[graft.streaming.StreamingRollup.globalStream]]: every member is
+    * commutative, order-insensitive, mergeable state, so stream and batch
+    * agree exactly (the ohlcAggs pattern).
+    */
+  private[graft] def globalMomentAggs(valueCol: String): Seq[Column] = Seq(
+    count(col(valueCol)).as("n"),
+    sum(valueCol).as("sum_v"),
+    sum(col(valueCol) * col(valueCol)).as("sum2_v"),
+    min(valueCol).as("min_v"),
+    max(valueCol).as("max_v"))
+
   def tierStateGlobal(series: DataFrame, tier: Tier, saltWidth: Int = 32,
       tsCol: String = "bucket_ts", valueCol: String = "value"): DataFrame = {
     require(saltWidth > 0, "saltWidth > 0")
+    val aggs = count_distinct(col("conv_id")).as("n_convs") +:
+      globalMomentAggs(valueCol)
     series
       .withColumn("__salt", pmod(hash(col("conv_id")), lit(saltWidth)))
       .groupBy(date_trunc(tier.unit, col(tsCol)).as("bucket_ts"), col("__salt"))
-      .agg(
-        count(col(valueCol)).as("n"),
-        count_distinct(col("conv_id")).as("n_convs"),
-        sum(valueCol).as("sum_v"),
-        sum(col(valueCol) * col(valueCol)).as("sum2_v"),
-        min(valueCol).as("min_v"),
-        max(valueCol).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
       .groupBy("bucket_ts")
       .agg(
         sum("n").as("n"),
@@ -397,18 +405,41 @@ object Rollup {
         max("max_v").as("max_v"))
   }
 
-  /** User-facing read of [[tierStateGlobal]]: mean/std (sample, via
+  /** Merge global tier state up to a coarser tier — the corpus-wide
+    * continuous-aggregate step. Moments merge algebraically exactly like
+    * [[cascade]]; `n_convs` is intentionally DROPPED: a conversation
+    * active in two hourly buckets of one day would double-count under
+    * summation (distinct counts are not algebraic). Callers needing
+    * distinct conversations at coarse tiers recompute from the finer tier
+    * or carry an HLL register relation ([[Summary.hllRegisters]] merges
+    * by register-wise max).
+    */
+  def cascadeGlobal(state: DataFrame, to: Tier): DataFrame =
+    state
+      .groupBy(date_trunc(to.unit, col("bucket_ts")).as("bucket_ts"))
+      .agg(
+        sum("n").as("n"),
+        sum("sum_v").as("sum_v"),
+        sum("sum2_v").as("sum2_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+
+  /** User-facing read of [[tierStateGlobal]] (or its [[cascadeGlobal]]
+    * merge, which carries no `n_convs`): mean/std (sample, via
     * moments)/amplitude, rounded at the output boundary only.
     */
   def presentGlobal(state: DataFrame): DataFrame =
     state.select(
-      col("bucket_ts"), col("n"), col("n_convs"),
-      r4(col("sum_v")).as("sum_v"),
-      r4(col("sum_v") / col("n")).as("mean_v"),
-      col("min_v"), col("max_v"),
-      when(col("n") > 1,
-        r4(sqrt(greatest(lit(0.0),
-          (col("sum2_v") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1)))))
-        .otherwise(lit(null).cast("double")).as("std_v"),
-      r4(col("max_v") - col("min_v")).as("amp_v"))
+      Seq(col("bucket_ts"), col("n")) ++
+        (if (state.columns.contains("n_convs")) Seq(col("n_convs")) else Nil) ++
+        Seq(
+          r4(col("sum_v")).as("sum_v"),
+          r4(col("sum_v") / col("n")).as("mean_v"),
+          col("min_v"), col("max_v"),
+          when(col("n") > 1,
+            r4(sqrt(greatest(lit(0.0),
+              (col("sum2_v") - col("sum_v") * col("sum_v") / col("n")) /
+                (col("n") - 1)))))
+            .otherwise(lit(null).cast("double")).as("std_v"),
+          r4(col("max_v") - col("min_v")).as("amp_v")): _*)
 }

@@ -131,4 +131,26 @@ object Select {
       .withColumn("frac_breaks",
         round(col("n_same_adjacent").cast("double") / col("n_turns") + lit(1e-9), 4))
   }
+
+  /** Deterministic weighted priority sample — heavier keys sampled first,
+    * no RNG (the A-ES idea with an integer key: priority = u32(md5(key))
+    * div weight, selection = the k smallest (priority, key) pairs).
+    * Monotone in weight for a fixed key hash, reproducible across resume
+    * and retries, and planned as a partial per-partition top-k
+    * (TakeOrderedAndProject) — no global sort at any scale; the rank
+    * window runs on the k-row result only. Input: one row per key with a
+    * positive integer weight. Output: (key, weight, h, priority, rank).
+    */
+  def weightedPrioritySample(weighted: DataFrame, keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val keyed = weighted
+      .select(col(keyCol).cast("string").as("key"),
+        col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("h", Accuracy.u32Md5(col("key")))
+      .withColumn("priority", expr("h div weight"))
+    keyed.orderBy("priority", "key").limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy("priority", "key")))
+  }
 }

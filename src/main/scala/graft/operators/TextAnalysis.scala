@@ -946,4 +946,34 @@ object TextAnalysis {
       round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
         + lit(1e-9), 4).as("psi_term"))
   }
+
+  /** Token-level vocabulary drift between two corpus shards — the
+    * companion of [[psiDrift]] at the term dimension (did the *language*
+    * move, not just the lengths?): per-shard counts over the top-`k`
+    * terms by total frequency, Laplace-smoothed shares within the top-k
+    * mass, per-term KL contribution p_a·ln(p_a/p_b). Corpus-scale work is
+    * ONE (word) partial agg + TakeOrderedAndProject; the share/KL math
+    * runs on the k-row bounded relation. Output per term: (word, n_a,
+    * n_b, p_a, p_b, kl_term), 4-dp.
+    */
+  def klVocabDrift(docs: DataFrame, shardA: Column, k: Int): DataFrame = {
+    val top = docs
+      .select(when(shardA, 1L).otherwise(0L).as("in_a"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+      .groupBy("word")
+      .agg(sum("in_a").as("n_a"), (count(lit(1)) - sum("in_a")).as("n_b"))
+      .orderBy((col("n_a") + col("n_b")).desc, col("word")).limit(k)
+    val w = Window.partitionBy()
+    top
+      .withColumn("ta", sum("n_a").over(w))
+      .withColumn("tb", sum("n_b").over(w))
+      .withColumn("nk", count(lit(1)).over(w))
+      .withColumn("pa", (col("n_a") + 1).cast("double") / (col("ta") + col("nk")))
+      .withColumn("pb", (col("n_b") + 1).cast("double") / (col("tb") + col("nk")))
+      .select(col("word"), col("n_a"), col("n_b"),
+        round(col("pa") + lit(1e-9), 4).as("p_a"),
+        round(col("pb") + lit(1e-9), 4).as("p_b"),
+        round(col("pa") * log(col("pa") / col("pb")) + lit(1e-9), 4)
+          .as("kl_term"))
+  }
 }

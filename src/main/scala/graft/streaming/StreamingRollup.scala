@@ -179,6 +179,26 @@ object StreamingRollup {
         col("c.v").as("close"))
   }
 
+  /** Streaming CORPUS-WIDE rollup per event-time window: the SAME moment
+    * aggregates as [[graft.operators.Rollup.tierStateGlobal]]'s phase 1
+    * ([[graft.operators.Rollup.globalMomentAggs]] — commutative,
+    * order-insensitive, mergeable), so once the watermark closes a window
+    * the stream row equals the batch global state bit-identically.
+    * Distinct-conversation counts are deliberately absent (exact distinct
+    * is unbounded streaming state; the HLL register relation is the
+    * streaming-safe path). Append mode; input (conv_id, ts, value).
+    */
+  def globalStream(metrics: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, window}
+    val aggs = graft.operators.Rollup.globalMomentAggs("value")
+    metrics.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("bucket_ts"), col("n"),
+        col("sum_v"), col("sum2_v"), col("min_v"), col("max_v"))
+  }
+
   /** Streaming near-dup SCREEN: LSH-band every incoming doc and join it
     * against the committed corpus's banded signatures (a stream-static
     * equi-join — the supported streaming join shape; no stream-side state

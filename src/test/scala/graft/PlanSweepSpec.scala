@@ -41,7 +41,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "ts_mom", // lag window over the calendar-month relation (|months| rows)
     "ts_benford", // total window over the ≤9-row digit census
     "txt_psi", // share window over the ≤64-row log2-bucket census
-    "txt_zipf") // rank window + one-row reduce over the k-row top vocab
+    "txt_zipf", // rank window + one-row reduce over the k-row top vocab
+    "ts_weighted_sample", // rank window over the k-row TakeOrdered result
+    "txt_kl_drift") // share window over the k-row top-term relation
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

@@ -365,4 +365,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(a.getDouble(0) == 1.0 && a.getDouble(1) == 7.0)
     } finally q.stop()
   }
+
+  test("streaming global rollup == batch tierStateGlobal moments, incl. late in-window arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = StreamingRollup.globalStream(
+      mem.toDF().toDF("conv_id", "ts", "value"))
+      .writeStream.format("memory").queryName("globals")
+      .outputMode("complete")
+      .start()
+    try {
+      def at(sec: Long) = new java.sql.Timestamp(1735689600000L + sec * 1000)
+      val b1 = Seq(("a", at(10), 5.0), ("b", at(30), 9.0), ("b", at(3700), 4.0))
+      val b2 = Seq(("c", at(5), 1.0), ("a", at(50), 7.0)) // late, same hour
+      def streamed() = spark.sql(
+        "SELECT bucket_ts, n, sum_v, sum2_v, min_v, max_v FROM globals")
+        .collect().map(_.toString).sorted.toSeq
+      def batch(rows: Seq[(String, java.sql.Timestamp, Double)]) =
+        graft.operators.Rollup.tierStateGlobal(
+          rows.toDF("conv_id", "ts", "value"), graft.model.Tier.H1,
+          saltWidth = 4, tsCol = "ts").drop("n_convs")
+          .collect().map(_.toString).sorted.toSeq
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(streamed() == batch(b1))
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(streamed() == batch(b1 ++ b2))
+    } finally q.stop()
+  }
 }
