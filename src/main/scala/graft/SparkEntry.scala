@@ -1039,6 +1039,25 @@ object SparkEntry {
     "txt_kl_drift" -> ((s, dir) =>
       TextAnalysis.klVocabDrift(documents(s, dir),
         pmod(col("doc_id"), lit(2)) === 0, 64).orderBy("word")),
+    // Page–Hinkley running-mean drift detector (cusum's sibling; exact
+    // rational running mean, 4-dp-quantized one-sided recursions)
+    "ts_page_hinkley" -> ((s, dir) =>
+      SeriesOps.pageHinkley(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        delta = 0.1, lambda = 1.5).orderBy("conv_id")),
+    // Allan variance of inter-arrival seconds — cadence-jitter statistic;
+    // all-integer sums until the final division
+    "ts_allan" -> ((s, dir) =>
+      SeriesOps.allanVariance(transcripts(s, dir)).orderBy("conv_id")),
+    // corpus tool-transition matrix (Markov view of agent tool chains)
+    "ts_tool_trans" -> ((s, dir) =>
+      SeriesOps.toolTransitions(transcripts(s, dir))
+        .orderBy("from_tool", "to_tool")),
+    // novelty-rate timeline: share of each day's distinct fingerprints
+    // first seen that day — the corpus-freshness ingest dashboard
+    "ts_novelty_rate" -> ((s, dir) =>
+      Dedup.noveltyRate(transcripts(s, dir),
+        regexp_replace(col("text"), "^[^:]*:[^:]*:", "")).orderBy("day")),
     // corpus-composition report: per (lang, source) doc/word/subword/char
     // counts + corpus-word share — the table data-mixing decisions read
     "txt_budget" -> ((s, dir) =>
@@ -5636,6 +5655,102 @@ private object Oracles {
           |  round(pb + 1e-9, 4) AS p_b,
           |  round(pa * ln(pa / pb) + 1e-9, 4) AS kl_term
           |FROM sm ORDER BY word""".stripMargin),
+    "ts_page_hinkley" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, epoch_ms(ts) AS t, text_len AS y,
+          |    cast(row_number() OVER w AS int) AS idx,
+          |    round(sum(text_len) OVER (PARTITION BY conv_id
+          |            ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING)
+          |          / cast(row_number() OVER w AS double) + 1e-9, 4) AS m
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), r AS (
+          |  SELECT conv_id, idx, t, u_e, d_e,
+          |         (u_e > 1.5 OR d_e > 1.5) AS alarm,
+          |         CASE WHEN u_e > 1.5 OR d_e > 1.5 THEN 0.0 ELSE u_e END AS u,
+          |         CASE WHEN u_e > 1.5 OR d_e > 1.5 THEN 0.0 ELSE d_e END AS d
+          |  FROM (
+          |    SELECT conv_id, idx, t,
+          |      greatest(0.0, round(y - m - 0.1 + 1e-9, 4)) AS u_e,
+          |      greatest(0.0, round(m - y - 0.1 + 1e-9, 4)) AS d_e
+          |    FROM v WHERE idx = 1
+          |  )
+          |  UNION ALL
+          |  SELECT conv_id, idx, t, u_e, d_e,
+          |         (u_e > 1.5 OR d_e > 1.5) AS alarm,
+          |         CASE WHEN u_e > 1.5 OR d_e > 1.5 THEN 0.0 ELSE u_e END AS u,
+          |         CASE WHEN u_e > 1.5 OR d_e > 1.5 THEN 0.0 ELSE d_e END AS d
+          |  FROM (
+          |    SELECT v.conv_id, v.idx, v.t,
+          |      greatest(0.0, round(r.u + v.y - v.m - 0.1 + 1e-9, 4)) AS u_e,
+          |      greatest(0.0, round(r.d + v.m - v.y - 0.1 + 1e-9, 4)) AS d_e
+          |    FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
+          |  )
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+          |  coalesce(min(CASE WHEN alarm THEN t END), -1) AS first_alarm_ms,
+          |  max(greatest(u_e, d_e)) + 0.0 AS max_stat
+          |FROM r GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    "ts_allan" ->
+      (cte +
+        """, g AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    (epoch_ms(ts) - lag(epoch_ms(ts)) OVER w) // 1000 AS gs
+          |  FROM transcripts
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), dd AS (
+          |  SELECT conv_id,
+          |    gs - lag(gs) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |      AS dg
+          |  FROM g
+          |), a AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_pairs,
+          |    cast(sum(dg * dg) AS bigint) AS ss
+          |  FROM dd WHERE dg IS NOT NULL GROUP BY 1
+          |)
+          |SELECT conv_id, n_pairs + 1 AS n_gaps,
+          |  round(cast(ss AS double) / (2.0 * n_pairs) + 1e-9, 4) AS avar_s2,
+          |  round(sqrt(cast(ss AS double) / (2.0 * n_pairs)) + 1e-9, 4)
+          |    AS adev_s
+          |FROM a ORDER BY conv_id""".stripMargin),
+    "ts_tool_trans" ->
+      (cte +
+        """, tp AS (
+          |  SELECT conv_id,
+          |    lag(tool) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |      AS from_tool,
+          |    tool AS to_tool
+          |  FROM (SELECT * FROM transcripts WHERE tool IS NOT NULL)
+          |), cg AS (
+          |  SELECT from_tool, to_tool, cast(count(*) AS bigint) AS n
+          |  FROM tp WHERE from_tool IS NOT NULL GROUP BY 1, 2
+          |)
+          |SELECT from_tool, to_tool, n,
+          |  round(cast(n AS double)
+          |    / cast(sum(n) OVER (PARTITION BY from_tool) AS double)
+          |    + 1e-9, 4) AS p
+          |FROM cg ORDER BY from_tool, to_tool""".stripMargin),
+    "ts_novelty_rate" ->
+      (cte +
+        """, fp0 AS (
+          |  SELECT regexp_replace(text, '^[^:]*:[^:]*:', '') AS fp,
+          |    date_trunc('day', ts) AS day
+          |  FROM transcripts
+          |), fd AS (
+          |  SELECT fp, day, cast(count(*) AS bigint) AS c
+          |  FROM fp0 GROUP BY 1, 2
+          |), fr AS (
+          |  SELECT fp, min(day) AS first_day FROM fd GROUP BY 1
+          |)
+          |SELECT fd.day, cast(sum(c) AS bigint) AS n_turns,
+          |  cast(count(*) AS bigint) AS n_fps,
+          |  cast(sum(CASE WHEN fd.day = fr.first_day THEN 1 ELSE 0 END)
+          |    AS bigint) AS n_new_fps,
+          |  round(cast(sum(CASE WHEN fd.day = fr.first_day THEN 1 ELSE 0 END)
+          |    AS double) / count(*) + 1e-9, 4) AS novelty
+          |FROM fd JOIN fr USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin),
     "txt_budget" ->
       ("""WITH t AS (
           |  SELECT lang, source, text, string_split(text, ' ') AS toks FROM documents

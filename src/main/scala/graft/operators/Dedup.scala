@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication over a `documents(doc_id, text)`
@@ -825,5 +825,29 @@ object Dedup {
     val canon = qual.groupBy("conv_fp").agg(min("conv_id").as("conv_id"))
     qual.join(canon, Seq("conv_fp", "conv_id"))
       .select(col("conv_id"), col("n_turns"), col("n_kept"), col("conv_fp"))
+  }
+
+  /** Novelty-rate timeline — the corpus-freshness dashboard of a training
+    * ingest (what fraction of today's content is NEW vs re-crawled?): per
+    * day, active distinct fingerprints, fingerprints whose corpus-wide
+    * FIRST day is that day, and the novelty share. Two fp-keyed partial
+    * aggs + one co-partitioned join (both sides hashed on fp — never a
+    * broadcast of a corpus-sized side) + one day-bounded agg; a
+    * 2000-clone storm is one fp row after the first agg. Output:
+    * (day, n_turns, n_fps, n_new_fps, novelty).
+    */
+  def noveltyRate(turns: DataFrame, fingerprint: Column): DataFrame = {
+    val fd = turns
+      .select(fingerprint.as("fp"), date_trunc("day", col("ts")).as("day"))
+      .groupBy("fp", "day").agg(count(lit(1)).as("c"))
+    val first = fd.groupBy("fp").agg(min("day").as("first_day"))
+    fd.join(first, "fp")
+      .groupBy("day")
+      .agg(sum("c").as("n_turns"),
+        count(lit(1)).as("n_fps"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new_fps"))
+      .withColumn("novelty",
+        round(col("n_new_fps").cast("double") / col("n_fps") + lit(1e-9), 4))
   }
 }

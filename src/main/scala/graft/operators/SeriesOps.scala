@@ -1033,6 +1033,100 @@ object SeriesOps {
         col("live_ms"), (col("span_ms") - col("live_ms")).as("dead_ms"))
   }
 
+  /** Page–Hinkley drift detector (Page 1954 §5; the streaming-drift
+    * standard in MOA/river) — [[cusum]]'s running-mean sibling: deviations
+    * are measured against the RUNNING mean m_i = S_i/i (exact rational —
+    * S_i is an integer cumulative sum, so both engines compute the same
+    * double before the shared 4-dp quantization; no mean recursion to
+    * replay), and the one-sided statistics recurse with per-step 4-dp
+    * quantization exactly like cusum:
+    *   U_i = max(0, r4(U_{i−1} + x_i − m_i − δ)),
+    *   D_i = max(0, r4(D_{i−1} + m_i − x_i − δ)); alarm when either > λ,
+    * both reset after an alarm. Typed sorted-fold kernel, O(1) state, one
+    * conv_id shuffle. Output: (conv_id, n_obs, n_alarms, first_alarm_ms,
+    * max_stat).
+    */
+  def pageHinkley(metrics: DataFrame, delta: Double, lambda: Double,
+      valueCol: String = "value"): DataFrame = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var s = 0.0 // integer-valued cumulative sum (exact)
+        var u = 0.0; var d = 0.0
+        var alarms = 0L; var firstMs = -1L; var maxStat = 0.0
+        var i = 0
+        while (i < rows.length) {
+          val y = rows(i)._4
+          s += y
+          val m = r4d(s / (i + 1))
+          val uE = math.max(0.0, r4d(u + y - m - delta))
+          val dE = math.max(0.0, r4d(d + m - y - delta))
+          maxStat = math.max(maxStat, math.max(uE, dE))
+          if (uE > lambda || dE > lambda) {
+            alarms += 1
+            if (firstMs < 0) firstMs = rows(i)._2
+            u = 0.0; d = 0.0
+          } else { u = uE; d = dE }
+          i += 1
+        }
+        (conv, rows.length.toLong, alarms, firstMs, maxStat)
+      }
+      .toDF("conv_id", "n_obs", "n_alarms", "first_alarm_ms", "max_stat")
+  }
+
+  /** Allan variance at cluster size 1 over per-series inter-arrival times
+    * (the timing-jitter statistic of the clock-stability literature,
+    * Allan 1966): AVAR = Σ(g_{i+1} − g_i)² / (2(n−1)) over consecutive
+    * gap pairs, gaps in WHOLE SECONDS (`ms div 1000`) so every aggregate
+    * is an exact integer sum (gap seconds ≤ ~10⁶ per pair at any sane
+    * cadence keeps Σdiff² < 2⁵³ up to ~10⁹ turns per conversation —
+    * beyond the design's per-series bound). One window pass (both lags
+    * share the conv sort) + one partial agg; ADEV = √AVAR at 4 dp.
+    * Output: (conv_id, n_gaps, avar_s2, adev_s).
+    */
+  def allanVariance(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    transcripts
+      .withColumn("g", (ms(col("ts")) - lag(ms(col("ts")), 1).over(w)))
+      .withColumn("gs", expr("g div 1000"))
+      .withColumn("dg", col("gs") - lag("gs", 1).over(w))
+      .filter(col("dg").isNotNull)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dg") * col("dg")).as("ss"))
+      .select(col("conv_id"), (col("n_pairs") + 1).as("n_gaps"),
+        r4(col("ss").cast("double") / (lit(2.0) * col("n_pairs")))
+          .as("avar_s2"),
+        r4(sqrt(col("ss").cast("double") / (lit(2.0) * col("n_pairs"))))
+          .as("adev_s"))
+  }
+
+  /** Corpus tool-transition matrix — the Markov protocol view of agent
+    * tool chains ([[roleTransitions]]' sibling over the tool-turn
+    * subsequence): counts and exact rational shares of each
+    * (from_tool → to_tool) step within a conversation's consecutive tool
+    * calls. One conv-ordered lag over the tool turns + one partial agg
+    * into the |tools|²-bounded matrix.
+    */
+  def toolTransitions(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val pairs = transcripts
+      .filter(col("tool").isNotNull)
+      .withColumn("from_tool", lag("tool", 1).over(w))
+      .filter(col("from_tool").isNotNull)
+      .groupBy(col("from_tool"), col("tool").as("to_tool"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("p",
+      r4(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_tool"))))
+  }
+
   /** Tool-call loop detection — the agent-transcript retry-loop screen.
     * Over a conversation's time-ordered TOOL turns (`tool IS NOT NULL`;
     * interleaved user/assistant turns are skipped, because an agent loop
