@@ -1058,6 +1058,18 @@ object SparkEntry {
     "ts_novelty_rate" -> ((s, dir) =>
       Dedup.noveltyRate(transcripts(s, dir),
         regexp_replace(col("text"), "^[^:]*:[^:]*:", "")).orderBy("day")),
+    // corpus-wide DAILY quantile UBs read off the CASCADED global
+    // histogram state (raw → 1h hist state → 1d merge → quantile read):
+    // the dashboard quantile that survives raw expiry; the oracle
+    // computes the daily census direct from raw, proving every hop exact
+    "ts_global_quantiles" -> ((s, dir) =>
+      Rollup.histQuantiles(
+        Rollup.cascadeHist(
+          Rollup.tierStateGlobalHist(
+            metrics(s, dir).withColumnRenamed("text_len", "value"),
+            Tier.H1, tsCol = "ts"),
+          Tier.D1),
+        Seq(0.5, 0.9, 0.99)).orderBy("bucket_ts")),
     // corpus-composition report: per (lang, source) doc/word/subword/char
     // counts + corpus-word share — the table data-mixing decisions read
     "txt_budget" -> ((s, dir) =>
@@ -5751,6 +5763,32 @@ private object Oracles {
           |  round(cast(sum(CASE WHEN fd.day = fr.first_day THEN 1 ELSE 0 END)
           |    AS double) / count(*) + 1e-9, 4) AS novelty
           |FROM fd JOIN fr USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ts_global_quantiles" ->
+      (cte + metricsCte +
+        """, gg AS (
+          |  SELECT date_trunc('day', ts) AS bucket_ts,
+          |    cast(text_len AS bigint) AS v
+          |  FROM metrics
+          |), h AS (
+          |  SELECT bucket_ts,
+          |    CASE WHEN v <= 0 THEN -1
+          |         ELSE length(printf('%b', v)) - 1 END AS hb,
+          |    count(*) AS cnt
+          |  FROM gg GROUP BY 1, 2
+          |), c AS (
+          |  SELECT bucket_ts, hb, cnt,
+          |    CAST(sum(cnt) OVER (PARTITION BY bucket_ts ORDER BY hb)
+          |         AS BIGINT) AS cum,
+          |    CAST(sum(cnt) OVER (PARTITION BY bucket_ts) AS BIGINT) AS n,
+          |    CASE WHEN hb < 0 THEN 0
+          |         ELSE (CAST(1 AS BIGINT) << (hb + 1)) - 1 END AS ub
+          |  FROM h
+          |)
+          |SELECT bucket_ts, n AS n_obs,
+          |  min(CASE WHEN cum >= ceil(0.5 * n) THEN ub END) AS p50_ub,
+          |  min(CASE WHEN cum >= ceil(0.9 * n) THEN ub END) AS p90_ub,
+          |  min(CASE WHEN cum >= ceil(0.99 * n) THEN ub END) AS p99_ub
+          |FROM c GROUP BY 1, 2 ORDER BY bucket_ts""".stripMargin),
     "txt_budget" ->
       ("""WITH t AS (
           |  SELECT lang, source, text, string_split(text, ' ') AS toks FROM documents

@@ -80,15 +80,17 @@ object Rollup {
         min("min_v").as("min_v"),
         max("max_v").as("max_v"))
 
-  /** Series-identity key of a state relation: conv_id, plus the `metric`
-    * band dimension when present (multi-band pipeline) — every cascade /
-    * histogram read groups per (conv, band) series, never across bands.
+  /** Series-identity key of a state relation: conv_id (absent on GLOBAL
+    * corpus-wide state — the cascade then merges per bucket only), plus
+    * the `metric` band dimension when present (multi-band pipeline) —
+    * every cascade / histogram read groups per (conv, band) series, never
+    * across bands.
     */
   private def stateKeys(df: DataFrame): Seq[Column] =
-    col("conv_id") +:
-      (if (df.columns.contains("metric")) Seq(col("metric")) else Nil)
+    stateKeyNames(df).map(col)
   private def stateKeyNames(df: DataFrame): Seq[String] =
-    "conv_id" +: (if (df.columns.contains("metric")) Seq("metric") else Nil)
+    (if (df.columns.contains("conv_id")) Seq("conv_id") else Nil) ++
+      (if (df.columns.contains("metric")) Seq("metric") else Nil)
 
   /** [[cascade]] for quantile-bearing state (`hist` column of
     * [[graft.model.HistCell]] cells): moments merge algebraically as in
@@ -442,4 +444,36 @@ object Rollup {
                 (col("n") - 1)))))
             .otherwise(lit(null).cast("double")).as("std_v"),
           r4(col("max_v") - col("min_v")).as("amp_v")): _*)
+
+  /** GLOBAL quantile-bearing tier state in ONE raw pass and with built-in
+    * hot-bucket spreading: phase 1 groups by (bucket, log2 cell) — the
+    * histogram dimension IS the salt (≤65-way spread of a hot hour, with
+    * map-side combine) — and the per-cell moments then merge exactly to
+    * bucket moments while the cells re-pack into the `hist` column. The
+    * result cascades through [[cascadeHist]] (conv-less state: the key
+    * logic recognizes global relations) and answers [[histQuantiles]]
+    * reads at ANY retained tier — the corpus-wide p50/p95/p99 dashboard
+    * that survives raw expiry. Output: (bucket_ts, n, sum_v, sum2_v,
+    * min_v, max_v, hist).
+    */
+  def tierStateGlobalHist(series: DataFrame, tier: Tier,
+      tsCol: String = "bucket_ts", valueCol: String = "value"): DataFrame =
+    series
+      .groupBy(date_trunc(tier.unit, col(tsCol)).as("bucket_ts"),
+        Summary.log2Bucket(col(valueCol)).as("hb"))
+      .agg(
+        count(col(valueCol)).as("cnt"),
+        sum(valueCol).as("sum_v"),
+        sum(col(valueCol) * col(valueCol)).as("sum2_v"),
+        min(valueCol).as("min_v"),
+        max(valueCol).as("max_v"))
+      .groupBy("bucket_ts")
+      .agg(
+        sum("cnt").as("n"),
+        sum("sum_v").as("sum_v"),
+        sum("sum2_v").as("sum2_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"),
+        sort_array(collect_list(struct(col("hb"), col("cnt"))))
+          .as("hist"))
 }

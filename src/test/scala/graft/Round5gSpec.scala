@@ -31,6 +31,27 @@ class Round5gSpec extends AnyFunSuite {
     assert(!viaCascade.head.schema.fieldNames.contains("n_convs"))
   }
 
+  test("tierStateGlobalHist: hourly->daily cascadeHist equals the direct daily hist state; quantile reads agree") {
+    val rows = for {
+      c <- 0 until 15
+      k <- 0 until 8
+    } yield (f"c$c%03d", tsAt(c * 8000 + k * 11000), k, ((c * 13 + k * 5) % 40 + 1).toDouble)
+    val m = rows.toDF("conv_id", "ts", "turn_idx", "value")
+    val hourly = Rollup.tierStateGlobalHist(m, Tier.H1, tsCol = "ts")
+    val viaCascade = Rollup.cascadeHist(hourly, Tier.D1)
+    val direct = Rollup.tierStateGlobalHist(m, Tier.D1, tsCol = "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket_ts").collect()
+        .map(r => (r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          r.getSeq[Any](6).toList)).toSeq
+    assert(canon(viaCascade.select(direct.columns.map(col): _*)) == canon(direct))
+    val qCascade = Rollup.histQuantiles(viaCascade, Seq(0.5, 0.99))
+      .orderBy("bucket_ts").collect().toSeq
+    val qDirect = Rollup.histQuantiles(direct, Seq(0.5, 0.99))
+      .orderBy("bucket_ts").collect().toSeq
+    assert(qCascade == qDirect && qCascade.nonEmpty)
+  }
+
   test("weightedPrioritySample: priority = u32(md5) div weight, k smallest kept, weight-monotone, zero-weight dropped") {
     def u32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
