@@ -562,6 +562,24 @@ object TierPipeline {
         runTier(spark, outRoot, "1mo-state", snap, nBuckets, stMo, limitBuckets)
       }
 
-    Seq(r1, r2, r3, r4)
+    // GLOBAL hourly tier (the corpus dashboard): derived from the
+    // COMMITTED per-conv 1h state by merging the conversation dimension
+    // away — cascadeHist with the conv key dropped and the SAME tier as
+    // target (hour-truncating hour buckets is the identity, so only the
+    // conv merge happens). Never a raw pass; partitioned/resumed by
+    // TIME-hash buckets (a global row has no conv to bucket on), same
+    // manifest machinery as every other tier.
+    val r5 =
+      if (committedBuckets(outRoot, "1h-state", snap).size < nBuckets)
+        TierRun("gh-state", Nil, Nil, 0, 0)
+      else {
+        val st1hStored = readTier(spark, outRoot, "1h-state", snap)
+        val gh = Rollup.cascadeHist(
+            st1hStored.drop("bucket").drop("conv_id"), Tier.H1)
+          .withColumn("bucket", pmod(hash(col("bucket_ts")), lit(nBuckets)))
+        runTier(spark, outRoot, "gh-state", snap, nBuckets, gh, limitBuckets)
+      }
+
+    Seq(r1, r2, r3, r4, r5)
   }
 }

@@ -33,7 +33,8 @@ class ResumeSpec extends AnyFunSuite {
     // uninterrupted reference run
     val full = freshDir("full")
     val runsA = TierPipeline.runAll(spark, tr, input, full, nBuckets)
-    assert(runsA.map(_.processed.size) == Seq(nBuckets, nBuckets, nBuckets, nBuckets))
+    assert(runsA.map(_.processed.size) ==
+      Seq(nBuckets, nBuckets, nBuckets, nBuckets, nBuckets))
     assert(runsA.forall(_.rowsOut > 0))
 
     // interrupted: each tier only commits 2 of 4 buckets; 1d and 1mo must
@@ -43,6 +44,7 @@ class ResumeSpec extends AnyFunSuite {
     assert(runsB1.take(2).map(_.processed.size) == Seq(2, 2))
     assert(runsB1(2).processed.isEmpty, "1d must be gated on complete 1h")
     assert(runsB1(3).processed.isEmpty, "1mo must be gated on complete 1d")
+    assert(runsB1(4).processed.isEmpty, "global tier gated on complete 1h")
 
     // resume: only the missing buckets run, then everything matches
     val runsB2 = TierPipeline.runAll(spark, tr, input, part, nBuckets)
@@ -50,6 +52,7 @@ class ResumeSpec extends AnyFunSuite {
     assert(runsB2.take(2).map(_.skipped.size) == Seq(2, 2))
     assert(runsB2(2).processed.size == nBuckets)
     assert(runsB2(3).processed.size == nBuckets)
+    assert(runsB2(4).processed.size == nBuckets)
 
     val snap = TierPipeline.snapshotId(input)
     val stateCols = Seq("conv_id", "bucket_ts", "n", "sum_v", "sum2_v", "min_v", "max_v")
@@ -61,10 +64,33 @@ class ResumeSpec extends AnyFunSuite {
         s"tier $tier differs after resume")
     }
 
+    // global tier: the conv-merge sums FRACTIONAL gap-filled values with
+    // run-dependent partial-agg merge order, so (like the multi-metric
+    // canonState) doubles are canonicalized at 10 significant digits —
+    // far beyond the 4-dp output contract; n/min/max stay exact. Checked
+    // both full-vs-resumed and stored-vs-direct-conv-merge.
+    def canonGh(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("bucket_ts"), col("n"),
+        format_string("%.10g", col("sum_v")).as("sum_v"),
+        format_string("%.10g", col("sum2_v")).as("sum2_v"),
+        format_string("%.10g", col("min_v")).as("min_v"),
+        format_string("%.10g", col("max_v")).as("max_v"))
+      .collect().map(_.toString).sorted.toSeq
+    val ghFull = canonGh(TierPipeline.readTier(spark, full, "gh-state", snap))
+    val ghPart = canonGh(TierPipeline.readTier(spark, part, "gh-state", snap))
+    assert(ghFull == ghPart && ghFull.nonEmpty,
+      "global tier differs after resume")
+    val ghDirect = canonGh(graft.operators.Rollup.cascadeHist(
+      TierPipeline.readTier(spark, part, "1h-state", snap)
+        .drop("bucket").drop("conv_id"), graft.model.Tier.H1))
+    assert(ghPart == ghDirect,
+      "stored global tier differs from the conv-merge of 1h state")
+
     // third run: everything already committed → all skipped, nothing re-runs
     val runsB3 = TierPipeline.runAll(spark, tr, input, part, nBuckets)
     assert(runsB3.forall(_.processed.isEmpty))
-    assert(runsB3.map(_.skipped.size) == Seq(nBuckets, nBuckets, nBuckets, nBuckets))
+    assert(runsB3.map(_.skipped.size) ==
+      Seq(nBuckets, nBuckets, nBuckets, nBuckets, nBuckets))
 
     // file_info relation: the manifest is queryable as a catalog table —
     // every bucket appears committed with real lineage stats
