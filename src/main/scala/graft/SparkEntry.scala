@@ -1062,14 +1062,17 @@ object SparkEntry {
     // histogram state (raw → 1h hist state → 1d merge → quantile read):
     // the dashboard quantile that survives raw expiry; the oracle
     // computes the daily census direct from raw, proving every hop exact
-    "ts_global_quantiles" -> ((s, dir) =>
-      Rollup.histQuantiles(
-        Rollup.cascadeHist(
-          Rollup.tierStateGlobalHist(
-            metrics(s, dir).withColumnRenamed("text_len", "value"),
-            Tier.H1, tsCol = "ts"),
-          Tier.D1),
-        Seq(0.5, 0.9, 0.99)).orderBy("bucket_ts")),
+    "ts_global_quantiles" -> ((s, dir) => {
+      // cascadeHist consumes its input twice (moment merge + hist merge);
+      // in the pipeline that input is a COMMITTED parquet tier, but this
+      // inline composition would re-derive it from raw — localCheckpoint
+      // the (tiny, |hours|-row) state so raw is scanned exactly once
+      val hourly = Rollup.tierStateGlobalHist(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        Tier.H1, tsCol = "ts").localCheckpoint()
+      Rollup.histQuantiles(Rollup.cascadeHist(hourly, Tier.D1),
+        Seq(0.5, 0.9, 0.99)).orderBy("bucket_ts")
+    }),
     // corpus-composition report: per (lang, source) doc/word/subword/char
     // counts + corpus-word share — the table data-mixing decisions read
     "txt_budget" -> ((s, dir) =>
@@ -1627,21 +1630,37 @@ object SparkEntry {
         .orderBy("conv_id")),
     // per-tool response latency: exact integer moments + log2-bucket
     // histogram UB quantiles — the tool-grouped sibling of ts_latency_hist
-    // (bounded tool vocab; never a per-tool exact-median sort at scale)
+    // (bounded tool vocab; never a per-tool exact-median sort at scale).
+    // ONE raw pass: the (tool, log2 cell) census carries the moments AND
+    // the histogram (the tierStateGlobalHist trick) — a moments⋈hist
+    // two-branch join would scan raw twice.
     "ts_tool_latency" -> ((s, dir) => {
       val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
       val tsMs = unix_millis(col("ts").cast("timestamp"))
-      val t = transcripts(s, dir)
+      val cells = transcripts(s, dir)
         .withColumn("d", lead(tsMs, 1).over(w) - tsMs)
         .filter(col("tool").isNotNull && col("d").isNotNull)
-      val hist = Summary.logHistQuantiles(t, "tool", "d", Seq(0.5, 0.95))
-      val mom = t.groupBy("tool").agg(
-        count(lit(1)).as("n_calls"),
-        round(avg("d") + lit(1e-9), 4).as("mean_ms"),
-        min("d").as("min_ms"), max("d").as("max_ms"))
-      mom.join(hist, "tool")
-        .select("tool", "n_calls", "mean_ms", "min_ms", "max_ms",
-          "p50_ub", "p95_ub")
+        .groupBy(col("tool"), Summary.log2Bucket(col("d")).as("hb"))
+        .agg(count(lit(1)).as("cnt"), sum("d").as("sum_d"),
+          min("d").as("min_d"), max("d").as("max_d"))
+      val cw = Window.partitionBy("tool").orderBy("hb")
+      val tw = Window.partitionBy("tool")
+      cells
+        .withColumn("cum", sum("cnt").over(cw))
+        .withColumn("n", sum("cnt").over(tw))
+        .withColumn("sd", sum("sum_d").over(tw))
+        .withColumn("ub", when(col("hb") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), hb + 1) - 1")))
+        .groupBy(col("tool"), col("n").as("n_calls"), col("sd"))
+        .agg(min("min_d").as("min_ms"), max("max_d").as("max_ms"),
+          min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("ub")))
+            .as("p50_ub"),
+          min(when(col("cum") >= ceil(lit(0.95) * col("n")), col("ub")))
+            .as("p95_ub"))
+        .select(col("tool"), col("n_calls"),
+          round(col("sd").cast("double") / col("n_calls") + lit(1e-9), 4)
+            .as("mean_ms"),
+          col("min_ms"), col("max_ms"), col("p50_ub"), col("p95_ub"))
         .orderBy("tool")
     }),
     // KMV bottom-64 key sample over (conv, turn) keys: deterministic

@@ -840,8 +840,13 @@ object Dedup {
     val fd = turns
       .select(fingerprint.as("fp"), date_trunc("day", col("ts")).as("day"))
       .groupBy("fp", "day").agg(count(lit(1)).as("c"))
-    val first = fd.groupBy("fp").agg(min("day").as("first_day"))
-    fd.join(first, "fp")
+    // first_day via a window over the aggregated census, NOT a self-join:
+    // a self-join would recompute fd's whole lineage (a SECOND raw scan at
+    // 10^12 turns); the window shares fd's fp hash partitioning, so the
+    // whole operator is one raw pass + one fp shuffle + one day merge.
+    fd.withColumn("first_day",
+        min("day").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("fp")))
       .groupBy("day")
       .agg(sum("c").as("n_turns"),
         count(lit(1)).as("n_fps"),

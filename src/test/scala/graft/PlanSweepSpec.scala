@@ -74,7 +74,12 @@ class PlanSweepSpec extends AnyFunSuite {
     "ts_realtime_agg" -> 4, // sealed state + tail state + union present
     "ts_irate" -> 2, // one conv window pass + one bucket agg
     "dd_minhash" -> 1, // banded equi-join, broadcast everything else
-    "txt_heavy" -> 2) // MG candidates are broadcast; recount + total
+    "txt_heavy" -> 2, // MG candidates are broadcast; recount + total
+    "ts_rollup_global" -> 4, // salted phase-1 + distinct expansion + merge
+    "ts_global_latency_hist" -> 4, // conv gap window + (hour,hb) census
+    "ts_novelty_rate" -> 4, // fp census + fp window + day merge (ONE raw
+                            // scan — the self-join shape would be two)
+    "ts_tool_latency" -> 4) // conv window + (tool,hb) census, one raw scan
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
