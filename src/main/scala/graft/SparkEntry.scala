@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Forecast, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1748,6 +1748,49 @@ object SparkEntry {
             + lit(1e-9), 4) + lit(0.0)).as("pct_n"))
         .orderBy("bucket_ts")
     }),
+    // ── feature-engineering batch (operators/Features.scala) ──
+    // per-turn lag features (the reference's lagged predictor matrix,
+    // api_predictors.R:14-67, in long form): lag1/lag2, leakage-free
+    // trailing-3 mean, inter-turn gap — ONE conv-partitioned window
+    "ts_lag_features" -> ((s, dir) =>
+      Features.lagFeatures(transcripts(s, dir))
+        .orderBy("conv_id", "turn_idx")),
+    // rolling discrete p50/p90 over the trailing 8 turns — sorted-window
+    // position contract (element at ceil(q·n)), integer-exact
+    "ts_rolling_q" -> ((s, dir) =>
+      Features.rollingQuantile(transcripts(s, dir), k = 8)
+        .orderBy("conv_id", "turn_idx")),
+    // (day, role) + (day) + () granularities in ONE shuffle via the
+    // Expand operator (Spark ROLLUP) — never one scan per granularity
+    "ts_rollup_sets" -> ((s, dir) =>
+      Features.rollupSets(transcripts(s, dir))
+        .orderBy("gid", "day_s", "role")),
+    // conversation-length percentile WITHOUT a global rank window:
+    // ≤64-cell log2-histogram CDF broadcast back onto the conv relation
+    "ts_conv_pctile" -> ((s, dir) =>
+      Features.convPercentile(transcripts(s, dir)).orderBy("conv_id")),
+    // word-frequency movers between corpus halves at Misra-Gries cost
+    // (censored-at-threshold contract; integer deltas, no rounding)
+    "txt_heavy_change" -> ((s, dir) => {
+      val words = documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      Features.heavyChange(
+        words.filter(pmod(col("doc_id"), lit(2)) === 0).select("w"),
+        words.filter(pmod(col("doc_id"), lit(2)) === 1).select("w"),
+        "w", k = 200, topN = 40).orderBy("item")
+    }),
+    // outlier-capped per-conv means: exact global p05/p95 thresholds
+    // (partition-parallel rank fetch) broadcast into the clip expression;
+    // the winsorized mean is ONE fixed-operand-order float expression
+    // over exact integer partial sums — hash-stable cross-engine
+    "ts_winsorize" -> ((s, dir) =>
+      Features.winsorize(transcripts(s, dir), 0.05, 0.95)
+        .orderBy("conv_id")),
+    // calendar activity profile (dow × hour) by pure epoch arithmetic —
+    // no timezone/locale function in the contract; 168-bounded output
+    "ts_dow_hour" -> ((s, dir) =>
+      Features.dowHourProfile(transcripts(s, dir)).orderBy("dow", "hod")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -6504,6 +6547,134 @@ private object Oracles {
           |  round(cast(n AS double) / prev_n * 100 - 100 + 1e-9, 4) + 0.0
           |    AS pct_n
           |FROM lg ORDER BY bucket_ts""".stripMargin),
+    "ts_lag_features" ->
+      (cte +
+        """, g AS (
+          |  SELECT conv_id, turn_idx,
+          |    cast(length(text) AS bigint) AS len,
+          |    lag(cast(length(text) AS bigint), 1) OVER w AS lag1,
+          |    lag(cast(length(text) AS bigint), 2) OVER w AS lag2,
+          |    round(avg(cast(length(text) AS bigint)) OVER (
+          |      PARTITION BY conv_id ORDER BY ts, turn_idx
+          |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) + 1e-9, 4)
+          |      AS roll3_mean,
+          |    epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms
+          |  FROM transcripts
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |)
+          |SELECT * FROM g ORDER BY conv_id, turn_idx""".stripMargin),
+    "ts_rolling_q" ->
+      (cte +
+        """, g AS (
+          |  SELECT conv_id, turn_idx,
+          |    list_sort(list(cast(length(text) AS bigint)) OVER (
+          |      PARTITION BY conv_id ORDER BY ts, turn_idx
+          |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS win
+          |  FROM transcripts
+          |)
+          |SELECT conv_id, turn_idx, cast(len(win) AS bigint) AS n_win,
+          |  win[cast(ceil(0.5 * len(win)) AS int)] AS p50,
+          |  win[cast(ceil(0.9 * len(win)) AS int)] AS p90
+          |FROM g ORDER BY conv_id, turn_idx""".stripMargin),
+    "ts_rollup_sets" ->
+      (cte +
+        """, g AS (
+          |  SELECT cast(cast(date_trunc('day', ts) AS date) AS varchar)
+          |           AS day_s,
+          |         role, cast(length(text) AS bigint) AS l
+          |  FROM transcripts
+          |)
+          |SELECT cast(grouping_id(day_s, role) AS int) AS gid,
+          |  coalesce(day_s, 'ALL') AS day_s, coalesce(role, 'ALL') AS role,
+          |  cast(count(*) AS bigint) AS n_turns,
+          |  cast(sum(l) AS bigint) AS sum_len
+          |FROM g GROUP BY ROLLUP (day_s, role)
+          |ORDER BY gid, day_s, role""".stripMargin),
+    "ts_conv_pctile" ->
+      (cte +
+        """, convs AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_turns
+          |  FROM transcripts GROUP BY 1
+          |), h AS (
+          |  SELECT length(printf('%b', n_turns)) - 1 AS hb, count(*) AS cnt
+          |  FROM convs GROUP BY 1
+          |), c AS (
+          |  SELECT hb, cast(sum(cnt) OVER (ORDER BY hb) AS bigint) AS cum,
+          |    cast(sum(cnt) OVER () AS bigint) AS total
+          |  FROM h
+          |)
+          |SELECT conv_id, n_turns,
+          |  round(cast(cum AS double) / total + 1e-9, 4) AS pct_ub
+          |FROM convs JOIN c
+          |  ON length(printf('%b', n_turns)) - 1 = c.hb
+          |ORDER BY conv_id""".stripMargin),
+    "txt_heavy_change" ->
+      ("""WITH wa AS (
+          |  SELECT word FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS word
+          |    FROM documents WHERE doc_id % 2 = 0)
+          |  WHERE word <> ''
+          |), wb AS (
+          |  SELECT word FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS word
+          |    FROM documents WHERE doc_id % 2 = 1)
+          |  WHERE word <> ''
+          |), ha AS (
+          |  SELECT word AS item, cast(count(*) AS bigint) AS cnt_a
+          |  FROM wa GROUP BY 1
+          |  HAVING count(*) * 200 > (SELECT count(*) FROM wa)
+          |), hb AS (
+          |  SELECT word AS item, cast(count(*) AS bigint) AS cnt_b
+          |  FROM wb GROUP BY 1
+          |  HAVING count(*) * 200 > (SELECT count(*) FROM wb)
+          |), j AS (
+          |  SELECT coalesce(ha.item, hb.item) AS item,
+          |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+          |  FROM ha FULL OUTER JOIN hb ON ha.item = hb.item
+          |), top AS (
+          |  SELECT item, cnt_a, cnt_b, cnt_b - cnt_a AS delta
+          |  FROM j ORDER BY abs(cnt_b - cnt_a) DESC, item LIMIT 40
+          |)
+          |SELECT * FROM top ORDER BY item""".stripMargin),
+    "ts_winsorize" ->
+      (cte +
+        """, lens AS (
+          |  SELECT conv_id, cast(length(text) AS bigint) AS len
+          |  FROM transcripts
+          |), q AS (
+          |  SELECT quantile_cont(cast(len AS double), 0.05) AS lo,
+          |         quantile_cont(cast(len AS double), 0.95) AS hi
+          |  FROM lens
+          |), ag AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+          |    cast(sum(len) AS bigint) AS sum_len,
+          |    cast(sum(CASE WHEN len < lo THEN 1 ELSE 0 END) AS bigint)
+          |      AS n_lo,
+          |    cast(sum(CASE WHEN len > hi THEN 1 ELSE 0 END) AS bigint)
+          |      AS n_hi,
+          |    cast(sum(CASE WHEN len >= lo AND len <= hi THEN len ELSE 0 END)
+          |      AS bigint) AS sum_in,
+          |    any_value(lo) AS lo, any_value(hi) AS hi
+          |  FROM lens, q GROUP BY conv_id
+          |)
+          |SELECT conv_id, n_turns,
+          |  round(cast(sum_len AS double) / n_turns + 1e-9, 4) AS mean_raw,
+          |  round((cast(sum_in AS double) + n_lo * lo + n_hi * hi) / n_turns
+          |    + 1e-9, 4) AS mean_wins,
+          |  n_lo + n_hi AS n_clipped
+          |FROM ag ORDER BY conv_id""".stripMargin),
+    "ts_dow_hour" ->
+      (cte +
+        """, g AS (
+          |  SELECT cast((epoch_ms(ts) // 86400000 + 4) % 7 AS int) AS dow,
+          |    cast((epoch_ms(ts) % 86400000) // 3600000 AS int) AS hod,
+          |    conv_id, length(text) AS l
+          |  FROM transcripts
+          |)
+          |SELECT dow, hod, cast(count(*) AS bigint) AS n_turns,
+          |  cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+          |  round(avg(l) + 1e-9, 4) AS mean_len
+          |FROM g GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

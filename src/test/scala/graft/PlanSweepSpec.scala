@@ -43,7 +43,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "txt_psi", // share window over the ≤64-row log2-bucket census
     "txt_zipf", // rank window + one-row reduce over the k-row top vocab
     "ts_weighted_sample", // rank window over the k-row TakeOrdered result
-    "txt_kl_drift") // share window over the k-row top-term relation
+    "txt_kl_drift", // share window over the k-row top-term relation
+    "ts_conv_pctile") // CDF window over the ≤64-row log2-bucket census
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
