@@ -1791,6 +1791,36 @@ object SparkEntry {
     // no timezone/locale function in the contract; 168-bounded output
     "ts_dow_hour" -> ((s, dir) =>
       Features.dowHourProfile(transcripts(s, dir)).orderBy("dow", "hod")),
+    // Ljung–Box IID test (lags 1-3) from the 4-dp quantized ACF — the
+    // screening stat that says which series are worth a seasonal model
+    "ts_ljung_box" -> ((s, dir) =>
+      SeriesOps.ljungBox(
+        metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // strength-of-seasonality scalar from the shared hourly detrend stage
+    // (FPP3 F_s) — ranks which series actually carry the daily cycle
+    "ts_seasonal_strength" -> ((s, dir) =>
+      SeriesOps.seasonalStrength(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        date_trunc("hour", col("ts")))
+        .orderBy("conv_id")),
+    // sample entropy (m=2, integer r=30) over integer daily text-volume
+    // series — regularity score, all-integer template math + one ln
+    "ts_sampen" -> ((s, dir) => {
+      val days = transcripts(s, dir)
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("b"))
+        .agg(sum(length(col("text")).cast("long")).as("v"))
+        .select(col("conv_id"),
+          datediff(col("b").cast("date"), lit("2024-01-01").cast("date"))
+            .as("idx"), col("v"))
+      SeriesMining.sampleEntropy(days, r = 30L).orderBy("conv_id")
+    }),
+    // week-over-week calendar anomaly: latest Monday-aligned week's
+    // (dow,hour) counts z-scored against the prior-week profile; raw
+    // collapses to a |weeks|·168-bounded cell relation in one agg
+    "ts_cal_anomaly" -> ((s, dir) =>
+      Features.calendarAnomaly(transcripts(s, dir), sigmas = 2.0,
+        minWeeks = 3).orderBy("dow", "hod")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -6675,6 +6705,160 @@ private object Oracles {
           |  cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
           |  round(avg(l) + 1e-9, 4) AS mean_len
           |FROM g GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin),
+    "ts_ljung_box" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    round(avg(text_len) + 1e-9, 4) AS mu
+          |  FROM metrics GROUP BY 1
+          |), dxt AS (
+          |  SELECT m.conv_id, st.n_obs, m.text_len - st.mu AS dx,
+          |    lag(m.text_len - st.mu, 1) OVER w AS dx1,
+          |    lag(m.text_len - st.mu, 2) OVER w AS dx2,
+          |    lag(m.text_len - st.mu, 3) OVER w AS dx3
+          |  FROM metrics m JOIN st ON m.conv_id = st.conv_id
+          |  WINDOW w AS (PARTITION BY m.conv_id ORDER BY m.ts, m.turn_idx)
+          |), ag AS (
+          |  SELECT conv_id, min(n_obs) AS n_obs,
+          |    sum(dx * dx) AS c0, sum(dx * dx1) AS c1,
+          |    sum(dx * dx2) AS c2, sum(dx * dx3) AS c3
+          |  FROM dxt GROUP BY 1
+          |), rr AS (
+          |  SELECT conv_id, n_obs,
+          |    round(c1 / c0 + 1e-9, 4) + 0.0 AS r1,
+          |    round(c2 / c0 + 1e-9, 4) + 0.0 AS r2,
+          |    round(c3 / c0 + 1e-9, 4) + 0.0 AS r3
+          |  FROM ag WHERE round(c0 + 1e-9, 4) > 0 AND n_obs > 3
+          |), qq AS (
+          |  SELECT conv_id, n_obs,
+          |    round(cast(n_obs AS double) * (n_obs + 2) *
+          |      (r1 * r1 / (n_obs - 1) + r2 * r2 / (n_obs - 2)
+          |        + r3 * r3 / (n_obs - 3)) + 1e-9, 4) AS q_stat
+          |  FROM rr
+          |)
+          |SELECT conv_id, n_obs, q_stat,
+          |  CAST(CASE WHEN q_stat > 7.8147 THEN 1 ELSE 0 END AS INT)
+          |    AS reject_iid
+          |FROM qq ORDER BY conv_id""".stripMargin),
+    "ts_seasonal_strength" ->
+      (cte + metricsCte +
+        """, b AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |    round(avg(text_len) + 1e-9, 4) AS v
+          |  FROM metrics GROUP BY 1, 2
+          |), t AS (
+          |  SELECT conv_id, bucket_ts,
+          |    v - CASE WHEN count(*) OVER wc = 25
+          |         THEN round((avg(v) OVER wa + avg(v) OVER wb) / 2 + 1e-9, 4)
+          |         END AS detr
+          |  FROM b
+          |  WINDOW wc AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+          |         wa AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+          |         wb AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+          |), tt AS (
+          |  SELECT conv_id, bucket_ts, detr FROM t WHERE detr IS NOT NULL
+          |), s AS (
+          |  SELECT conv_id, hour(bucket_ts) AS hod,
+          |    round(avg(detr) + 1e-9, 4) AS s_raw
+          |  FROM tt GROUP BY 1, 2
+          |), c AS (
+          |  SELECT conv_id, round(avg(s_raw) + 1e-9, 4) AS s_mean
+          |  FROM s GROUP BY 1
+          |), si AS (
+          |  SELECT s.conv_id, s.hod,
+          |    round(s.s_raw - c.s_mean + 1e-9, 4) + 0.0 AS s_idx
+          |  FROM s JOIN c ON s.conv_id = c.conv_id
+          |), r AS (
+          |  SELECT tt.conv_id, tt.detr, tt.detr - si.s_idx AS resid
+          |  FROM tt JOIN si
+          |    ON tt.conv_id = si.conv_id AND hour(tt.bucket_ts) = si.hod
+          |), ag AS (
+          |  SELECT conv_id, count(*) AS n_b,
+          |    sum(detr * detr) AS sdd, sum(detr) AS sd1,
+          |    sum(resid * resid) AS srr, sum(resid) AS sr1
+          |  FROM r GROUP BY 1
+          |), vv AS (
+          |  SELECT conv_id, n_b,
+          |    sdd / n_b - (sd1 / n_b) * (sd1 / n_b) AS vd,
+          |    srr / n_b - (sr1 / n_b) * (sr1 / n_b) AS vr
+          |  FROM ag
+          |)
+          |SELECT conv_id, n_b,
+          |  round(vd + 1e-9, 4) AS var_detr,
+          |  round(greatest(0.0, 1.0 - vr / vd) + 1e-9, 4) AS f_seasonal
+          |FROM vv WHERE round(vd + 1e-9, 4) > 0
+          |ORDER BY conv_id""".stripMargin),
+    "ts_sampen" ->
+      (cte +
+        """, days AS (
+          |  SELECT conv_id,
+          |    datediff('day', DATE '2024-01-01',
+          |      cast(date_trunc('day', ts) AS date)) AS idx,
+          |    cast(sum(length(text)) AS bigint) AS v
+          |  FROM transcripts GROUP BY 1, 2
+          |), d AS (
+          |  SELECT conv_id, v,
+          |    lead(v, 1) OVER w AS v1, lead(v, 2) OVER w AS v2,
+          |    row_number() OVER w - 1 AS i,
+          |    count(*) OVER (PARTITION BY conv_id) AS nb
+          |  FROM days
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY idx)
+          |), pr AS (
+          |  SELECT a.conv_id, a.nb,
+          |    CASE WHEN greatest(abs(a.v - b.v), abs(a.v1 - b.v1)) <= 30
+          |         THEN 1 ELSE 0 END AS mb,
+          |    CASE WHEN greatest(abs(a.v - b.v), abs(a.v1 - b.v1)) <= 30
+          |              AND abs(a.v2 - b.v2) <= 30
+          |         THEN 1 ELSE 0 END AS ma
+          |  FROM d a JOIN d b
+          |    ON a.conv_id = b.conv_id AND a.i < b.i
+          |   AND a.i <= a.nb - 3 AND b.i <= b.nb - 3
+          |  WHERE a.nb >= 4
+          |), ag AS (
+          |  SELECT conv_id, cast(min(nb) AS bigint) AS n_days,
+          |    cast(sum(mb) AS bigint) AS b_cnt,
+          |    cast(sum(ma) AS bigint) AS a_cnt
+          |  FROM pr GROUP BY 1
+          |)
+          |SELECT conv_id, n_days, b_cnt, a_cnt,
+          |  CASE WHEN a_cnt > 0
+          |       THEN round(-ln(cast(a_cnt AS double) / b_cnt) + 1e-9, 4)
+          |       ELSE -1.0 END AS sampen
+          |FROM ag ORDER BY conv_id""".stripMargin),
+    "ts_cal_anomaly" ->
+      (cte +
+        """, cc AS (
+          |  SELECT cast((epoch_ms(ts) // 86400000 + 3) // 7 AS bigint)
+          |      AS week,
+          |    cast((epoch_ms(ts) // 86400000 + 4) % 7 AS int) AS dow,
+          |    cast((epoch_ms(ts) % 86400000) // 3600000 AS int) AS hod,
+          |    count(*) AS cnt
+          |  FROM transcripts GROUP BY 1, 2, 3
+          |), wm AS (
+          |  SELECT max(week) AS wmax FROM cc
+          |), prof AS (
+          |  SELECT dow, hod, cast(count(*) AS bigint) AS n_weeks,
+          |    round(avg(cnt) + 1e-9, 4) AS mu,
+          |    round(sqrt(avg(cnt * cnt) - avg(cnt) * avg(cnt)) + 1e-9, 4)
+          |      AS sd
+          |  FROM cc, wm WHERE week < wmax GROUP BY 1, 2
+          |  HAVING count(*) >= 3
+          |     AND round(sqrt(avg(cnt * cnt) - avg(cnt) * avg(cnt))
+          |           + 1e-9, 4) > 0
+          |)
+          |SELECT c.dow, c.hod, p.n_weeks, cast(c.cnt AS bigint) AS cnt_last,
+          |  p.mu, p.sd,
+          |  round((c.cnt - p.mu) / p.sd + 1e-9, 4) + 0.0 AS z,
+          |  CAST(CASE WHEN abs(round((c.cnt - p.mu) / p.sd + 1e-9, 4))
+          |         > 2.0 THEN 1 ELSE 0 END AS INT) AS is_anom
+          |FROM cc c
+          |CROSS JOIN wm
+          |JOIN prof p ON c.dow = p.dow AND c.hod = p.hod
+          |WHERE c.week = wm.wmax
+          |ORDER BY c.dow, c.hod""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

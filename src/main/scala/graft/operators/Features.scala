@@ -185,4 +185,45 @@ object Features {
         count_distinct(col("conv_id")).as("n_convs"),
         r4(avg(length(col("text")))).as("mean_len"))
   }
+
+  /** Week-over-week calendar anomaly screen: z-score of the LATEST
+    * Monday-aligned week's per-(dow, hour) turn counts against the
+    * mean/sd profile of all PRIOR weeks (present-cell profile: weeks
+    * where a cell had no traffic contribute no row — documented
+    * contract). Week index is pure epoch arithmetic
+    * ((epochDay + 3) div 7; day 0 = Thursday, so +3 aligns to Monday).
+    * The raw corpus collapses to a |weeks|·168-bounded cell relation in
+    * one aggregate; everything after (profile agg, max-week broadcast,
+    * z-scores) runs on that bounded relation — the retention horizon
+    * caps |weeks|, so this never re-sorts raw data at any corpus size.
+    * Cells need ≥ minWeeks prior observations and positive 4-dp sd.
+    * Output: (dow, hod, n_weeks, cnt_last, mu, sd, z, is_anom).
+    */
+  def calendarAnomaly(transcripts: DataFrame, sigmas: Double,
+      minWeeks: Int): DataFrame = {
+    val epochDay = floor(ms(col("ts")) / lit(86400000L))
+    val cells = transcripts
+      .withColumn("week", floor((epochDay + lit(3L)) / lit(7.0)).cast("long"))
+      .withColumn("dow", pmod(epochDay + lit(4L), lit(7L)).cast("int"))
+      .withColumn("hod",
+        floor(pmod(ms(col("ts")), lit(86400000L)) / lit(3600000L))
+          .cast("int"))
+      .groupBy("week", "dow", "hod")
+      .agg(count(lit(1)).as("cnt"))
+    val wmax = cells.agg(max("week").as("wmax"))
+    val prof = cells.join(broadcast(wmax), col("week") < col("wmax"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n_weeks"),
+        r4(avg("cnt")).as("mu"),
+        r4(sqrt(avg(col("cnt") * col("cnt")) -
+          avg("cnt") * avg("cnt"))).as("sd"))
+      .filter(col("n_weeks") >= minWeeks && col("sd") > 0)
+    cells.join(broadcast(wmax), col("week") === col("wmax"))
+      .join(prof, Seq("dow", "hod"))
+      .select(col("dow"), col("hod"), col("n_weeks"),
+        col("cnt").as("cnt_last"), col("mu"), col("sd"),
+        r4((col("cnt") - col("mu")) / col("sd")).as("z"))
+      .withColumn("is_anom",
+        (abs(col("z")) > lit(sigmas)).cast("int"))
+  }
 }

@@ -228,4 +228,52 @@ object SeriesMining {
           sqrt(col("n0").cast("double") *
             (col("n0") - col("n_tie")).cast("double")) + lit(1e-9), 4)
           .as("tau_b"))
+
+  /** Sample entropy at m = 2 (Richman & Moorman 2000, Am J Physiol —
+    * the regularity measure: low SampEn = predictable series, high =
+    * irregular) over an INTEGER day series with integer tolerance `r`,
+    * so every template comparison is exact on both engines. Contract
+    * (documented index set, symmetric for A and B): pairs i < j with
+    * both in [0, n−3]; B counts max(|Δ₀|,|Δ₁|) ≤ r, A additionally
+    * |Δ₂| ≤ r; SampEn = −ln(A/B), −1.0 sentinel when A = 0 (the only
+    * float is one ln of an exact rational, 4-dp quantized). O(p²) per
+    * series on the calendar-bounded day dimension, corpus scale rides
+    * the conv dimension. Output:
+    * (conv_id, n_days, b_cnt, a_cnt, sampen).
+    */
+  def sampleEntropy(daySeries: DataFrame, r: Long): DataFrame = {
+    require(r >= 0, "r >= 0")
+    val spark = daySeries.sparkSession
+    import spark.implicits._
+    daySeries
+      .select(col("conv_id").cast("string"), col("idx").cast("int"),
+        col("v").cast("long"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val v = it.toArray.sortBy(_._2).map(_._3)
+        val n = v.length
+        if (n < 4) Iterator.empty
+        else {
+          val last = n - 3
+          var a = 0L; var b = 0L
+          var i = 0
+          while (i <= last) {
+            var j = i + 1
+            while (j <= last) {
+              if (math.abs(v(i) - v(j)) <= r &&
+                math.abs(v(i + 1) - v(j + 1)) <= r) {
+                b += 1
+                if (math.abs(v(i + 2) - v(j + 2)) <= r) a += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          val se = if (a > 0) r4d(-math.log(a.toDouble / b)) else -1.0
+          Iterator.single((conv, n.toLong, b, a, se))
+        }
+      }
+      .toDF("conv_id", "n_days", "b_cnt", "a_cnt", "sampen")
+  }
 }

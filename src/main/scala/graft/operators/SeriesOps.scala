@@ -371,23 +371,86 @@ object SeriesOps {
     */
   def seasonalDecompose(metrics: DataFrame, bucketExpr: Column,
       valueCol: String = "value"): DataFrame = {
-    val b = metrics
-      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
-      .agg(r4(avg(col(valueCol))).as("v"))
-    val w = Window.partitionBy("conv_id").orderBy("bucket_ts")
-    val t = b
-      .withColumn("cnt", count(lit(1)).over(w.rowsBetween(-12, 12)))
-      .withColumn("trend", when(col("cnt") === 25,
-        r4((avg("v").over(w.rowsBetween(-12, 11)) +
-          avg("v").over(w.rowsBetween(-11, 12))) / 2)))
-      .withColumn("detr", col("v") - col("trend"))
-      .filter(col("detr").isNotNull)
+    val t = hourlyDetrended(metrics, bucketExpr, valueCol)
     val s = t.groupBy(col("conv_id"), hour(col("bucket_ts")).as("hod"))
       .agg(count(lit(1)).as("n_h"), r4(avg("detr")).as("s_raw"))
     val c = s.groupBy("conv_id").agg(r4(avg("s_raw")).as("s_mean"))
     s.join(c, "conv_id")
       .select(col("conv_id"), col("hod"), col("n_h"),
         r4(col("s_raw") - col("s_mean")).as("s_idx"))
+  }
+
+  /** Shared detrending stage of [[seasonalDecompose]] /
+    * [[seasonalStrength]]: hourly bucket means (4-dp), centered 2×24
+    * moving-average trend, detrended residual where the full ±12 window
+    * exists. All three frames share ONE conv partition sort.
+    */
+  private def hourlyDetrended(metrics: DataFrame, bucketExpr: Column,
+      valueCol: String): DataFrame = {
+    val b = metrics
+      .groupBy(col("conv_id"), bucketExpr.as("bucket_ts"))
+      .agg(r4(avg(col(valueCol))).as("v"))
+    val w = Window.partitionBy("conv_id").orderBy("bucket_ts")
+    b.withColumn("cnt", count(lit(1)).over(w.rowsBetween(-12, 12)))
+      .withColumn("trend", when(col("cnt") === 25,
+        r4((avg("v").over(w.rowsBetween(-12, 11)) +
+          avg("v").over(w.rowsBetween(-11, 12))) / 2)))
+      .withColumn("detr", col("v") - col("trend"))
+      .filter(col("detr").isNotNull)
+  }
+
+  /** Strength of seasonality (Hyndman & Athanasopoulos, FPP3 §4.4 —
+    * public textbook measure): F_s = max(0, 1 − Var(resid)/Var(detr)),
+    * where resid is the detrended series minus its own (conv, hour-of-day)
+    * seasonal index — the scalar that ranks which series actually HAVE the
+    * daily cycle the decomposition assumes. Shares [[hourlyDetrended]]'s
+    * one conv sort; both variances come from one partial agg over the
+    * joined residual relation, computed from sums in a fixed operand order
+    * (Σx²/n − (Σx/n)²) so the 4-dp output is replayable. detr and s_idx
+    * are 4-dp quantized upstream, so the sums see identical doubles on
+    * both engines. Output: (conv_id, n_b, var_detr, f_seasonal).
+    */
+  def seasonalStrength(metrics: DataFrame, bucketExpr: Column,
+      valueCol: String = "value"): DataFrame = {
+    val t = hourlyDetrended(metrics, bucketExpr, valueCol)
+    val s = t.groupBy(col("conv_id"), hour(col("bucket_ts")).as("hod"))
+      .agg(r4(avg("detr")).as("s_raw"))
+    val c = s.groupBy("conv_id").agg(r4(avg("s_raw")).as("s_mean"))
+    val sidx = s.join(c, "conv_id")
+      .select(col("conv_id"), col("hod"),
+        r4(col("s_raw") - col("s_mean")).as("s_idx"))
+    val r = t.withColumn("hod", hour(col("bucket_ts")))
+      .join(sidx, Seq("conv_id", "hod"))
+      .withColumn("resid", col("detr") - col("s_idx"))
+    val ag = r.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("detr") * col("detr")).as("sdd"), sum("detr").as("sd1"),
+        sum(col("resid") * col("resid")).as("srr"), sum("resid").as("sr1"))
+    val n = col("n_b").cast("double")
+    val vd = col("sdd") / n - (col("sd1") / n) * (col("sd1") / n)
+    val vr = col("srr") / n - (col("sr1") / n) * (col("sr1") / n)
+    ag.filter(r4(vd) > 0)
+      .select(col("conv_id"), col("n_b"),
+        r4(vd).as("var_detr"),
+        r4(greatest(lit(0.0), lit(1.0) - vr / vd)).as("f_seasonal"))
+  }
+
+  /** Ljung–Box portmanteau test at lags 1..3 (Ljung & Box 1978), computed
+    * from [[acf]]'s 4-dp quantized autocorrelations:
+    * Q = n(n+2)·Σ_k r_k²/(n−k), rejecting the IID null when Q exceeds the
+    * χ²(3) 95% critical value 7.8147. Every operand (integer n, 4-dp r_k)
+    * is identical cross-engine and the formula is evaluated in one fixed
+    * operand order, so Q and the flag are hash-exact. Series shorter than
+    * 4 observations drop. Output: (conv_id, n_obs, q_stat, reject_iid).
+    */
+  def ljungBox(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val a = acf(metrics, valueCol).filter(col("n_obs") > 3)
+    val n = col("n_obs").cast("double")
+    val q = n * (n + 2) *
+      (col("r1") * col("r1") / (n - 1) + col("r2") * col("r2") / (n - 2) +
+        col("r3") * col("r3") / (n - 3))
+    a.select(col("conv_id"), col("n_obs"), r4(q).as("q_stat"),
+      (r4(q) > lit(7.8147)).cast("int").as("reject_iid"))
   }
 
   /** Two-sided CUSUM change detection (Page 1954) — the classical

@@ -44,7 +44,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "txt_zipf", // rank window + one-row reduce over the k-row top vocab
     "ts_weighted_sample", // rank window over the k-row TakeOrdered result
     "txt_kl_drift", // share window over the k-row top-term relation
-    "ts_conv_pctile") // CDF window over the ≤64-row log2-bucket census
+    "ts_conv_pctile", // CDF window over the ≤64-row log2-bucket census
+    "ts_cal_anomaly") // max-week reduce over the |weeks|·168 cell relation
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
