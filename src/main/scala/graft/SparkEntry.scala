@@ -1821,6 +1821,31 @@ object SparkEntry {
     "ts_cal_anomaly" -> ((s, dir) =>
       Features.calendarAnomaly(transcripts(s, dir), sigmas = 2.0,
         minWeeks = 3).orderBy("dow", "hod")),
+    // dedup report: duplicate-cluster size distribution incl. singleton
+    // mass — a bounded histogram on top of the star-contraction CC output
+    "dd_cluster_stats" -> ((s, dir) => {
+      val d = docsPlanted(s, dir)
+      Dedup.clusterStats(d, Dedup.components(Dedup.minhashPairs(d)))
+        .orderBy("group_sz")
+    }),
+    // pairwise cross-source overlap via per-source KMV bottom-64 gram
+    // signatures + the merged-bottom-k Jaccard estimator — ONE corpus
+    // pass, all pairwise math on the |sources|·k signature relation
+    "txt_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(documents(s, dir), n = 3, k = 64)
+        .orderBy("sa", "sb")),
+    // rescaled-range Hurst exponent over integer day series: integer
+    // cumulative-deviation range / integer-variance sqrt per segment,
+    // OLS slope over log2 sizes {4,8,16}
+    "ts_hurst" -> ((s, dir) => {
+      val days = transcripts(s, dir)
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("b"))
+        .agg(sum(length(col("text")).cast("long")).as("v"))
+        .select(col("conv_id"),
+          datediff(col("b").cast("date"), lit("2024-01-01").cast("date"))
+            .as("idx"), col("v"))
+      SeriesMining.hurst(days).orderBy("conv_id")
+    }),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -6859,6 +6884,133 @@ private object Oracles {
           |JOIN prof p ON c.dow = p.dow AND c.hod = p.hod
           |WHERE c.week = wm.wmax
           |ORDER BY c.dow, c.hod""".stripMargin),
+    "dd_cluster_stats" ->
+      (plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleCtes +
+        bandCtes +
+        """, esym AS (
+          |  SELECT id1 AS x, id2 AS y FROM pairs
+          |  UNION
+          |  SELECT id2 AS x, id1 AS y FROM pairs
+          |), reach AS (
+          |  SELECT x, y FROM (SELECT x, y FROM esym UNION SELECT x, x AS y FROM esym)
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN esym e ON r.y = e.x
+          |), comp AS (
+          |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+          |), csz AS (
+          |  SELECT component, cast(count(*) AS bigint) AS group_sz
+          |  FROM comp GROUP BY 1
+          |), multi AS (
+          |  SELECT group_sz, cast(count(*) AS bigint) AS n_clusters
+          |  FROM csz GROUP BY 1
+          |), sing AS (
+          |  SELECT cast(1 AS bigint) AS group_sz,
+          |    cast(count(*) AS bigint) AS n_clusters
+          |  FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+          |  HAVING count(*) > 0
+          |), u AS (
+          |  SELECT * FROM multi UNION ALL SELECT * FROM sing
+          |)
+          |SELECT group_sz, cast(sum(n_clusters) AS bigint) AS n_clusters,
+          |  cast(group_sz * sum(n_clusters) AS bigint) AS n_docs
+          |FROM u GROUP BY 1 ORDER BY group_sz""".stripMargin),
+    "txt_source_overlap" ->
+      (s"""WITH tk AS (
+          |  SELECT source, string_split(text, ' ') AS toks FROM documents
+          |), sg AS (
+          |  SELECT DISTINCT source,
+          |    unnest(list_transform(generate_series(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+          |      AS gram
+          |  FROM tk WHERE len(toks) >= 3
+          |), hh AS (
+          |  SELECT source, gram, ${u32Sql("gram")} AS h FROM sg
+          |), sig AS (
+          |  SELECT source, gram, h FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY source ORDER BY h, gram) AS rk FROM hh)
+          |  WHERE rk <= 64
+          |), pr AS (
+          |  SELECT a.source AS sa, b.source AS sb
+          |  FROM (SELECT DISTINCT source FROM sig) a
+          |  JOIN (SELECT DISTINCT source FROM sig) b ON a.source < b.source
+          |), un AS (
+          |  SELECT pr.sa, pr.sb, s.gram, s.h, 1 AS in_a, 0 AS in_b
+          |  FROM pr JOIN sig s ON s.source = pr.sa
+          |  UNION ALL
+          |  SELECT pr.sa, pr.sb, s.gram, s.h, 0, 1
+          |  FROM pr JOIN sig s ON s.source = pr.sb
+          |), m AS (
+          |  SELECT sa, sb, gram, h,
+          |    max(in_a) AS in_a, max(in_b) AS in_b
+          |  FROM un GROUP BY 1, 2, 3, 4
+          |), x AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY sa, sb ORDER BY h, gram) AS rk FROM m
+          |)
+          |SELECT sa, sb, cast(count(*) AS bigint) AS k_used,
+          |  cast(sum(in_a * in_b) AS bigint) AS n_both,
+          |  round(cast(sum(in_a * in_b) AS double) / count(*) + 1e-9, 4)
+          |    AS est_jaccard
+          |FROM x WHERE rk <= 64 GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin),
+    "ts_hurst" ->
+      (cte +
+        """, days AS (
+          |  SELECT conv_id,
+          |    datediff('day', DATE '2024-01-01',
+          |      cast(date_trunc('day', ts) AS date)) AS idx,
+          |    cast(sum(length(text)) AS bigint) AS v
+          |  FROM transcripts GROUP BY 1, 2
+          |), nd AS (
+          |  SELECT conv_id, cast(count(*) AS bigint) AS n_days
+          |  FROM days GROUP BY 1
+          |), b AS (
+          |  SELECT conv_id, v,
+          |    cast(row_number() OVER (PARTITION BY conv_id ORDER BY idx) - 1
+          |      AS bigint) AS i
+          |  FROM days
+          |), e AS (
+          |  SELECT conv_id, v, i, cast(szv AS bigint) AS sz, i // szv AS sg
+          |  FROM b CROSS JOIN (VALUES (4), (8), (16)) s(szv)
+          |), rr AS (
+          |  SELECT conv_id, sz, sg, v,
+          |    cast(row_number() OVER (
+          |      PARTITION BY conv_id, sz, sg ORDER BY i) - 1 AS bigint) AS j,
+          |    sum(v) OVER (PARTITION BY conv_id, sz, sg ORDER BY i) AS c,
+          |    count(*) OVER (PARTITION BY conv_id, sz, sg) AS m,
+          |    sum(v) OVER (PARTITION BY conv_id, sz, sg) AS ss
+          |  FROM e
+          |), dd AS (
+          |  SELECT conv_id, sz, sg, v, ss,
+          |    sz * c - (j + 1) * ss AS d
+          |  FROM rr WHERE m = sz
+          |), segs AS (
+          |  SELECT conv_id, sz, sg,
+          |    max(d) AS dmax, min(d) AS dmin, min(ss) AS s1,
+          |    sum(v * v) AS svv
+          |  FROM dd GROUP BY 1, 2, 3
+          |), rs AS (
+          |  SELECT conv_id, sz,
+          |    round(cast(dmax - dmin AS double) /
+          |      sqrt(cast(sz * svv - s1 * s1 AS double)) + 1e-9, 4) AS rsv
+          |  FROM segs
+          |  WHERE sz * svv - s1 * s1 > 0 AND dmax > dmin
+          |), ms AS (
+          |  SELECT conv_id, sz, round(avg(rsv) + 1e-9, 4) AS mrs
+          |  FROM rs GROUP BY 1, 2 HAVING round(avg(rsv) + 1e-9, 4) > 0
+          |), piv AS (
+          |  SELECT conv_id,
+          |    min(CASE WHEN sz = 4 THEN mrs END) AS rs4,
+          |    min(CASE WHEN sz = 8 THEN mrs END) AS rs8,
+          |    min(CASE WHEN sz = 16 THEN mrs END) AS rs16
+          |  FROM ms GROUP BY 1
+          |)
+          |SELECT p.conv_id, nd.n_days, p.rs4, p.rs8, p.rs16,
+          |  round((log2(p.rs16) - log2(p.rs4)) / 2 + 1e-9, 4) + 0.0 AS hurst
+          |FROM piv p JOIN nd ON p.conv_id = nd.conv_id
+          |WHERE p.rs4 IS NOT NULL AND p.rs8 IS NOT NULL
+          |  AND p.rs16 IS NOT NULL
+          |ORDER BY p.conv_id""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

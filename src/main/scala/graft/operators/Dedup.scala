@@ -855,4 +855,28 @@ object Dedup {
       .withColumn("novelty",
         round(col("n_new_fps").cast("double") / col("n_fps") + lit(1e-9), 4))
   }
+
+  /** Duplicate-cluster size distribution — the dedup REPORT every corpus
+    * clean ships with (how duplicated is this corpus, and in what cluster
+    * shapes?): cluster sizes from [[components]] plus the singleton mass
+    * (docs in no near-dup pair), as (group_sz, n_clusters, n_docs) rows.
+    * The component relation already carries group_sz, so this is one
+    * distinct + one bounded histogram agg on top of the CC output; the
+    * singleton count is a left-anti against the (far smaller) clustered-doc
+    * set. All integer — hash-exact by construction.
+    */
+  def clusterStats(docs: DataFrame, comp: DataFrame): DataFrame = {
+    val multi = comp.select(col("component"), col("group_sz").cast("long"))
+      .distinct()
+      .groupBy("group_sz").agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.select("doc_id")
+      .join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("group_sz"), col("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    multi.unionByName(singles)
+      .groupBy("group_sz").agg(sum("n_clusters").as("n_clusters"))
+      .select(col("group_sz"), col("n_clusters"),
+        (col("group_sz") * col("n_clusters")).as("n_docs"))
+  }
 }

@@ -241,6 +241,61 @@ object SeriesMining {
     * the conv dimension. Output:
     * (conv_id, n_days, b_cnt, a_cnt, sampen).
     */
+  /** Rescaled-range Hurst exponent (Hurst 1951; Mandelbrot & Wallis 1969)
+    * over an INTEGER day series: for segment sizes 4/8/16, each complete
+    * segment's R/S is (max D − min D)/√I where
+    * D_j = s·C_j − (j+1)·S (cumulative deviation ×s, all integer) and
+    * I = s·Σv² − S² (population variance ×s², integer) — the only floats
+    * are one √ per segment and the final log2s, everything upstream is
+    * exact. H is the OLS slope of log2(mean R/S) on log2(s) over the three
+    * sizes, which for equally log-spaced sizes is (y₁₆ − y₄)/2. Segments
+    * with zero variance or zero range drop; a conversation must have all
+    * three sizes present (and positive quantized mean R/S) to score.
+    * One conv sort feeds the 3×-expanded segment windows; per-conv cost is
+    * calendar-bounded like every day-series kernel here.
+    * Output: (conv_id, n_days, rs4, rs8, rs16, hurst).
+    */
+  def hurst(daySeries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy("conv_id").orderBy("idx")
+    val base = daySeries
+      .select(col("conv_id"), col("idx").cast("int"), col("v").cast("long"))
+      .withColumn("i", (row_number().over(w0) - 1).cast("long"))
+    val e = base.withColumn("sz", explode(array(lit(4L), lit(8L), lit(16L))))
+      .withColumn("sg", floor(col("i") / col("sz")))
+    val wrun = Window.partitionBy("conv_id", "sz", "sg").orderBy("i")
+    val wall = Window.partitionBy("conv_id", "sz", "sg")
+    val rows = e
+      .withColumn("j", (row_number().over(wrun) - 1).cast("long"))
+      .withColumn("c", sum("v").over(wrun))
+      .withColumn("m", count(lit(1)).over(wall))
+      .withColumn("ss", sum("v").over(wall))
+      .filter(col("m") === col("sz"))
+      .withColumn("d", col("sz") * col("c") - (col("j") + 1) * col("ss"))
+    val segs = rows.groupBy("conv_id", "sz", "sg")
+      .agg(max("d").as("dmax"), min("d").as("dmin"),
+        min("ss").as("s1"), sum(col("v") * col("v")).as("svv"))
+      .withColumn("ivar", col("sz") * col("svv") - col("s1") * col("s1"))
+      .filter(col("ivar") > 0 && col("dmax") > col("dmin"))
+      .withColumn("rs", round((col("dmax") - col("dmin")).cast("double") /
+        sqrt(col("ivar").cast("double")) + lit(1e-9), 4))
+    val bySize = segs.groupBy("conv_id", "sz")
+      .agg(round(avg("rs") + lit(1e-9), 4).as("mrs"))
+      .filter(col("mrs") > 0)
+    val nDays = daySeries.groupBy("conv_id").agg(count(lit(1)).as("n_days"))
+    bySize.groupBy("conv_id")
+      .agg(min(when(col("sz") === 4, col("mrs"))).as("rs4"),
+        min(when(col("sz") === 8, col("mrs"))).as("rs8"),
+        min(when(col("sz") === 16, col("mrs"))).as("rs16"))
+      .filter(col("rs4").isNotNull && col("rs8").isNotNull &&
+        col("rs16").isNotNull)
+      .join(nDays, "conv_id")
+      .select(col("conv_id"), col("n_days"), col("rs4"), col("rs8"),
+        col("rs16"),
+        round((log2(col("rs16")) - log2(col("rs4"))) / 2 + lit(1e-9), 4)
+          .as("hurst"))
+  }
+
   def sampleEntropy(daySeries: DataFrame, r: Long): DataFrame = {
     require(r >= 0, "r >= 0")
     val spark = daySeries.sparkSession

@@ -434,6 +434,64 @@ object TextAnalysis {
         (col("n_hit").cast("double") / col("n_gram") >= thresh).as("contaminated"))
   }
 
+  /** Pairwise cross-source corpus overlap at sketch cost: each source's
+    * distinct word n-gram vocabulary is summarized by a KMV bottom-k
+    * signature (k smallest u32(md5) hashes, gram tie-break — the
+    * [[Summary.bottomKSample]] recipe per source), and each source pair's
+    * Jaccard is estimated as |X ∩ A ∩ B| / |X| where X is the bottom-k of
+    * the MERGED signatures (Beyer et al. SIGMOD'07 — the standard KMV
+    * union estimator). The corpus is touched ONCE (distinct gram set +
+    * per-source top-k via WindowGroupLimit, partial per-partition);
+    * everything pairwise runs on the |sources|·k-bounded signature
+    * relation, so source count — not corpus size — drives the pair cost.
+    * The mix-auditing question ("how much does src A overlap src B?")
+    * every multi-source pretraining corpus asks. Output:
+    * (sa, sb, k_used, n_both, est_jaccard).
+    */
+  def sourceOverlap(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("source").cast("string"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (src, t) =>
+        val ws = t.split(" ", -1)
+        if (ws.length < n) Iterator.empty
+        else {
+          val set = scala.collection.mutable.LinkedHashSet[String]()
+          var i = 0
+          while (i <= ws.length - n) {
+            set += ws.slice(i, i + n).mkString(" "); i += 1
+          }
+          set.iterator.map(g => (src, g))
+        }
+      }.toDF("source", "gram")
+      .distinct()
+    val ws = Window.partitionBy("source").orderBy(col("h"), col("gram"))
+    val sig = grams.withColumn("h", Accuracy.u32Md5(col("gram")))
+      .withColumn("rk", row_number().over(ws)).filter(col("rk") <= k)
+      .select("source", "gram", "h")
+    val srcs = sig.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    val ua = pairs.join(sig.withColumnRenamed("source", "sa"), "sa")
+      .select(col("sa"), col("sb"), col("gram"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val ub = pairs.join(sig.withColumnRenamed("source", "sb"), "sb")
+      .select(col("sa"), col("sb"), col("gram"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val wp = Window.partitionBy("sa", "sb").orderBy(col("h"), col("gram"))
+    ua.unionByName(ub)
+      .groupBy("sa", "sb", "gram", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= k)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("sa"), col("sb"), col("k_used"), col("n_both"),
+        round(col("n_both").cast("double") / col("k_used") + lit(1e-9), 4)
+          .as("est_jaccard"))
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021, table A1): per-doc
     * duplicate-word fraction, top-word fraction, and duplicate 2-/3-gram
     * fractions — the standard repetitious-text filter. One typed pass emits
