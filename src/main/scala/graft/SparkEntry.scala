@@ -1834,6 +1834,41 @@ object SparkEntry {
     "txt_source_overlap" -> ((s, dir) =>
       TextAnalysis.sourceOverlap(documents(s, dir), n = 3, k = 64)
         .orderBy("sa", "sb")),
+    // value-predicate pruned chunk read: the per-chunk min/max zone map
+    // (parquet-row-group stats for the chunk store) skips chunks whose
+    // whole range falls below the threshold without touching payloads;
+    // residual per-point filter keeps exactness
+    "ts_chunk_value_prune" -> ((s, dir) => {
+      // hourly text-volume sums (integer-valued, naturally spread): convs
+      // that never see a multi-turn hour prune entirely at the zone level
+      val grid = transcripts(s, dir)
+        .groupBy(col("conv_id"),
+          date_trunc("hour", col("ts")).as("bucket_ts"))
+        .agg(sum(length(col("text")).cast("long")).cast("double")
+          .as("value"))
+      val chunks = ChunkStore.encode(s, grid, Tier.H1)
+      ChunkStore.decodeWhereAtLeast(s, chunks,
+        ChunkStore.zoneMap(s, chunks), threshold = 30.0)
+        .orderBy("conv_id", "bucket_ts")
+    }),
+    // per-tool Apdex (T = 6h, tolerating ≤ 4T): the SLA satisfaction
+    // score from the same one-pass tool-latency deltas
+    "ts_apdex" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      transcripts(s, dir)
+        .withColumn("d", lead(tsMs, 1).over(w) - tsMs)
+        .filter(col("tool").isNotNull && col("d").isNotNull)
+        .groupBy("tool")
+        .agg(count(lit(1)).as("n_calls"),
+          sum(when(col("d") <= 21600000L, 1L).otherwise(0L)).as("n_sat"),
+          sum(when(col("d") > 21600000L && col("d") <= 86400000L, 1L)
+            .otherwise(0L)).as("n_tol"))
+        .select(col("tool"), col("n_calls"), col("n_sat"), col("n_tol"),
+          round((col("n_sat") + col("n_tol").cast("double") / 2)
+            / col("n_calls") + lit(1e-9), 4).as("apdex"))
+        .orderBy("tool")
+    }),
     // rescaled-range Hurst exponent over integer day series: integer
     // cumulative-deviation range / integer-variance sqrt per segment,
     // OLS slope over log2 sizes {4,8,16}
@@ -6953,6 +6988,37 @@ private object Oracles {
           |  round(cast(sum(in_a * in_b) AS double) / count(*) + 1e-9, 4)
           |    AS est_jaccard
           |FROM x WHERE rk <= 64 GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin),
+    "ts_chunk_value_prune" ->
+      (cte +
+        """, hv AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |    cast(cast(sum(length(text)) AS bigint) AS double) AS value
+          |  FROM transcripts GROUP BY 1, 2
+          |)
+          |SELECT conv_id, bucket_ts, value FROM hv
+          |WHERE value >= 30.0
+          |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_apdex" ->
+      (cte +
+        """, g AS (
+          |  SELECT conv_id, tool,
+          |    lead(epoch_ms(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |      - epoch_ms(ts) AS d
+          |  FROM transcripts
+          |), t AS (
+          |  SELECT tool, d FROM g WHERE tool IS NOT NULL AND d IS NOT NULL
+          |), ag AS (
+          |  SELECT tool, cast(count(*) AS bigint) AS n_calls,
+          |    cast(sum(CASE WHEN d <= 21600000 THEN 1 ELSE 0 END) AS bigint)
+          |      AS n_sat,
+          |    cast(sum(CASE WHEN d > 21600000 AND d <= 86400000
+          |                  THEN 1 ELSE 0 END) AS bigint) AS n_tol
+          |  FROM t GROUP BY 1
+          |)
+          |SELECT tool, n_calls, n_sat, n_tol,
+          |  round((n_sat + cast(n_tol AS double) / 2) / n_calls + 1e-9, 4)
+          |    AS apdex
+          |FROM ag ORDER BY tool""".stripMargin),
     "ts_hurst" ->
       (cte +
         """, days AS (

@@ -138,4 +138,51 @@ object ChunkStore {
     }.toDF("conv_id", "t", "value")
       .select(col("conv_id"), timestamp_millis(col("t")).as("bucket_ts"), col("value"))
   }
+
+  /** Per-chunk VALUE zone map — the parquet-row-group-stats trick for the
+    * chunk store: one decode pass emits (chunk key, n, n_null, min_v,
+    * max_v), a side relation of O(#chunks) rows that later value-predicate
+    * reads consult instead of touching payload bytes. Built once per tier
+    * commit (or backfilled with this very pass), amortized over every
+    * subsequent threshold query — exactly how columnar formats earn their
+    * skip-scan. All-null chunks carry null bounds.
+    */
+  def zoneMap(spark: SparkSession, chunks: Dataset[ChunkStruct]): DataFrame = {
+    import spark.implicits._
+    chunks.map { c =>
+      val vs =
+        if (c.codec.startsWith("gorilla_lp")) GorillaCodec.decodeValuesLP(c.value_payload)
+        else GorillaCodec.decodeValues(c.value_payload)
+      var mn = Double.MaxValue; var mx = Double.MinValue; var nn = 0L
+      vs.foreach { v =>
+        if (v == null) nn += 1
+        else {
+          val d = v.doubleValue()
+          if (d < mn) mn = d
+          if (d > mx) mx = d
+        }
+      }
+      val has = nn < c.n
+      (c.conv_id, c.tier, c.start_ts, c.n.toLong, nn,
+        if (has) Some(mn) else None, if (has) Some(mx) else None)
+    }.toDF("conv_id", "tier", "start_ts", "n", "n_null", "min_v", "max_v")
+  }
+
+  /** Value-pruned decode: only chunks whose zone map ADMITS a value ≥
+    * `threshold` (max_v ≥ threshold) reach the codec — a chunk whose whole
+    * range falls below the predicate is skipped without touching its
+    * payload, the value-domain mirror of [[decodeRange]]'s time exclusion.
+    * The zone join is a left-semi on the chunk key; the residual per-point
+    * filter keeps exactness (zone maps are necessary, not sufficient).
+    */
+  def decodeWhereAtLeast(spark: SparkSession, chunks: Dataset[ChunkStruct],
+      zone: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val keep = zone.filter(col("max_v") >= threshold)
+      .select("conv_id", "tier", "start_ts")
+    val pruned = chunks
+      .join(keep, Seq("conv_id", "tier", "start_ts"), "left_semi")
+      .as[ChunkStruct]
+    decode(spark, pruned).filter(col("value") >= threshold)
+  }
 }

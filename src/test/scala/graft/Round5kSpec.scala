@@ -60,4 +60,62 @@ class Round5kSpec extends AnyFunSuite {
       .toDF("conv_id", "idx", "v")
     assert(SeriesMining.hurst(short).count() == 0)
   }
+
+  test("zoneMap + decodeWhereAtLeast: zone-excluded chunks never reach the codec") {
+    import graft.model.{ChunkStruct, Tier}
+    import graft.operators.ChunkStore
+    import graft.functions.GorillaCodec
+    val step = Tier.M1.millis
+    val t0 = 1704067200000L
+    def chunk(conv: String, startMs: Long, vals: Array[Double]) =
+      ChunkStruct(conv, "1m", new java.sql.Timestamp(startMs), vals.length,
+        "gorilla_lp+dod",
+        GorillaCodec.encodeRegularTimestamps(startMs, step, vals.length),
+        GorillaCodec.encodeValuesLP(vals))
+    val hot = chunk("hot", t0, Array(10.0, 60.0, 20.0))
+    val cold = chunk("cold", t0, Array(1.0, 2.0, 3.0))
+    val ds = spark.createDataset(Seq(hot, cold))(
+      org.apache.spark.sql.Encoders.product[ChunkStruct])
+    // zone map carries exact per-chunk bounds
+    val z = ChunkStore.zoneMap(spark, ds).orderBy("conv_id").collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(z.toSeq == Seq(("cold", 0L, 1.0, 3.0), ("hot", 0L, 10.0, 60.0)))
+    // corrupt the zone-excluded chunk: a pruned read must never decode it
+    val zone = ChunkStore.zoneMap(spark, ds)
+    val poisoned = spark.createDataset(Seq(hot,
+      cold.copy(value_payload = Array[Byte](1, 2, 3))))(
+      org.apache.spark.sql.Encoders.product[ChunkStruct])
+    val out = ChunkStore.decodeWhereAtLeast(spark, poisoned, zone, 50.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(out.toSeq == Seq(("hot", 60.0)), out.toSeq)
+    // sanity: the poisoned chunk DOES blow up an unpruned full decode
+    intercept[org.apache.spark.SparkException] {
+      ChunkStore.decode(spark, poisoned).count()
+    }
+  }
+
+  test("apdex classification: satisfied/tolerating/frustrated buckets") {
+    import org.apache.spark.sql.expressions.Window
+    // gaps of 1h (satisfied), 12h (tolerating), 48h (frustrated)
+    val h0 = 1704067200000L
+    val rows = Seq(
+      ("a", 0, "t1", new java.sql.Timestamp(h0)),
+      ("a", 1, "t1", new java.sql.Timestamp(h0 + 3600000L)),
+      ("a", 2, "t1", new java.sql.Timestamp(h0 + 3600000L + 43200000L)),
+      ("a", 3, "t1", new java.sql.Timestamp(h0 + 3600000L + 43200000L
+        + 172800000L)))
+      .toDF("conv_id", "turn_idx", "tool", "ts")
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val d = rows.withColumn("d",
+      unix_millis(lead("ts", 1).over(w)) - unix_millis(col("ts")))
+      .filter(col("d").isNotNull)
+    val ag = d.groupBy("tool")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") <= 21600000L, 1L).otherwise(0L)).as("sat"),
+        sum(when(col("d") > 21600000L && col("d") <= 86400000L, 1L)
+          .otherwise(0L)).as("tol"))
+      .collect()(0)
+    // 1 satisfied, 1 tolerating, 1 frustrated -> apdex (1 + 0.5)/3 = 0.5
+    assert(ag.getLong(1) == 3 && ag.getLong(2) == 1 && ag.getLong(3) == 1)
+  }
 }
