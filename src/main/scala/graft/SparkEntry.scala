@@ -1851,6 +1851,36 @@ object SparkEntry {
         ChunkStore.zoneMap(s, chunks), threshold = 30.0)
         .orderBy("conv_id", "bucket_ts")
     }),
+    // LSH banding S-curve: exact Jaccard + theoretical detection prob of
+    // the (4 bands × 2 rows) scheme per candidate pair — explicit-product
+    // powers, the tuning relation for picking banding parameters
+    "dd_lsh_curve" -> ((s, dir) => {
+      val d = docsPlanted(s, dir)
+      Dedup.lshCurve(Dedup.ngramJaccard(d, Dedup.minhashPairs(d)),
+        bandsB = 4, rowsR = 2).orderBy("id1", "id2")
+    }),
+    // multimodal exact dedup: group identical binary payloads by md5 —
+    // the byte-level clone screen for media columns
+    "mm_dedup" -> ((s, dir) =>
+      docsPlanted(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+        .orderBy("payload_md5")),
+    // ingestion-staleness monitor: per-conv last-seen age vs the corpus
+    // watermark, log2-bucketed — the freshness histogram an ops dashboard
+    // reads; conv relation collapses to ≤64 cells
+    "ts_staleness" -> ((s, dir) => {
+      val last = transcripts(s, dir).groupBy("conv_id")
+        .agg(max(unix_millis(col("ts").cast("timestamp"))).as("last_ms"))
+      val wm = last.agg(max("last_ms").as("wm_ms"))
+      last.crossJoin(broadcast(wm))
+        .withColumn("stale", col("wm_ms") - col("last_ms"))
+        .groupBy(Summary.log2Bucket(col("stale")).as("hb"))
+        .agg(count(lit(1)).as("n_convs"),
+          min("stale").as("min_ms"), max("stale").as("max_ms"))
+        .orderBy("hb")
+    }),
     // per-tool Apdex (T = 6h, tolerating ≤ 4T): the SLA satisfaction
     // score from the same one-pass tool-latency deltas
     "ts_apdex" -> ((s, dir) => {
@@ -6998,6 +7028,56 @@ private object Oracles {
           |SELECT conv_id, bucket_ts, value FROM hv
           |WHERE value >= 30.0
           |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "dd_lsh_curve" ->
+      (plantedCte + shingleCtes + bandCtes +
+        """, shx AS (
+          |  SELECT doc_id, unnest(sh) AS s FROM sgl
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n FROM shx GROUP BY 1
+          |), inter AS (
+          |  SELECT p.id1, p.id2, count(*) AS n_inter
+          |  FROM pairs p
+          |  JOIN shx a ON a.doc_id = p.id1
+          |  JOIN shx b2 ON b2.doc_id = p.id2 AND b2.s = a.s
+          |  GROUP BY 1, 2
+          |), jj AS (
+          |  SELECT p.id1, p.id2,
+          |    round(cast(coalesce(i.n_inter, 0) AS double) /
+          |          (s1.n + s2.n - coalesce(i.n_inter, 0)) + 1e-9, 4)
+          |      AS jaccard
+          |  FROM pairs p
+          |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+          |  JOIN sizes s1 ON s1.doc_id = p.id1
+          |  JOIN sizes s2 ON s2.doc_id = p.id2
+          |), xx AS (
+          |  SELECT id1, id2, jaccard, 1.0 - jaccard * jaccard AS miss
+          |  FROM jj
+          |)
+          |SELECT id1, id2, jaccard,
+          |  round(1.0 - miss * miss * miss * miss + 1e-9, 4) AS p_detect
+          |FROM xx ORDER BY id1, id2""".stripMargin),
+    "mm_dedup" ->
+      (plantedCte +
+        """
+          |SELECT md5(text) AS payload_md5,
+          |  cast(count(*) AS bigint) AS n_copies,
+          |  cast(min(doc_id) AS bigint) AS keep_id
+          |FROM docs GROUP BY 1 ORDER BY payload_md5""".stripMargin),
+    "ts_staleness" ->
+      (cte +
+        """, last AS (
+          |  SELECT conv_id, max(epoch_ms(ts)) AS last_ms
+          |  FROM transcripts GROUP BY 1
+          |), wm AS (
+          |  SELECT max(last_ms) AS wm_ms FROM last
+          |), st AS (
+          |  SELECT wm_ms - last_ms AS stale FROM last CROSS JOIN wm
+          |)
+          |SELECT CASE WHEN stale <= 0 THEN -1
+          |            ELSE length(printf('%b', stale)) - 1 END AS hb,
+          |  cast(count(*) AS bigint) AS n_convs,
+          |  min(stale) AS min_ms, max(stale) AS max_ms
+          |FROM st GROUP BY 1 ORDER BY hb""".stripMargin),
     "ts_apdex" ->
       (cte +
         """, g AS (

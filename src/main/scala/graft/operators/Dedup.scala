@@ -865,6 +865,24 @@ object Dedup {
     * singleton count is a left-anti against the (far smaller) clustered-doc
     * set. All integer — hash-exact by construction.
     */
+  /** LSH banding tuning curve (Leskovec–Rajaraman–Ullman, MMDS ch.3): for
+    * each candidate pair, the exact n-gram Jaccard alongside the
+    * theoretical detection probability of the (b bands × r rows) scheme,
+    * p = 1 − (1 − j^r)^b — the relation you read to pick banding
+    * parameters (where the S-curve threshold sits vs the similarity you
+    * actually care about). Powers are expanded to EXPLICIT products so
+    * both engines evaluate the identical IEEE operand sequence from the
+    * 4-dp quantized j — no pow() in the contract. Candidate-pair-bounded.
+    */
+  def lshCurve(jac: DataFrame, bandsB: Int, rowsR: Int): DataFrame = {
+    require(bandsB >= 1 && rowsR >= 1, "bands/rows >= 1")
+    val jr = (1 to rowsR).map(_ => col("jaccard")).reduce(_ * _)
+    val miss = lit(1.0) - jr
+    val missAll = (1 to bandsB).map(_ => miss).reduce(_ * _)
+    jac.select(col("id1"), col("id2"), col("jaccard"),
+      round(lit(1.0) - missAll + lit(1e-9), 4).as("p_detect"))
+  }
+
   def clusterStats(docs: DataFrame, comp: DataFrame): DataFrame = {
     val multi = comp.select(col("component"), col("group_sz").cast("long"))
       .distinct()

@@ -160,6 +160,17 @@ object StreamingRollup {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("cnt"))
 
+  /** Streaming HyperLogLog register sketch: the SAME register/rho
+    * expressions as [[graft.operators.Summary.hllRegisters]] under a
+    * streaming groupBy — `max(rho)` is commutative, idempotent, mergeable
+    * state, so any arrival order or batching produces the batch registers
+    * bit-identically after every prefix. State is bounded by 2^p registers
+    * at ANY stream length — the distinct-count sketch a fleet dashboard
+    * maintains forever without growing.
+    */
+  def hllStream(df: DataFrame, keyCol: String, p: Int = 8): DataFrame =
+    graft.operators.Summary.hllRegisters(df, keyCol, p)
+
   /** Streaming OHLC candlestick per (conv, event-time window): the SAME
     * aggregate expressions as [[graft.operators.Rollup.ohlcState]]
     * (struct min/max and count are order-insensitive, commutative,

@@ -94,6 +94,15 @@ class Round5kSpec extends AnyFunSuite {
     }
   }
 
+  test("lshCurve: S-curve endpoints and the b=4,r=2 midpoint") {
+    val jac = Seq((1L, 2L, 1.0), (3L, 4L, 0.0), (5L, 6L, 0.5))
+      .toDF("id1", "id2", "jaccard")
+    val r = Dedup.lshCurve(jac, bandsB = 4, rowsR = 2).orderBy("id1")
+      .collect().map(_.getDouble(3)).toSeq
+    // p(1)=1, p(0)=0, p(0.5) = 1 - 0.75^4 = 0.6836
+    assert(r == Seq(1.0, 0.0, 0.6836), r.toString)
+  }
+
   test("apdex classification: satisfied/tolerating/frustrated buckets") {
     import org.apache.spark.sql.expressions.Window
     // gaps of 1h (satisfied), 12h (tolerating), 48h (frustrated)

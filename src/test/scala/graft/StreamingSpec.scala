@@ -393,4 +393,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed() == batch(b1 ++ b2))
     } finally q.stop()
   }
+
+  test("streaming HLL registers equal the batch sketch after every prefix; state bounded by 2^p") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val p = 4
+    val q = StreamingRollup.hllStream(mem.toDF().toDF("k"), "k", p)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      val b1 = (1 to 40).map(i => s"key$i")
+      val b2 = (30 to 70).map(i => s"key$i") // overlap: idempotent max
+      def streamed() = spark.sql("SELECT register, rho FROM hllregs")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      def batch(rows: Seq[String]) =
+        graft.operators.Summary.hllRegisters(rows.toDF("k"), "k", p)
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(streamed() == batch(b1), "prefix-1 register mismatch")
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(streamed() == batch(b1 ++ b2), "prefix-2 register mismatch")
+      assert(streamed().size <= (1 << p))
+    } finally q.stop()
+  }
 }
