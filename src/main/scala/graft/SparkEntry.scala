@@ -1851,6 +1851,53 @@ object SparkEntry {
         ChunkStore.zoneMap(s, chunks), threshold = 30.0)
         .orderBy("conv_id", "bucket_ts")
     }),
+    // time-to-first-response per conversation: first user turn → first
+    // assistant turn at-or-after it; the chat-assistant SLA metric.
+    // One conv-keyed join (co-partitioned), integer milliseconds
+    "ts_first_response" -> ((s, dir) => {
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val t = transcripts(s, dir)
+      val fu = t.filter(col("role") === "user")
+        .groupBy("conv_id").agg(min(tsMs).as("u_ms"))
+      val asst = t.filter(col("role") === "assistant")
+        .select(col("conv_id"), tsMs.as("a_ms"))
+      fu.join(asst, Seq("conv_id"), "left")
+        .groupBy("conv_id")
+        .agg(min("u_ms").as("first_user_ms"),
+          min(when(col("a_ms") >= col("u_ms"), col("a_ms")))
+            .as("first_asst_ms"))
+        .select(col("conv_id"), col("first_user_ms"), col("first_asst_ms"),
+          (col("first_asst_ms") - col("first_user_ms")).as("latency_ms"),
+          col("first_asst_ms").isNotNull.cast("int").as("answered"))
+        .orderBy("conv_id")
+    }),
+    // SRE burn-rate alert (Google SRE workbook ch.5): fraction of slow
+    // inter-turn gaps (> 1 day) per hour AND per day over a 20% error
+    // budget; alert when BOTH windows burn above 1× — one gap relation,
+    // two aggregates, hour→day join on the bounded day relation
+    "ts_burn_rate" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val gaps = transcripts(s, dir)
+        .withColumn("d", lead(tsMs, 1).over(w) - tsMs)
+        .filter(col("d").isNotNull)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          date_trunc("day", col("ts")).as("day"),
+          when(col("d") > 86400000L, 1L).otherwise(0L).as("slow"))
+      val byH = gaps.groupBy("h", "day")
+        .agg(count(lit(1)).as("n"), sum("slow").as("n_slow"))
+      val byD = gaps.groupBy("day")
+        .agg(count(lit(1)).as("n_d"), sum("slow").as("n_slow_d"))
+      byH.join(broadcast(byD), "day")
+        .select(col("h"), col("n"), col("n_slow"),
+          round(col("n_slow").cast("double") / col("n") / 0.2 + lit(1e-9), 4)
+            .as("burn_h"),
+          round(col("n_slow_d").cast("double") / col("n_d") / 0.2
+            + lit(1e-9), 4).as("burn_d"))
+        .withColumn("alert",
+          (col("burn_h") > 1.0 && col("burn_d") > 1.0).cast("int"))
+        .orderBy("h")
+    }),
     // LSH banding S-curve: exact Jaccard + theoretical detection prob of
     // the (4 bands × 2 rows) scheme per candidate pair — explicit-product
     // powers, the tuning relation for picking banding parameters
@@ -7028,6 +7075,58 @@ private object Oracles {
           |SELECT conv_id, bucket_ts, value FROM hv
           |WHERE value >= 30.0
           |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_first_response" ->
+      (cte +
+        """, fu AS (
+          |  SELECT conv_id, min(epoch_ms(ts)) AS u_ms
+          |  FROM transcripts WHERE role = 'user' GROUP BY 1
+          |), aa AS (
+          |  SELECT conv_id, epoch_ms(ts) AS a_ms
+          |  FROM transcripts WHERE role = 'assistant'
+          |), j AS (
+          |  SELECT fu.conv_id, min(fu.u_ms) AS first_user_ms,
+          |    min(CASE WHEN aa.a_ms >= fu.u_ms THEN aa.a_ms END)
+          |      AS first_asst_ms
+          |  FROM fu LEFT JOIN aa ON fu.conv_id = aa.conv_id
+          |  GROUP BY 1
+          |)
+          |SELECT conv_id, first_user_ms, first_asst_ms,
+          |  first_asst_ms - first_user_ms AS latency_ms,
+          |  CAST(CASE WHEN first_asst_ms IS NOT NULL THEN 1 ELSE 0 END
+          |    AS INT) AS answered
+          |FROM j ORDER BY conv_id""".stripMargin),
+    "ts_burn_rate" ->
+      (cte +
+        """, g AS (
+          |  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS day,
+          |    CASE WHEN lead(epoch_ms(ts)) OVER (
+          |        PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |        - epoch_ms(ts) > 86400000 THEN 1 ELSE 0 END AS slow,
+          |    lead(epoch_ms(ts)) OVER (
+          |        PARTITION BY conv_id ORDER BY ts, turn_idx) AS nx
+          |  FROM transcripts
+          |), gg AS (
+          |  SELECT h, day, slow FROM g WHERE nx IS NOT NULL
+          |), byh AS (
+          |  SELECT h, day, cast(count(*) AS bigint) AS n,
+          |    cast(sum(slow) AS bigint) AS n_slow
+          |  FROM gg GROUP BY 1, 2
+          |), byd AS (
+          |  SELECT day, cast(count(*) AS bigint) AS n_d,
+          |    cast(sum(slow) AS bigint) AS n_slow_d
+          |  FROM gg GROUP BY 1
+          |), jj AS (
+          |  SELECT byh.h, byh.n, byh.n_slow,
+          |    round(cast(byh.n_slow AS double) / byh.n / 0.2 + 1e-9, 4)
+          |      AS burn_h,
+          |    round(cast(byd.n_slow_d AS double) / byd.n_d / 0.2 + 1e-9, 4)
+          |      AS burn_d
+          |  FROM byh JOIN byd ON byh.day = byd.day
+          |)
+          |SELECT h, n, n_slow, burn_h, burn_d,
+          |  CAST(CASE WHEN burn_h > 1.0 AND burn_d > 1.0 THEN 1 ELSE 0 END
+          |    AS INT) AS alert
+          |FROM jj ORDER BY h""".stripMargin),
     "dd_lsh_curve" ->
       (plantedCte + shingleCtes + bandCtes +
         """, shx AS (

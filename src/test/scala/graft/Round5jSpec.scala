@@ -67,6 +67,34 @@ class Round5jSpec extends AnyFunSuite {
     assert(SeriesMining.sampleEntropy(tiny, 10L).count() == 0)
   }
 
+  test("first-response and burn-rate primitives classify correctly") {
+    import org.apache.spark.sql.expressions.Window
+    // conv a: user@0, assistant@90s -> latency 90000, answered
+    // conv b: assistant@0 (before the first user@60) -> unanswered
+    val t = Seq(
+      ("a", 0, "user", tsAt(0)), ("a", 1, "assistant", tsAt(90)),
+      ("b", 0, "assistant", tsAt(0)), ("b", 1, "user", tsAt(60)))
+      .toDF("conv_id", "turn_idx", "role", "ts")
+    val tsMs = unix_millis(col("ts").cast("timestamp"))
+    val fu = t.filter(col("role") === "user")
+      .groupBy("conv_id").agg(min(tsMs).as("u_ms"))
+    val asst = t.filter(col("role") === "assistant")
+      .select(col("conv_id"), tsMs.as("a_ms"))
+    val r = fu.join(asst, Seq("conv_id"), "left")
+      .groupBy("conv_id")
+      .agg(min("u_ms").as("u"),
+        min(when(col("a_ms") >= col("u_ms"), col("a_ms"))).as("fa"))
+      .orderBy("conv_id").collect()
+    assert(r(0).getLong(2) - r(0).getLong(1) == 90000L)
+    assert(r(1).isNullAt(2)) // assistant turn precedes the user -> no reply
+    // burn rate: 2 slow of 4 gaps -> frac 0.5 / budget 0.2 = burn 2.5
+    val gaps = Seq(1L, 90000000L, 5L, 90000000L).toDF("d")
+    val burn = gaps.agg(
+      round(sum(when(col("d") > 86400000L, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)) / 0.2 + lit(1e-9), 4)).collect()(0)
+    assert(burn.getDouble(0) == 2.5)
+  }
+
   test("calendarAnomaly: prior-week profile z-scores the latest week") {
     // cell (Mon, 00h): weeks 0..2 carry 1,2,3 turns; week 3 carries 5.
     // mu = 2, sd = sqrt(14/3 - 4) = 0.8165, z = 3/0.8165 = 3.6742 -> anom.
