@@ -1958,6 +1958,32 @@ object SparkEntry {
             .as("idx"), col("v"))
       SeriesMining.hurst(days).orderBy("conv_id")
     }),
+    // partial autocorrelation at lags 1..3 (Durbin–Levinson over the
+    // quantized ACF — Box-Jenkins AR-order identification)
+    "ts_pacf" -> ((s, dir) =>
+      SeriesOps.pacf(metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // empirical semivariogram at turn lags 1..3 (roughness profile)
+    "ts_variogram" -> ((s, dir) =>
+      SeriesOps.variogram(
+        metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // Wald–Wolfowitz runs test for randomness of the inter-turn gap
+    // series about its per-conv median (text_len is near-constant on this
+    // corpus — the arrival process is the series with real dispersion)
+    "ts_runs_test" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val gaps = metrics(s, dir)
+        .withColumn("value", tsMs - lag(tsMs, 1).over(w))
+        .filter(col("value").isNotNull)
+      SeriesOps.runsTest(gaps).orderBy("conv_id")
+    }),
+    // first-difference movement census + direction reversals (all-integer)
+    "ts_moves" -> ((s, dir) =>
+      SeriesOps.movementProfile(
+        metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -7256,6 +7282,148 @@ private object Oracles {
           |WHERE p.rs4 IS NOT NULL AND p.rs8 IS NOT NULL
           |  AND p.rs16 IS NOT NULL
           |ORDER BY p.conv_id""".stripMargin),
+    "ts_pacf" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    round(avg(text_len) + 1e-9, 4) AS mu
+          |  FROM metrics GROUP BY 1
+          |), dxt AS (
+          |  SELECT m.conv_id, st.n_obs, m.text_len - st.mu AS dx,
+          |    lag(m.text_len - st.mu, 1) OVER w AS dx1,
+          |    lag(m.text_len - st.mu, 2) OVER w AS dx2,
+          |    lag(m.text_len - st.mu, 3) OVER w AS dx3
+          |  FROM metrics m JOIN st ON m.conv_id = st.conv_id
+          |  WINDOW w AS (PARTITION BY m.conv_id ORDER BY m.ts, m.turn_idx)
+          |), ag AS (
+          |  SELECT conv_id, min(n_obs) AS n_obs,
+          |    sum(dx * dx) AS c0, sum(dx * dx1) AS c1,
+          |    sum(dx * dx2) AS c2, sum(dx * dx3) AS c3
+          |  FROM dxt GROUP BY 1
+          |), rr AS (
+          |  SELECT conv_id, n_obs,
+          |    round(c1 / c0 + 1e-9, 4) AS r1,
+          |    round(c2 / c0 + 1e-9, 4) AS r2,
+          |    round(c3 / c0 + 1e-9, 4) AS r3
+          |  FROM ag WHERE round(c0 + 1e-9, 4) > 0
+          |), d1 AS (
+          |  SELECT *, round(1.0 - r1 * r1 + 1e-9, 4) AS den1 FROM rr
+          |), p2t AS (
+          |  SELECT *, round((r2 - r1 * r1) / den1 + 1e-9, 4) AS p22
+          |  FROM d1 WHERE den1 > 0
+          |), p3t AS (
+          |  SELECT *, round(r1 - p22 * r1 + 1e-9, 4) AS p21 FROM p2t
+          |), d3 AS (
+          |  SELECT *, round(1.0 - p21 * r1 - p22 * r2 + 1e-9, 4) AS den3
+          |  FROM p3t
+          |)
+          |SELECT conv_id, n_obs, r1 + 0.0 AS p1, p22 + 0.0 AS p2,
+          |  round((r3 - p21 * r2 - p22 * r1) / den3 + 1e-9, 4) + 0.0 AS p3
+          |FROM d3 WHERE den3 <> 0 ORDER BY conv_id""".stripMargin),
+    "ts_variogram" ->
+      (cte + metricsCte +
+        """, dxt AS (
+          |  SELECT conv_id,
+          |    text_len - lag(text_len, 1) OVER w AS d1,
+          |    text_len - lag(text_len, 2) OVER w AS d2,
+          |    text_len - lag(text_len, 3) OVER w AS d3
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), ag AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    sum(d1 * d1) AS s1, count(d1) AS m1,
+          |    sum(d2 * d2) AS s2, count(d2) AS m2,
+          |    sum(d3 * d3) AS s3, count(d3) AS m3
+          |  FROM dxt GROUP BY 1
+          |)
+          |SELECT conv_id, n_obs,
+          |  round(s1 / (2.0 * m1) + 1e-9, 4) AS g1,
+          |  round(s2 / (2.0 * m2) + 1e-9, 4) AS g2,
+          |  round(s3 / (2.0 * m3) + 1e-9, 4) AS g3
+          |FROM ag WHERE m3 > 0 ORDER BY conv_id""".stripMargin),
+    "ts_runs_test" ->
+      (cte + metricsCte +
+        """, vals AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS v
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), vv AS (
+          |  SELECT * FROM vals WHERE v IS NOT NULL
+          |), st AS (
+          |  SELECT conv_id, count(*) AS n_all FROM vv GROUP BY 1
+          |), rk AS (
+          |  SELECT m.conv_id, m.v, m.ts, m.turn_idx, st.n_all,
+          |    row_number() OVER (PARTITION BY m.conv_id
+          |                       ORDER BY m.v) AS rn
+          |  FROM vv m JOIN st ON m.conv_id = st.conv_id
+          |), md AS (
+          |  SELECT conv_id, v AS med, n_all FROM rk
+          |  WHERE rn = floor((n_all + 1) / 2.0)
+          |), sg AS (
+          |  SELECT m.conv_id, md.n_all, m.ts, m.turn_idx,
+          |    CASE WHEN m.v > md.med THEN 1
+          |         WHEN m.v < md.med THEN -1 END AS s
+          |  FROM vv m JOIN md ON m.conv_id = md.conv_id
+          |), kept AS (
+          |  SELECT conv_id, n_all, s,
+          |    CASE WHEN lag(s, 1) OVER w IS NULL OR lag(s, 1) OVER w <> s
+          |         THEN 1 ELSE 0 END AS chg
+          |  FROM sg WHERE s IS NOT NULL
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), ag AS (
+          |  SELECT conv_id, min(n_all) AS n_obs,
+          |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |    CAST(sum(chg) AS BIGINT) AS runs
+          |  FROM kept GROUP BY 1
+          |  HAVING n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+          |), zz AS (
+          |  SELECT conv_id, n_obs, n1, n2, runs,
+          |    CAST(n1 + n2 AS double) AS nn,
+          |    2.0 * n1 * n2 AS t12
+          |  FROM ag
+          |)
+          |SELECT conv_id, n_obs, n1, n2, runs,
+          |  round((runs - (t12 / nn + 1.0)) /
+          |        sqrt((t12 * (t12 - nn)) / (nn * nn * (nn - 1.0)))
+          |        + 1e-9, 4) + 0.0 AS z
+          |FROM zz
+          |WHERE (t12 * (t12 - nn)) / (nn * nn * (nn - 1.0)) > 0
+          |ORDER BY conv_id""".stripMargin),
+    "ts_moves" ->
+      (cte + metricsCte +
+        """, dd AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    text_len - lag(text_len, 1) OVER w AS d
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), base AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+          |    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_down,
+          |    CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_flat
+          |  FROM dd GROUP BY 1
+          |), mv AS (
+          |  SELECT conv_id, ts, turn_idx,
+          |    CASE WHEN d > 0 THEN 1 ELSE -1 END AS sg
+          |  FROM dd WHERE d <> 0
+          |), fl AS (
+          |  SELECT conv_id,
+          |    CASE WHEN lag(sg, 1) OVER w IS NOT NULL
+          |              AND lag(sg, 1) OVER w <> sg
+          |         THEN 1 ELSE 0 END AS flip
+          |  FROM mv WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), fa AS (
+          |  SELECT conv_id, CAST(sum(flip) AS BIGINT) AS n_flips
+          |  FROM fl GROUP BY 1
+          |)
+          |SELECT b.conv_id, b.n_obs, b.n_up, b.n_down, b.n_flat,
+          |  coalesce(fa.n_flips, 0) AS n_flips
+          |FROM base b LEFT JOIN fa ON b.conv_id = fa.conv_id
+          |ORDER BY b.conv_id""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

@@ -1253,4 +1253,138 @@ object SeriesOps {
       .withColumn("echo_share",
         r4(col("n_echoes").cast("double") / col("n_turns")))
   }
+
+  /** Partial autocorrelation at lags 1..3 via Durbin–Levinson over the
+    * 4-dp-quantized [[acf]] coefficients (Box-Jenkins AR-order
+    * identification — the PACF cutoff picks p). Every Durbin–Levinson
+    * intermediate (φ22, φ21, the level-3 denominator) is re-quantized at
+    * 4 dp, so both engines run the identical fixed-operand-order scalar
+    * recursion on identical inputs — deterministic cross-engine with no
+    * float-drift exposure. Quantized gates drop series where the
+    * recursion is undefined (|r1| = 1 or a zero level-3 denominator).
+    * Pure scalar post-processing of the acf relation: no extra shuffle
+    * beyond [[acf]]'s own.
+    */
+  def pacf(metrics: DataFrame, valueCol: String = "value"): DataFrame =
+    acf(metrics, valueCol)
+      .withColumn("den1", r4(lit(1.0) - col("r1") * col("r1")))
+      .filter(col("den1") > 0)
+      .withColumn("p22",
+        r4((col("r2") - col("r1") * col("r1")) / col("den1")))
+      .withColumn("p21", r4(col("r1") - col("p22") * col("r1")))
+      .withColumn("den3", r4(lit(1.0) - col("p21") * col("r1") -
+        col("p22") * col("r2")))
+      .filter(col("den3") =!= 0)
+      .withColumn("p33", r4((col("r3") - col("p21") * col("r2") -
+        col("p22") * col("r1")) / col("den3")))
+      .select(col("conv_id"), col("n_obs"),
+        col("r1").as("p1"), col("p22").as("p2"), col("p33").as("p3"))
+
+  /** Empirical semivariogram at lags 1..3 (turn-index lags):
+    * γ(k) = Σ(x_t − x_{t−k})² / (2·m_k) with m_k the count of defined
+    * pairs — the geostatistics noise/roughness profile (γ(1) ≈ process
+    * variance for white noise, ≪ variance for smooth series). All
+    * squared differences are integer-valued, so the sums are exact in
+    * double regardless of partial-agg order; the one division per lag is
+    * quantized at the output boundary. One window pass carrying three
+    * lags + one partial agg. Series need ≥ 4 observations so all three
+    * lags are defined.
+    */
+  def variogram(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val v = col(valueCol)
+    metrics
+      .withColumn("d1", v - lag(valueCol, 1).over(w))
+      .withColumn("d2", v - lag(valueCol, 2).over(w))
+      .withColumn("d3", v - lag(valueCol, 3).over(w))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("d1") * col("d1")).as("s1"), count(col("d1")).as("m1"),
+        sum(col("d2") * col("d2")).as("s2"), count(col("d2")).as("m2"),
+        sum(col("d3") * col("d3")).as("s3"), count(col("d3")).as("m3"))
+      .filter(col("m3") > 0)
+      .select(col("conv_id"), col("n_obs"),
+        r4(col("s1") / (lit(2.0) * col("m1"))).as("g1"),
+        r4(col("s2") / (lit(2.0) * col("m2"))).as("g2"),
+        r4(col("s3") / (lit(2.0) * col("m3"))).as("g3"))
+  }
+
+  /** Wald–Wolfowitz runs test for randomness about the median: values
+    * above the per-series median map to +1, below to −1, ties at the
+    * median drop (the classical treatment); R = number of maximal
+    * same-sign runs in time order. z = (R − μ_R)/σ_R with
+    * μ_R = 2·n1·n2/n + 1 and σ²_R = 2·n1·n2(2·n1·n2 − n)/(n²(n−1)).
+    * The median is the sorted element at position ⌈n/2⌉ (the
+    * rollingQuantile discrete-position contract — integer-exact, no
+    * interpolation); n1/n2/R are integers, and the z expression is ONE
+    * fixed-operand-order float formula over them — deterministic
+    * cross-engine. Two conv-partitioned window passes (one by value for
+    * the median rank, one by time for run boundaries) + one partial agg.
+    */
+  def runsTest(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val byVal = Window.partitionBy("conv_id").orderBy(col(valueCol))
+    val med = metrics
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n_all",
+        count(lit(1)).over(Window.partitionBy("conv_id")))
+      .filter(col("rn") === floor((col("n_all") + 1) / lit(2.0)))
+      .select(col("conv_id"), col(valueCol).as("med"), col("n_all"))
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val signed = metrics.join(med, "conv_id")
+      .withColumn("s",
+        when(col(valueCol) > col("med"), 1)
+          .when(col(valueCol) < col("med"), -1))
+      .filter(col("s").isNotNull)
+      .withColumn("chg",
+        when(lag("s", 1).over(w).isNull ||
+          lag("s", 1).over(w) =!= col("s"), 1L).otherwise(0L))
+    val agg = signed.groupBy("conv_id")
+      .agg(first("n_all").as("n_obs"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n2"),
+        sum("chg").as("runs"))
+      .filter(col("n1") > 0 && col("n2") > 0 &&
+        col("n1") + col("n2") > 1)
+    val nn = (col("n1") + col("n2")).cast("double")
+    val twoN1N2 = lit(2.0) * col("n1") * col("n2")
+    val mu = twoN1N2 / nn + lit(1.0)
+    val sg = (twoN1N2 * (twoN1N2 - nn)) / (nn * nn * (nn - lit(1.0)))
+    agg
+      .withColumn("mu", mu).withColumn("sg", sg)
+      .filter(col("sg") > 0)
+      .select(col("conv_id"), col("n_obs"), col("n1"), col("n2"),
+        col("runs"),
+        r4((col("runs") - col("mu")) / sqrt(col("sg"))).as("z"))
+  }
+
+  /** Per-series movement profile over first differences — the sawtooth /
+    * plateau screen a fleet dashboard runs before trusting trend ops:
+    * n_up/n_down/n_flat census of d_t = x_t − x_{t−1}, and n_flips = the
+    * number of direction reversals among the non-zero moves (zero moves
+    * are transparent, the standard turning-point treatment). All-integer
+    * output — hash-exact cross-engine by construction, no rounding
+    * contract at all. One time-ordered window pass for the diffs, a
+    * second over only the non-zero moves for reversals (same conv_id
+    * partitioning — one shuffle total), one partial agg each side.
+    */
+  def movementProfile(metrics: DataFrame,
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val d = metrics
+      .withColumn("d", col(valueCol) - lag(valueCol, 1).over(w))
+    val base = d.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_flat"))
+    val flips = d.filter(col("d") =!= 0)
+      .withColumn("sg", when(col("d") > 0, 1).otherwise(-1))
+      .withColumn("flip",
+        when(lag("sg", 1).over(w).isNotNull &&
+          lag("sg", 1).over(w) =!= col("sg"), 1L).otherwise(0L))
+      .groupBy("conv_id").agg(sum("flip").as("n_flips"))
+    base.join(flips, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("n_obs"), col("n_up"), col("n_down"),
+        col("n_flat"), coalesce(col("n_flips"), lit(0L)).as("n_flips"))
+  }
 }

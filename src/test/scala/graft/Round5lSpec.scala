@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SeriesOps
+
+/** Round-5 additions, batch 12: PACF (Durbin–Levinson), semivariogram,
+  * Wald–Wolfowitz runs test, first-difference movement profile.
+  */
+class Round5lSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val h0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private def series(conv: String, vs: Seq[Double]) =
+    vs.zipWithIndex.map { case (v, i) =>
+      (conv, new java.sql.Timestamp(h0 + i * 60000L), i, v)
+    }
+  private def df(rows: Seq[(String, java.sql.Timestamp, Int, Double)]) =
+    rows.toDF("conv_id", "ts", "turn_idx", "value")
+
+  private def q4(v: Double): Double =
+    new java.math.BigDecimal(v + 1e-9)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("variogram: alternating series — γ1 = 0.5, γ2 = 0 (period 2), γ3 = 0.5; short series drop") {
+    val d = df(series("a", Seq(0, 1, 0, 1, 0, 1).map(_.toDouble)) ++
+      series("b", Seq(5.0, 6.0, 7.0))) // only 3 points: lag-3 undefined
+    val r = SeriesOps.variogram(d).collect()
+    assert(r.length == 1, r.toSeq)
+    val a = r(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 6)
+    // d1 = ±1 over 5 pairs -> 5/(2*5); d2 = 0 over 4 pairs; d3 = ±1 over 3
+    assert(a.getDouble(2) == 0.5 && a.getDouble(3) == 0.0 &&
+      a.getDouble(4) == 0.5, a.toString)
+  }
+
+  test("runsTest: hand z on 1..6 (tie at the median drops); constant series drop") {
+    // time order 1..6, med = 3rd smallest = 3: signs -,-,(tie),+,+,+
+    // n1=3 above, n2=2 below, R=2; mu=3.4, sigma2=0.84
+    // z = (2-3.4)/sqrt(0.84) = -1.52753... -> -1.5275 at 4dp
+    val d = df(series("a", (1 to 6).map(_.toDouble)) ++
+      series("c", Seq(7.0, 7.0, 7.0, 7.0))) // constant: no signs at all
+    val r = SeriesOps.runsTest(d).collect()
+    assert(r.length == 1, r.toSeq)
+    val a = r(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 6 &&
+      a.getLong(2) == 3 && a.getLong(3) == 2 && a.getLong(4) == 2)
+    assert(a.getDouble(5) == -1.5275, a.toString)
+  }
+
+  test("movementProfile: census + reversals through a zero-move plateau; monotone has no flips") {
+    // a: 1,3,3,2,4 -> d = [2,0,-1,2]: up 2, down 1, flat 1;
+    //    kept signs [+,-,+] -> 2 reversals (plateau is transparent)
+    val d = df(series("a", Seq(1.0, 3.0, 3.0, 2.0, 4.0)) ++
+      series("b", Seq(1.0, 2.0, 3.0)))
+    val r = SeriesOps.movementProfile(d).orderBy("conv_id").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(("a", 5L, 2L, 1L, 1L, 2L),
+      ("b", 3L, 2L, 0L, 0L, 0L)), r.toSeq)
+  }
+
+  test("pacf: p1 equals acf r1; p2/p3 replay the quantized Durbin–Levinson recursion") {
+    val d = df(series("a", Seq(1, 2, 1, 2, 1, 2).map(_.toDouble)) ++
+      series("b", Seq(3, 1, 4, 1, 5, 9, 2, 6).map(_.toDouble)))
+    val acf = SeriesOps.acf(d).orderBy("conv_id").collect()
+      .map(x => x.getString(0) ->
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    val out = SeriesOps.pacf(d).orderBy("conv_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      val (r1, r2, r3) = acf(row.getString(0))
+      assert(row.getDouble(2) == r1, s"p1 != r1 for ${row.getString(0)}")
+      val den1 = q4(1.0 - r1 * r1)
+      assert(den1 > 0)
+      val p22 = q4((r2 - r1 * r1) / den1)
+      val p21 = q4(r1 - p22 * r1)
+      val den3 = q4(1.0 - p21 * r1 - p22 * r2)
+      assert(den3 != 0)
+      val p33 = q4((r3 - p21 * r2 - p22 * r1) / den3)
+      assert(row.getDouble(3) == p22 && row.getDouble(4) == p33,
+        s"${row.getString(0)}: got (${row.getDouble(3)}, ${row.getDouble(4)}), want ($p22, $p33)")
+    }
+    // an exactly-linear ramp has r1 with |r1| < 1 but a perfectly
+    // correlated structure; the |r1| = 1 degenerate gate fires on a
+    // two-valued strictly alternating ±x series only when r1*r1 rounds
+    // to 1 — construct one: period-2 with huge amplitude still has
+    // r1 = -c1/c0 != -1 for finite n, so gate on a 2-point series instead
+    val tiny = df(series("t", Seq(0.0, 1.0)))
+    // 2 points: c0 quantized > 0, r1 = -0.5 -> survives; just sanity-run
+    assert(SeriesOps.pacf(tiny).count() <= 1)
+  }
+}
