@@ -1984,6 +1984,39 @@ object SparkEntry {
       SeriesOps.movementProfile(
         metrics(s, dir).withColumnRenamed("text_len", "value"))
         .orderBy("conv_id")),
+    // SRE incident ledger: gap > 24h = incident; MTTR / MTBF /
+    // availability per conversation
+    "ts_mttr" -> ((s, dir) =>
+      SeriesOps.incidentLedger(metrics(s, dir), gapMs = 86400000L)
+        .orderBy("conv_id")),
+    // day-over-day tool-volume movers: top-3 |delta| per day
+    "ts_movers" -> ((s, dir) =>
+      Summary.dayMovers(transcripts(s, dir).filter(col("tool").isNotNull),
+        date_trunc("day", col("ts")), col("tool"), k = 3)
+        .orderBy("bucket", "rank")),
+    // where does the latest day's volume rank in the conv's own history
+    // (live-ops "is today unusual" percentile-rank screen; all-integer
+    // census + one quantized division)
+    "ts_today_rank" -> ((s, dir) => {
+      val days = transcripts(s, dir)
+        .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(length(col("text")).cast("long")).as("tot"))
+      val latest = days.groupBy("conv_id")
+        .agg(count(lit(1)).as("n_days"), max("day").as("last_day"),
+          max_by(col("tot"), col("day")).as("latest_tot"))
+      days.join(latest, "conv_id")
+        .groupBy(col("conv_id"))
+        .agg(first("n_days").as("n_days"),
+          first("last_day").as("last_day"),
+          first("latest_tot").as("latest_tot"),
+          sum(when(col("tot") <= col("latest_tot"), 1L).otherwise(0L))
+            .as("rank_le"))
+        .select(col("conv_id"), col("n_days"), col("last_day"),
+          col("latest_tot"), col("rank_le"),
+          round(col("rank_le").cast("double") / col("n_days") + lit(1e-9),
+            4).as("pr"))
+        .orderBy("conv_id")
+    }),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -7424,6 +7457,74 @@ private object Oracles {
           |  coalesce(fa.n_flips, 0) AS n_flips
           |FROM base b LEFT JOIN fa ON b.conv_id = fa.conv_id
           |ORDER BY b.conv_id""".stripMargin),
+    "ts_mttr" ->
+      (cte + metricsCte +
+        """, dd AS (
+          |  SELECT conv_id, epoch_ms(ts) AS t,
+          |    epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap,
+          |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w
+          |              > 86400000
+          |         THEN lag(epoch_ms(ts), 1) OVER w END AS inc_start
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), ag AS (
+          |  SELECT conv_id, count(*) AS n_obs, min(t) AS t0, max(t) AS t1,
+          |    CAST(sum(CASE WHEN gap > 86400000 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_inc,
+          |    CAST(sum(CASE WHEN gap > 86400000 THEN gap ELSE 0 END)
+          |      AS BIGINT) AS down_ms,
+          |    min(inc_start) AS fs, max(inc_start) AS ls
+          |  FROM dd GROUP BY 1
+          |)
+          |SELECT conv_id, n_obs, n_inc, down_ms,
+          |  round(1.0 - CAST(down_ms AS double) / (t1 - t0) + 1e-9, 4)
+          |    + 0.0 AS avail,
+          |  CASE WHEN n_inc > 0
+          |       THEN round(CAST(down_ms AS double) / n_inc + 1e-9, 4)
+          |       ELSE -1.0 END AS mttr_ms,
+          |  CASE WHEN n_inc > 1
+          |       THEN round(CAST(ls - fs AS double) / (n_inc - 1)
+          |                  + 1e-9, 4)
+          |       ELSE -1.0 END AS mtbf_ms
+          |FROM ag WHERE t1 > t0 ORDER BY conv_id""".stripMargin),
+    "ts_movers" ->
+      (cte +
+        """, dc AS (
+          |  SELECT tool AS key, date_trunc('day', ts) AS bucket,
+          |    count(*) AS n
+          |  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+          |), dl AS (
+          |  SELECT *, n - lag(n, 1) OVER (PARTITION BY key
+          |                                ORDER BY bucket) AS delta
+          |  FROM dc
+          |), rk AS (
+          |  SELECT bucket, key, n, delta,
+          |    cast(row_number() OVER (PARTITION BY bucket
+          |      ORDER BY abs(delta) DESC, key) AS int) AS rank
+          |  FROM dl WHERE delta IS NOT NULL
+          |)
+          |SELECT bucket, rank, key, n, delta FROM rk WHERE rank <= 3
+          |ORDER BY bucket, rank""".stripMargin),
+    "ts_today_rank" ->
+      (cte +
+        """, days AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS day,
+          |    CAST(sum(length(text)) AS BIGINT) AS tot
+          |  FROM transcripts GROUP BY 1, 2
+          |), lt AS (
+          |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_days,
+          |    max(day) AS last_day, arg_max(tot, day) AS latest_tot
+          |  FROM days GROUP BY 1
+          |)
+          |SELECT d.conv_id, min(lt.n_days) AS n_days,
+          |  min(lt.last_day) AS last_day, min(lt.latest_tot) AS latest_tot,
+          |  CAST(sum(CASE WHEN d.tot <= lt.latest_tot THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS rank_le,
+          |  round(CAST(sum(CASE WHEN d.tot <= lt.latest_tot
+          |                      THEN 1 ELSE 0 END) AS double)
+          |        / min(lt.n_days) + 1e-9, 4) AS pr
+          |FROM days d JOIN lt ON d.conv_id = lt.conv_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

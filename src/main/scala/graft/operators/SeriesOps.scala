@@ -1357,6 +1357,44 @@ object SeriesOps {
         r4((col("runs") - col("mu")) / sqrt(col("sg"))).as("z"))
   }
 
+  /** SRE incident ledger over the arrival stream: an INCIDENT is an
+    * inter-observation gap exceeding `gapMs` (the heartbeat-loss rule).
+    * Per series: incident count, total downtime (Σ incident gaps),
+    * availability = 1 − downtime/span, MTTR = mean incident duration,
+    * MTBF = mean ms between incident STARTS (the ts of the observation
+    * preceding the gap) — the SRE-workbook triple. Counts/sums are exact
+    * integers; the three ratios are single fixed-operand-order divisions
+    * quantized at the output boundary; −1 sentinels where undefined
+    * (no incidents / fewer than two). One time-ordered window pass + one
+    * partial agg — inherits the rollup's conv-hash partitioning story.
+    */
+  def incidentLedger(metrics: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val d = metrics
+      .withColumn("t", ms(col("ts")))
+      .withColumn("gap", col("t") - lag("t", 1).over(w))
+      .withColumn("inc_start", when(col("gap") > gapMs, lag("t", 1).over(w)))
+    d.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        min("t").as("t0"), max("t").as("t1"),
+        sum(when(col("gap") > gapMs, 1L).otherwise(0L)).as("n_inc"),
+        sum(when(col("gap") > gapMs, col("gap")).otherwise(0L))
+          .as("down_ms"),
+        min("inc_start").as("fs"), max("inc_start").as("ls"))
+      .filter(col("t1") > col("t0"))
+      .select(col("conv_id"), col("n_obs"), col("n_inc"), col("down_ms"),
+        r4(lit(1.0) -
+          col("down_ms").cast("double") / (col("t1") - col("t0")))
+          .as("avail"),
+        when(col("n_inc") > 0,
+          r4(col("down_ms").cast("double") / col("n_inc")))
+          .otherwise(lit(-1.0)).as("mttr_ms"),
+        when(col("n_inc") > 1,
+          r4((col("ls") - col("fs")).cast("double") /
+            (col("n_inc") - lit(1))))
+          .otherwise(lit(-1.0)).as("mtbf_ms"))
+  }
+
   /** Per-series movement profile over first differences — the sawtooth /
     * plateau screen a fleet dashboard runs before trusting trend ops:
     * n_up/n_down/n_flat census of d_t = x_t − x_{t−1}, and n_flips = the

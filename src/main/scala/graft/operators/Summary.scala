@@ -384,6 +384,34 @@ object Summary {
       .select(col("bucket"), col("rank"), col("key"), col("n"))
   }
 
+  /** Bucket-over-bucket volume movers — the "what changed since
+    * yesterday" ops dashboard: per (key, bucket) counts, integer delta vs
+    * the key's previous PRESENT bucket, then the top-k keys by |delta|
+    * per bucket (ties broken by key for determinism). A key's first
+    * bucket has no predecessor and is excluded from ranking. All-integer
+    * contract. Scale shape: one partial-agg groupBy collapses the raw
+    * relation to |keys|·|buckets| rows; both windows (lag per key, rank
+    * per bucket) run on that collapsed relation — the raw table is
+    * never window-scanned, and row_number ≤ k plans as WindowGroupLimit.
+    */
+  def dayMovers(df: DataFrame, bucketCol: Column, keyCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val counted = df
+      .groupBy(keyCol.as("key"), bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy("key").orderBy("bucket")
+    val deltas = counted
+      .withColumn("delta", col("n") - lag("n", 1).over(byKey))
+      .filter(col("delta").isNotNull)
+    val byBucket = Window.partitionBy("bucket")
+      .orderBy(abs(col("delta")).desc, col("key"))
+    deltas
+      .withColumn("rank", row_number().over(byBucket))
+      .filter(col("rank") <= k)
+      .select(col("bucket"), col("rank"), col("key"), col("n"), col("delta"))
+  }
+
   /** HyperLogLog register relation (Flajolet et al. 2007) over a key
     * column: 2^p registers, register id = top p bits of [[Accuracy.u32Md5]],
     * register value = max over keys of (leading-zero count of the

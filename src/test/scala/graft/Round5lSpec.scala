@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.operators.SeriesOps
 
 /** Round-5 additions, batch 12: PACF (Durbin–Levinson), semivariogram,
@@ -89,5 +90,44 @@ class Round5lSpec extends AnyFunSuite {
     val tiny = df(series("t", Seq(0.0, 1.0)))
     // 2 points: c0 quantized > 0, r1 = -0.5 -> survives; just sanity-run
     assert(SeriesOps.pacf(tiny).count() <= 1)
+  }
+
+  test("incidentLedger: MTTR / MTBF / availability arithmetic on a planted outage pair") {
+    // turns at t = 0, 10, 110, 120, 260 (seconds); threshold 50s
+    // gaps: 10, 100*, 10, 140* -> 2 incidents, downtime 240s, span 260s
+    // starts at t=10 and t=120 -> MTBF = 110s; MTTR = 120s
+    val rows = Seq(0L, 10L, 110L, 120L, 260L).zipWithIndex.map {
+      case (sec, i) =>
+        ("a", new java.sql.Timestamp(h0 + sec * 1000), i, 1.0)
+    }
+    val r = SeriesOps.incidentLedger(df(rows), gapMs = 50000L).collect()(0)
+    assert(r.getLong(1) == 5 && r.getLong(2) == 2 &&
+      r.getLong(3) == 240000L, r.toString)
+    assert(r.getDouble(4) == q4(1.0 - 240000.0 / 260000.0), r.toString)
+    assert(r.getDouble(5) == 120000.0 && r.getDouble(6) == 110000.0)
+    // no incidents -> -1 sentinels; zero span drops
+    val calm = df(series("b", Seq(1.0, 2.0, 3.0)))
+    val rb = SeriesOps.incidentLedger(calm, gapMs = 86400000L).collect()(0)
+    assert(rb.getLong(2) == 0 && rb.getDouble(5) == -1.0 &&
+      rb.getDouble(6) == -1.0)
+  }
+
+  test("dayMovers: first bucket excluded, |delta| ranking with key tie-break, top-k cut") {
+    import graft.operators.Summary
+    val day = 86400000L
+    val rows = Seq(
+      // tool x: d0=5, d1=2 (delta -3); tool y: d0=1, d1=4 (delta +3);
+      // tool z: d1 only (excluded — no predecessor)
+      ("x", 0, 5), ("x", 1, 2), ("y", 0, 1), ("y", 1, 4), ("z", 1, 3))
+      .flatMap { case (tool, d, n) =>
+        (0 until n).map(i =>
+          (tool, new java.sql.Timestamp(h0 + d * day + i * 1000L)))
+      }.toDF("tool", "ts")
+    val r = Summary.dayMovers(rows, date_trunc("day", col("ts")),
+      col("tool"), k = 1).collect()
+    // only day 1 has deltas; |−3| = |+3| -> tie broken by key: x wins
+    assert(r.length == 1)
+    assert(r(0).getInt(1) == 1 && r(0).getString(2) == "x" &&
+      r(0).getLong(4) == -3L, r(0).toString)
   }
 }
