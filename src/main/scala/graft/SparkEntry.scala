@@ -2017,6 +2017,23 @@ object SparkEntry {
             4).as("pr"))
         .orderBy("conv_id")
     }),
+    // template-anchor dedup families (same 32-char head+tail, varying
+    // middle) over a planted template corpus
+    "dd_template" -> ((s, dir) => {
+      val d = documents(s, dir).select("doc_id", "text")
+      val planted = d.unionByName(
+        d.filter(col("doc_id") % 37 === 0).select(
+          (col("doc_id") + 500000L).as("doc_id"),
+          concat(expr("left(text, 32)"), lit(" template middle variant "),
+            expr("right(text, 32)")).as("text")))
+      Dedup.templateGroups(planted).orderBy("head", "tail")
+    }),
+    // embedding-corpus norm census per label (zero vectors, norm drift)
+    "emb_norms" -> ((s, dir) =>
+      Similarity.embNormStats(embeddings(s, dir)).orderBy("label")),
+    // per-document distinct-3-gram novelty vs the corpus in doc_id order
+    "txt_gram_novelty" -> ((s, dir) =>
+      TextAnalysis.gramNovelty(documents(s, dir)).orderBy("doc_id")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -7524,6 +7541,62 @@ private object Oracles {
           |                      THEN 1 ELSE 0 END) AS double)
           |        / min(lt.n_days) + 1e-9, 4) AS pr
           |FROM days d JOIN lt ON d.conv_id = lt.conv_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "dd_template" ->
+      ("""WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 500000,
+          |    left(text, 32) || ' template middle variant '
+          |      || right(text, 32)
+          |  FROM documents WHERE doc_id % 37 = 0
+          |), t AS (
+          |  SELECT doc_id, left(text, 32) AS head, right(text, 32) AS tail,
+          |    md5(substr(text, 33, greatest(length(text) - 64, 0))) AS mid_h
+          |  FROM docs
+          |)
+          |SELECT head, tail, count(*) AS n_docs,
+          |  CAST(count(DISTINCT mid_h) AS BIGINT) AS n_mids,
+          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM t GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY head, tail""".stripMargin),
+    "emb_norms" ->
+      ("""WITH q AS (
+          |  SELECT label,
+          |    CAST(list_sum(list_transform(cast(embedding AS DOUBLE[]),
+          |      x -> cast(round(x * x * 1e8) AS BIGINT))) AS BIGINT) AS n2
+          |  FROM embeddings
+          |)
+          |SELECT label, count(*) AS n_vecs,
+          |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_zero,
+          |  min(n2) AS min_n2, max(n2) AS max_n2,
+          |  round(sqrt(CAST(sum(n2) AS double) / count(*) / 1e8) + 1e-9, 4)
+          |    AS rms_norm
+          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin),
+    "txt_gram_novelty" ->
+      ("""WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |), tk AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM docs
+          |), sgl AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+          |      AS sh
+          |  FROM tk WHERE len(toks) >= 3
+          |), shx AS (
+          |  SELECT doc_id, unnest(sh) AS g FROM sgl
+          |), fs AS (
+          |  SELECT g, min(doc_id) AS first_doc FROM shx GROUP BY 1
+          |)
+          |SELECT s.doc_id, count(*) AS n_grams,
+          |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_novel,
+          |  round(CAST(sum(CASE WHEN f.first_doc = s.doc_id
+          |                      THEN 1 ELSE 0 END) AS double) / count(*)
+          |        + 1e-9, 4) AS novel_share
+          |FROM shx s JOIN fs f ON s.g = f.g
           |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 

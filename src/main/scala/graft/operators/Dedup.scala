@@ -897,4 +897,26 @@ object Dedup {
       .select(col("group_sz"), col("n_clusters"),
         (col("group_sz") * col("n_clusters")).as("n_docs"))
   }
+
+  /** Template-anchor dedup families: documents sharing an exact 32-char
+    * head AND 32-char tail form one template family — the shared-scaffold
+    * boilerplate shape LLM corpora accumulate from form letters and
+    * generated pages (a dual of [[boilerplate]], which screens REPEATED
+    * whole turns; this catches same-frame-different-middle). Grouping is
+    * one hash agg on the bounded (head, tail) key — no pair enumeration,
+    * so a million-document template family collapses to ONE row
+    * (storm-immune by construction, unlike similarity joins).
+    * n_mids distinguishes exact clone piles (1) from true templates (>1).
+    */
+  def templateGroups(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("head", expr("left(text, 32)"))
+      .withColumn("tail", expr("right(text, 32)"))
+      .withColumn("mid_h",
+        md5(expr("substring(text, 33, greatest(length(text) - 64, 0))")))
+      .groupBy("head", "tail")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("mid_h")).as("n_mids"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_docs") >= 2)
 }

@@ -504,4 +504,31 @@ object Similarity {
       .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
       .withColumn("recall",
         round(col("n_hit") / lit(k.toDouble) + lit(1e-9), 4))
+
+  /** Embedding-corpus quality screen: per label, the norm census an
+    * ingest pipeline runs before trusting vectors downstream (zero/dead
+    * vectors, norm drift between shards). Each vector's squared norm is
+    * quantized PER ELEMENT to an exact 1e-8-grid integer (float32
+    * element products are exact in double; one deterministic round each)
+    * and summed as BIGINT — so the cross-row aggregation is exact
+    * integer math at any partial-agg order, and only the final RMS-norm
+    * division+sqrt is a fixed-operand-order float expression. Map-only +
+    * one bounded groupBy (|labels| rows).
+    */
+  def embNormStats(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("n2", expr(
+        """aggregate(
+          |  transform(cast(embedding AS array<double>),
+          |            x -> cast(round(x * x * 1e8) AS bigint)),
+          |  0L, (s, x) -> s + x)""".stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min("n2").as("min_n2"), max("n2").as("max_n2"),
+        sum("n2").as("sum_n2"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("min_n2"), col("max_n2"),
+        round(sqrt(col("sum_n2").cast("double") / col("n_vecs") / lit(1e8))
+          + lit(1e-9), 4).as("rms_norm"))
 }

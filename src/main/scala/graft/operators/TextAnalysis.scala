@@ -1034,4 +1034,33 @@ object TextAnalysis {
         round(col("pa") * log(col("pa") / col("pb")) + lit(1e-9), 4)
           .as("kl_term"))
   }
+
+  /** Per-document gram novelty vs the corpus in doc_id order: the share
+    * of a document's distinct word 3-grams that IT introduces (its
+    * doc_id is the gram's corpus-wide minimum) — the freshness screen an
+    * incremental-ingest pipeline runs to find documents contributing
+    * nothing new (novel_share ≈ 0 ⇒ recombination of seen text). Same
+    * tokenization as the MinHash shingles (space-split word 3-grams,
+    * distinct per doc). Scale shape: the gram relation partial-aggs to
+    * (gram, min doc) — the hot-gram hub combines map-side — and joins
+    * back gram-keyed; no doc×doc comparisons anywhere.
+    */
+  def gramNovelty(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"""
+          .stripMargin))).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams") + lit(1e-9),
+          4).as("novel_share"))
+  }
 }

@@ -130,4 +130,47 @@ class Round5lSpec extends AnyFunSuite {
     assert(r(0).getInt(1) == 1 && r(0).getString(2) == "x" &&
       r(0).getLong(4) == -3L, r(0).toString)
   }
+
+  test("templateGroups: same head+tail varying middle groups; exact clones have n_mids=1; singletons drop") {
+    import graft.operators.Dedup
+    val hd = "h" * 32; val tl = "t" * 32
+    val docs = Seq(
+      (1L, s"$hd middle one $tl"), (2L, s"$hd other middle $tl"),
+      (3L, s"$hd middle one $tl"), // exact clone of 1
+      (4L, "completely unrelated single document text"))
+      .toDF("doc_id", "text")
+    val r = Dedup.templateGroups(docs).collect()
+    assert(r.length == 1, r.toSeq)
+    val g = r(0)
+    assert(g.getLong(2) == 3 && g.getLong(3) == 2 &&
+      g.getLong(4) == 1L && g.getLong(5) == 3L, g.toString)
+  }
+
+  test("embNormStats: per-element 1e-8-grid quantization, zero-vector census, RMS norm") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1L, Array(3e-4f, 0f), 1), // n2 = round(9e-8*1e8) = 9
+      (2L, Array(0f, 0f), 1), // zero vector
+      (3L, Array(1f, 0f), 2)) // n2 = 1e8
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embNormStats(rows).orderBy("label").collect()
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 1 &&
+      r(0).getLong(3) == 0L && r(0).getLong(4) == 9L, r(0).toString)
+    assert(r(0).getDouble(5) == q4(math.sqrt(9.0 / 2 / 1e8)))
+    assert(r(1).getLong(2) == 0 && r(1).getDouble(5) == 1.0, r(1).toString)
+  }
+
+  test("gramNovelty: introducer scores 1.0, partial overlap 0.5, clone of earlier doc 0.0") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "a b c d"), // grams {a b c, b c d} — both novel
+      (1L, "a b c x"), // {a b c (seen), b c x (novel)} -> 0.5
+      (2L, "a b c d"), // clone: both grams first seen at doc 0 -> 0.0
+      (3L, "x y")) // < 3 tokens: no grams, absent from output
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gramNovelty(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 2L, 1L, 0.5),
+      (2L, 2L, 0L, 0.0)), r.toSeq)
+  }
 }
