@@ -345,6 +345,85 @@ object TierPipeline {
     spark.read.parquet(paths: _*)
   }
 
+  /** Live (path → committed buckets) map of a snapshot — the row-level
+    * table of contents [[readTierExact]] and bucket adoption work from.
+    */
+  def committedPathBuckets(outRoot: String, tier: String,
+      snapshotId: Long): Map[String, Set[Int]] = {
+    val p = manifestPath(outRoot, tier)
+    if (!Files.exists(p)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(p).asScala
+    val live = committedPaths(outRoot, tier, snapshotId).toSet
+    lines
+      .filter(l => l.contains("\"status\":\"committed\"") &&
+        l.contains(s""""snapshotId":$snapshotId,"""))
+      .flatMap { l =>
+        for {
+          pa <- """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))
+          if live(pa)
+          b <- """"bucket":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt)
+        } yield (pa, b)
+      }
+      .groupBy(_._1).map { case (pa, bs) => pa -> bs.map(_._2).toSet }
+  }
+
+  /** [[readTier]] with EXACT (path, bucket) semantics: each batch dir
+    * contributes only the buckets the manifest commits it for under this
+    * snapshot. For batches written by [[runTier]] this is identical to
+    * [[readTier]] (a batch dir contains exactly its committed bucket set);
+    * it differs only for batches ADOPTED from an earlier snapshot by
+    * [[patchTier]], where a dir may carry stale rows for re-written
+    * buckets that this snapshot committed elsewhere. The bucket predicate
+    * is a plain int filter — parquet row-group stats prune it, no shuffle.
+    */
+  def readTierExact(spark: SparkSession, outRoot: String, tier: String,
+      snapshotId: Long): DataFrame = {
+    val pb = committedPathBuckets(outRoot, tier, snapshotId)
+    require(pb.nonEmpty, s"tier $tier has no committed batches for snapshot $snapshotId")
+    pb.toSeq.sortBy(_._1).map { case (pa, bs) =>
+      spark.read.parquet(pa).filter(col("bucket").isin(bs.toSeq: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Late-data invalidation patch — the continuous-aggregate hard case
+    * the realtime router's watermark rule cannot cover (rows arriving
+    * BEHIND the seal). Instead of recomputing the tier, commit a NEW
+    * snapshot that (a) ADOPTS every clean bucket's existing batch dirs by
+    * manifest reference — zero data movement, exactly Iceberg's
+    * snapshot-to-snapshot file reuse — and (b) rewrites only the dirty
+    * buckets from `freshState` via the ordinary [[runTier]] commit. At
+    * 10^12-turn scale a late trickle touching 0.1% of conversations
+    * re-aggregates 0.1% of the store; the other 99.9% is a metadata
+    * append. Readers of the new snapshot must use [[readTierExact]]
+    * (adopted dirs may carry superseded rows for the rewritten buckets);
+    * the OLD snapshot remains fully readable — time travel is free.
+    *
+    * GC contract (the standard Iceberg caveat): adopted paths are shared
+    * between snapshots, so compaction/vacuum of the old snapshot must not
+    * physically remove paths the new snapshot references.
+    */
+  def patchTier(spark: SparkSession, outRoot: String, tier: String,
+      snapOld: Long, snapNew: Long, nBuckets: Int,
+      dirtyBuckets: Set[Int], freshState: DataFrame): TierRun = {
+    require(snapNew != snapOld, "patch needs a distinct new snapshot id")
+    val oldDone = committedBuckets(outRoot, tier, snapOld)
+    require((0 until nBuckets).forall(oldDone.contains),
+      s"patchTier: old snapshot $snapOld is not fully committed")
+    // adopt clean buckets: one manifest line per (old path, kept bucket)
+    val already = committedBuckets(outRoot, tier, snapNew)
+    committedPathBuckets(outRoot, tier, snapOld).toSeq.sortBy(_._1)
+      .foreach { case (pa, bs) =>
+        val kept = (bs -- dirtyBuckets -- already).toSeq.sorted
+        if (kept.nonEmpty)
+          appendManifests(outRoot, tier, s"adopt-$tier-$snapNew", snapNew,
+            kept, pa, rowsIn = -1L, rowsOut = -1L, wallMs = 0L)
+      }
+    // rewrite the dirty buckets only (runTier's resume diff now sees every
+    // clean bucket as committed and filters freshState to the dirty set)
+    runTier(spark, outRoot, tier, snapNew, nBuckets, freshState)
+  }
+
   /** Materialize a committed tier into a new root ≙ `sits_cube_copy`
     * (sits_cube_copy.R:89: copy a cube's assets to a local dir and return a
     * re-rooted cube) / CTAS: reads ONLY manifest-committed batches of the
