@@ -123,17 +123,35 @@ object TierPipeline {
       .foldLeft(-1L)(math.max)
   }
 
-  /** Paths tombstoned by [[expireBatches]] and not yet physically removed. */
+  /** Paths tombstoned by [[expireBatches]]/[[compactTier]], not yet
+    * physically removed, AND not live under ANY other snapshot — the GC
+    * contract [[patchTier]] relies on (exactly Iceberg's: a data file
+    * shared by several snapshots may only be deleted once no retained
+    * snapshot references it). Tombstones are per-snapshot (a retention
+    * sweep of snapshot A must not take down batch dirs snapshot B adopted
+    * by manifest reference), so a path is vacuumable only when EVERY
+    * snapshot that committed it has also tombstoned it.
+    */
   private def expiredLivePaths(outRoot: String, tier: String): Seq[String] = {
     val p = manifestPath(outRoot, tier)
     if (!Files.exists(p)) return Nil
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(p).asScala
-    def paths(status: String) = lines
-      .filter(_.contains(s""""status":"$status""""))
+    def snapPath(l: String): Option[(Long, String)] = for {
+      s <- """"snapshotId":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+      pa <- """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))
+    } yield (s, pa)
+    def pairs(statuses: String*) = lines
+      .filter(l => statuses.exists(s => l.contains(s""""status":"$s"""")))
+      .flatMap(snapPath).toSet
+    val committed = pairs("committed")
+    val tombstoned = pairs("expired", "compacted")
+    val vacuumed = lines.filter(_.contains(""""status":"vacuumed""""))
       .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
-      .distinct
-    ((paths("expired") ++ paths("compacted")).distinct diff paths("vacuumed")).toSeq
+      .toSet
+    val stillLive = (committed diff tombstoned).map(_._2)
+    tombstoned.map(_._2).toSeq.distinct
+      .filterNot(pa => vacuumed(pa) || stillLive(pa)).sorted
   }
 
   /** Logical retention sweep ≙ TimescaleDB `drop_chunks` / Iceberg
@@ -164,11 +182,16 @@ object TierPipeline {
     if (!Files.exists(p)) return Nil
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(p).asScala
-    // a path already tombstoned — by retention OR by compaction (whose
-    // replaced dirs are dead to readers and must not re-enter the sweep) —
-    // is not a fresh victim
-    val already = lines.filter(l => l.contains(""""status":"expired"""") ||
-        l.contains(""""status":"compacted""""))
+    // a path already tombstoned UNDER THIS SNAPSHOT — by retention OR by
+    // compaction (whose replaced dirs are dead to readers and must not
+    // re-enter the sweep) — is not a fresh victim. The filter is
+    // per-snapshot on purpose: a dir shared across snapshots (patchTier
+    // adoption) needs its own tombstone from EACH referencing snapshot
+    // before the vacuum GC may touch it, mirroring committedPaths' reader
+    // view.
+    val already = lines.filter(l => (l.contains(""""status":"expired"""") ||
+        l.contains(""""status":"compacted"""")) &&
+        l.contains(s""""snapshotId":$snapshotId,"""))
       .flatMap(l => """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
       .toSet
     val victims = lines
@@ -400,8 +423,10 @@ object TierPipeline {
     * the OLD snapshot remains fully readable — time travel is free.
     *
     * GC contract (the standard Iceberg caveat): adopted paths are shared
-    * between snapshots, so compaction/vacuum of the old snapshot must not
-    * physically remove paths the new snapshot references.
+    * between snapshots, and [[vacuumTier]] ENFORCES it — a tombstoned path
+    * stays on disk while any snapshot still holds a live committed line
+    * for it (see [[expiredLivePaths]]); it is physically removed only once
+    * every referencing snapshot has expired it.
     */
   def patchTier(spark: SparkSession, outRoot: String, tier: String,
       snapOld: Long, snapNew: Long, nBuckets: Int,
@@ -410,14 +435,38 @@ object TierPipeline {
     val oldDone = committedBuckets(outRoot, tier, snapOld)
     require((0 until nBuckets).forall(oldDone.contains),
       s"patchTier: old snapshot $snapOld is not fully committed")
-    // adopt clean buckets: one manifest line per (old path, kept bucket)
+    // adopt clean buckets: one manifest line per (old path, kept bucket),
+    // carrying the source lines' [minTs,maxTs] forward so retention under
+    // the NEW snapshot keeps its whole-batch expiry power over adopted dirs
     val already = committedBuckets(outRoot, tier, snapNew)
+    val ranges: Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(manifestPath(outRoot, tier)).asScala
+        .filter(l => l.contains("\"status\":\"committed\"") &&
+          l.contains(s""""snapshotId":$snapOld,"""))
+        .flatMap { l =>
+          for {
+            pa <- """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))
+            mn <- """"minTs":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+            mx <- """"maxTs":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+          } yield (pa, (mn, mx))
+        }
+        .groupBy(_._1)
+        .map { case (pa, xs) =>
+          val mns = xs.map(_._2._1).filter(_ >= 0)
+          val mxs = xs.map(_._2._2).filter(_ >= 0)
+          pa -> (if (mns.isEmpty) -1L else mns.min,
+            if (mxs.isEmpty) -1L else mxs.max)
+        }
+    }
     committedPathBuckets(outRoot, tier, snapOld).toSeq.sortBy(_._1)
       .foreach { case (pa, bs) =>
         val kept = (bs -- dirtyBuckets -- already).toSeq.sorted
+        val (mn, mx) = ranges.getOrElse(pa, (-1L, -1L))
         if (kept.nonEmpty)
           appendManifests(outRoot, tier, s"adopt-$tier-$snapNew", snapNew,
-            kept, pa, rowsIn = -1L, rowsOut = -1L, wallMs = 0L)
+            kept, pa, rowsIn = -1L, rowsOut = -1L, wallMs = 0L,
+            minTs = mn, maxTs = mx)
       }
     // rewrite the dirty buckets only (runTier's resume diff now sees every
     // clean bucket as committed and filters freshState to the dirty set)

@@ -91,5 +91,31 @@ class Round5mSpec extends AnyFunSuite {
     val r2 = TierPipeline.patchTier(spark, out, "1h-state", snap0, snap1,
       nBuckets, dirty, state(t1r))
     assert(r2.processed.isEmpty && r2.skipped.size == nBuckets)
+
+    // GC contract: expiring + vacuuming the OLD snapshot must not
+    // physically remove dirs the NEW snapshot adopted by reference
+    val farFuture = java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime
+    val tomb0 = TierPipeline.expireBatches(out, "1h-state", snap0,
+      farFuture, None, nBuckets)
+    assert(tomb0.nonEmpty)
+    val gone0 = TierPipeline.vacuumTier(out, "1h-state")
+    // adopted paths survive the vacuum; only paths NO snapshot still
+    // references may go (here: none — every snap0 path is adopted)
+    assert(gone0.toSet.intersect(pb1.keySet).isEmpty,
+      s"vacuum deleted adopted dirs: ${gone0.toSet.intersect(pb1.keySet)}")
+    assert(rows(TierPipeline.readTierExact(spark, out, "1h-state", snap1))
+      == rows(state(t1r)), "new snapshot broken after old-snapshot vacuum")
+
+    // once the NEW snapshot expires them too (adoption carried the source
+    // [minTs,maxTs] forward), the shared dirs become physically collectable
+    val tomb1 = TierPipeline.expireBatches(out, "1h-state", snap1,
+      farFuture, None, nBuckets)
+    assert(tomb1.toSet == (pb0.keySet ++ newPaths) -- gone0.toSet,
+      s"snap1 expiry tombstoned $tomb1")
+    val gone1 = TierPipeline.vacuumTier(out, "1h-state")
+    assert(pb0.keySet.subsetOf(gone1.toSet),
+      s"shared dirs not reclaimed after both snapshots expired: $gone1")
+    assert(pb0.keySet.forall(pa =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(pa))))
   }
 }
