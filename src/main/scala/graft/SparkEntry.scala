@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2034,6 +2034,28 @@ object SparkEntry {
     // per-document distinct-3-gram novelty vs the corpus in doc_id order
     "txt_gram_novelty" -> ((s, dir) =>
       TextAnalysis.gramNovelty(documents(s, dir)).orderBy("doc_id")),
+    // point-in-interval join: tool events → the 30-min-gap session each
+    // falls inside (co-partitioned equi-join on conv_id, range residual)
+    "ts_interval_join" -> ((s, dir) =>
+      Intervals.intervalJoin(transcripts(s, dir), gapMs = 1800000L)
+        .orderBy("conv_id", "sess_idx")),
+    // interval-overlap concurrency: active/started/ended sessions per hour
+    "ts_concurrency" -> ((s, dir) =>
+      Intervals.concurrency(transcripts(s, dir), gapMs = 1800000L)
+        .orderBy("bucket_ts")),
+    // Haar multiresolution energy over each series' first 8 turns, with
+    // the exact Parseval certificate column
+    "ts_haar" -> ((s, dir) =>
+      SeriesOps.haarEnergy(metrics(s, dir), valueCol = "text_len")
+        .orderBy("conv_id")),
+    // lag-1 Granger screen: does user verbosity drive assistant verbosity
+    "ts_granger" -> ((s, dir) =>
+      SeriesOps.grangerScreen(transcripts(s, dir))
+        .orderBy("conv_id")),
+    // k-anonymity audit over (role, tool, length-bucket) quasi-identifiers
+    "txt_k_anon" -> ((s, dir) =>
+      TextAnalysis.kAnonymity(transcripts(s, dir), kMin = 5L)
+        .orderBy("role", "tool", "len_bucket")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -2188,6 +2210,31 @@ private object Oracles {
       |         CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END AS is_tool,
       |         CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 ELSE 2 END AS quality_rank
       |  FROM transcripts
+      |)""".stripMargin
+
+  /** 30-min gap-threshold session ledger (mirrors SeriesOps.sessionize on
+    * the raw transcripts relation) — shared by the interval-join and
+    * concurrency oracles.
+    */
+  private val sessionsCte =
+    """, sflag0 AS (
+      |  SELECT conv_id, ts, turn_idx,
+      |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM transcripts
+      |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+      |), sid0 AS (
+      |  SELECT conv_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+      |      AS sess_idx
+      |  FROM sflag0
+      |), sess AS (
+      |  SELECT conv_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+      |    count(*) AS n_turns,
+      |    min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+      |    max(epoch_ms(ts)) - min(epoch_ms(ts)) AS dur_ms
+      |  FROM sid0 GROUP BY conv_id, sess_idx
       |)""".stripMargin
 
   private val regularCte = metricsCte +
@@ -7598,6 +7645,142 @@ private object Oracles {
           |        + 1e-9, 4) AS novel_share
           |FROM shx s JOIN fs f ON s.g = f.g
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ts_interval_join" ->
+      (cte + sessionsCte +
+        """, ev AS (
+          |  SELECT conv_id AS e_conv, epoch_ms(ts) AS e_ms,
+          |    turn_idx AS e_idx, tool
+          |  FROM transcripts WHERE tool IS NOT NULL
+          |), ej AS (
+          |  SELECT s.conv_id, s.sess_idx, s.n_turns, s.dur_ms,
+          |    e.tool, e.e_ms, e.e_idx
+          |  FROM sess s LEFT JOIN ev e
+          |    ON s.conv_id = e.e_conv
+          |   AND e.e_ms BETWEEN s.start_ms AND s.end_ms
+          |), fj AS (
+          |  SELECT *, first_value(tool) OVER (PARTITION BY conv_id, sess_idx
+          |                                    ORDER BY e_ms, e_idx) AS ft
+          |  FROM ej
+          |)
+          |SELECT conv_id, sess_idx, n_turns, dur_ms,
+          |  count(tool) AS n_tool_events,
+          |  count(DISTINCT tool) AS n_tools,
+          |  any_value(ft) AS first_tool
+          |FROM fj GROUP BY conv_id, sess_idx, n_turns, dur_ms
+          |ORDER BY conv_id, sess_idx""".stripMargin),
+    "ts_concurrency" ->
+      (cte + sessionsCte +
+        """, spans AS (
+          |  SELECT date_trunc('hour', make_timestamp(start_ms * 1000)) AS b0,
+          |    date_trunc('hour', make_timestamp(end_ms * 1000)) AS b1
+          |  FROM sess
+          |), bx AS (
+          |  SELECT unnest(generate_series(b0, b1, interval 1 hour))
+          |    AS bucket_ts, b0, b1
+          |  FROM spans
+          |)
+          |SELECT bucket_ts, count(*) AS active,
+          |  CAST(sum(CASE WHEN bucket_ts = b0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS started,
+          |  CAST(sum(CASE WHEN bucket_ts = b1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS ended
+          |FROM bx GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ts_haar" ->
+      (cte + metricsCte +
+        """, f8 AS (
+          |  SELECT conv_id, rn, text_len AS v FROM (
+          |    SELECT conv_id, text_len,
+          |      row_number() OVER (PARTITION BY conv_id
+          |                         ORDER BY ts, turn_idx) AS rn
+          |    FROM metrics) WHERE rn <= 8
+          |), pv AS (
+          |  SELECT conv_id,
+          |    sum(CASE WHEN rn = 1 THEN v END) AS s0,
+          |    sum(CASE WHEN rn = 2 THEN v END) AS s1,
+          |    sum(CASE WHEN rn = 3 THEN v END) AS s2,
+          |    sum(CASE WHEN rn = 4 THEN v END) AS s3,
+          |    sum(CASE WHEN rn = 5 THEN v END) AS s4,
+          |    sum(CASE WHEN rn = 6 THEN v END) AS s5,
+          |    sum(CASE WHEN rn = 7 THEN v END) AS s6,
+          |    sum(CASE WHEN rn = 8 THEN v END) AS s7
+          |  FROM f8 GROUP BY 1 HAVING count(*) = 8
+          |), l1 AS (
+          |  SELECT conv_id, s0, s1, s2, s3, s4, s5, s6, s7,
+          |    s0 + s1 AS a10, s2 + s3 AS a11, s4 + s5 AS a12, s6 + s7 AS a13,
+          |    s0 - s1 AS d10, s2 - s3 AS d11, s4 - s5 AS d12, s6 - s7 AS d13
+          |  FROM pv
+          |), l2 AS (
+          |  SELECT *, a10 + a11 AS a20, a12 + a13 AS a21,
+          |    a10 - a11 AS d20, a12 - a13 AS d21
+          |  FROM l1
+          |)
+          |SELECT conv_id,
+          |  (a20 + a21) * (a20 + a21) / 8 AS ea,
+          |  (a20 - a21) * (a20 - a21) / 8 AS e3,
+          |  (d20 * d20 + d21 * d21) / 4 AS e2,
+          |  (d10 * d10 + d11 * d11 + d12 * d12 + d13 * d13) / 2 AS e1,
+          |  s0*s0 + s1*s1 + s2*s2 + s3*s3 + s4*s4 + s5*s5 + s6*s6 + s7*s7
+          |    AS total_sq
+          |FROM l2 ORDER BY conv_id""".stripMargin),
+    "ts_granger" ->
+      (cte + metricsCte +
+        """, pu AS (
+          |  SELECT conv_id, ts, turn_idx, role, text_len,
+          |    last_value(CASE WHEN role = 'user' THEN text_len END
+          |               IGNORE NULLS)
+          |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS prev_user
+          |  FROM metrics
+          |), arows AS (
+          |  SELECT conv_id, text_len AS y,
+          |    lag(text_len) OVER (PARTITION BY conv_id
+          |                        ORDER BY ts, turn_idx) AS u,
+          |    prev_user AS x
+          |  FROM pu WHERE role = 'assistant'
+          |), pr AS (
+          |  SELECT * FROM arows WHERE u IS NOT NULL AND x IS NOT NULL
+          |), m AS (
+          |  SELECT conv_id, CAST(count(*) AS DOUBLE) AS n,
+          |    sum(y) AS sy, sum(u) AS su, sum(x) AS sx,
+          |    sum(y * y) AS syy0, sum(u * u) AS suu0, sum(x * x) AS sxx0,
+          |    sum(u * y) AS suy0, sum(x * y) AS sxy0, sum(u * x) AS sux0
+          |  FROM pr GROUP BY 1
+          |), c AS (
+          |  SELECT conv_id, CAST(n AS BIGINT) AS n_pairs,
+          |    syy0 - sy * sy / n AS vyy, suu0 - su * su / n AS vuu,
+          |    sxx0 - sx * sx / n AS vxx, suy0 - su * sy / n AS vuy,
+          |    sxy0 - sx * sy / n AS vxy, sux0 - su * sx / n AS vux
+          |  FROM m
+          |), d AS (
+          |  SELECT *, vuu * vxx - vux * vux AS det FROM c
+          |  WHERE n_pairs >= 8 AND vuu > 0
+          |), e AS (
+          |  SELECT *, (vxy * vuu - vuy * vux) / det AS xc,
+          |    (vuy * vxx - vxy * vux) / det AS bc
+          |  FROM d WHERE det > 0
+          |), f AS (
+          |  SELECT *, vyy - bc * vuy - xc * vxy AS rssf,
+          |    vyy - vuy * vuy / vuu AS rssr
+          |  FROM e
+          |)
+          |SELECT conv_id, n_pairs,
+          |  round(xc + 1e-9, 4) + 0.0 AS x_coef,
+          |  round((rssr - rssf) * (n_pairs - 3) / rssf + 1e-9, 4) + 0.0
+          |    AS f_stat,
+          |  round((rssr - rssf) / rssr + 1e-9, 4) + 0.0 AS r2_gain
+          |FROM f WHERE rssf > 0 AND rssr > 0
+          |ORDER BY conv_id""".stripMargin),
+    "txt_k_anon" ->
+      (cte +
+        """
+          |SELECT role, coalesce(tool, 'none') AS tool,
+          |  least(CAST(floor(length(text) / 64) AS BIGINT), 15)
+          |    AS len_bucket,
+          |  count(*) AS k, count(*) < 5 AS suppress,
+          |  round(1.0 / count(*) + 1e-9, 4) AS risk
+          |FROM transcripts GROUP BY 1, 2, 3
+          |ORDER BY 1, 2, 3""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

@@ -1425,4 +1425,100 @@ object SeriesOps {
       .select(col("conv_id"), col("n_obs"), col("n_up"), col("n_down"),
         col("n_flat"), coalesce(col("n_flips"), lit(0L)).as("n_flips"))
   }
+
+  /** Haar multiresolution energy spectrum over each series' first 2^L
+    * values (L=3): energy at detail levels 1..3 plus the approximation,
+    * the wavelet answer to "is the variation turn-to-turn jitter or a
+    * slow drift". Unnormalized Haar coefficients are integer sums and
+    * differences of integer-valued inputs; each level-k energy divides by
+    * 2^k (exactly representable), so Parseval holds EXACTLY:
+    * ea + e3 + e2 + e1 = Σ v² (emitted as `total_sq`, the in-row
+    * certificate). One partial agg pivots the 8 values (conditional sums
+    * — no window, no explode, one shuffle); the coefficient cascade is
+    * pure projection arithmetic. Series shorter than 8 are skipped.
+    */
+  def haarEnergy(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val first8 = metrics
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .groupBy("conv_id")
+      .agg((count(lit(1)) === 8).as("full"), (0 until 8).map(i =>
+        sum(when(col("rn") === i + 1, col(valueCol))).as(s"s$i")): _*)
+      .filter(col("full"))
+    val s = (0 until 8).map(i => col(s"s$i"))
+    val a1 = (0 until 4).map(j => s(2 * j) + s(2 * j + 1))
+    val d1 = (0 until 4).map(j => s(2 * j) - s(2 * j + 1))
+    val a2 = (0 until 2).map(j => a1(2 * j) + a1(2 * j + 1))
+    val d2 = (0 until 2).map(j => a1(2 * j) - a1(2 * j + 1))
+    val a3 = a2(0) + a2(1)
+    val d3 = a2(0) - a2(1)
+    def sq(c: Column) = c * c
+    first8.select(col("conv_id"),
+      (sq(a3) / 8).as("ea"),
+      (sq(d3) / 8).as("e3"),
+      (d2.map(sq).reduce(_ + _) / 4).as("e2"),
+      (d1.map(sq).reduce(_ + _) / 2).as("e1"),
+      (s.map(sq).reduce(_ + _)).as("total_sq"))
+  }
+
+  /** Lag-1 Granger-causality screen, user → assistant: per conversation,
+    * does the PRECEDING user turn's length improve the prediction of an
+    * assistant turn's length beyond the previous assistant turn's?
+    * Restricted OLS y~(1,u) vs full y~(1,u,x) in closed form (2×2 normal
+    * equations over centered sums), F = (RSSr−RSSf)(n−3)/RSSf. Exactness
+    * contract: every moment sum is a sum of integer-valued products
+    * (exact below 2^53); the centered sums, determinant, and F are then
+    * IDENTICAL double expressions in both engines (correctly-rounded IEEE
+    * ops in the same order), 4-dp-quantized only at the output boundary.
+    * One conv-ordered window builds the (y,u,x) triples, one partial agg
+    * collects the 9 moments — a single shuffle. Degenerate fits (n<8 or
+    * a singular design) are dropped.
+    */
+  def grangerScreen(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wa = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val rows = Regularize.withMetrics(transcripts)
+      .withColumn("prev_user",
+        last(when(col("role") === "user", col("text_len")), ignoreNulls = true)
+          .over(before))
+      .filter(col("role") === "assistant")
+      .withColumn("u", lag("text_len", 1).over(wa))
+      .filter(col("u").isNotNull && col("prev_user").isNotNull)
+      .select(col("conv_id"), col("text_len").as("y"), col("u"),
+        col("prev_user").as("x"))
+    val m = rows.groupBy("conv_id").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("y").as("sy"), sum("u").as("su"), sum("x").as("sx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("u") * col("u")).as("suu0"),
+      sum(col("x") * col("x")).as("sxx0"),
+      sum(col("u") * col("y")).as("suy0"),
+      sum(col("x") * col("y")).as("sxy0"),
+      sum(col("u") * col("x")).as("sux0"))
+    m.select(col("conv_id"), col("n").cast("long").as("n_pairs"),
+        (col("syy") - col("sy") * col("sy") / col("n")).as("Syy"),
+        (col("suu0") - col("su") * col("su") / col("n")).as("Suu"),
+        (col("sxx0") - col("sx") * col("sx") / col("n")).as("Sxx"),
+        (col("suy0") - col("su") * col("sy") / col("n")).as("Suy"),
+        (col("sxy0") - col("sx") * col("sy") / col("n")).as("Sxy"),
+        (col("sux0") - col("su") * col("sx") / col("n")).as("Sux"))
+      .withColumn("det", col("Suu") * col("Sxx") - col("Sux") * col("Sux"))
+      .filter(col("n_pairs") >= 8 && col("Suu") > 0 && col("det") > 0)
+      .withColumn("xc",
+        (col("Sxy") * col("Suu") - col("Suy") * col("Sux")) / col("det"))
+      .withColumn("bc",
+        (col("Suy") * col("Sxx") - col("Sxy") * col("Sux")) / col("det"))
+      .withColumn("rssf",
+        col("Syy") - col("bc") * col("Suy") - col("xc") * col("Sxy"))
+      .withColumn("rssr",
+        col("Syy") - col("Suy") * col("Suy") / col("Suu"))
+      .filter(col("rssf") > 0 && col("rssr") > 0)
+      .select(col("conv_id"), col("n_pairs"),
+        r4(col("xc")).as("x_coef"),
+        r4((col("rssr") - col("rssf")) * (col("n_pairs") - 3) / col("rssf"))
+          .as("f_stat"),
+        r4((col("rssr") - col("rssf")) / col("rssr")).as("r2_gain"))
+  }
 }

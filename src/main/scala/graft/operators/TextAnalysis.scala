@@ -1063,4 +1063,23 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams") + lit(1e-9),
           4).as("novel_share"))
   }
+
+  /** k-anonymity audit over transcript quasi-identifiers — the privacy
+    * gate a corpus release runs before shipping: every (role, tool,
+    * length-bucket) equivalence class reports its size k; classes with
+    * k < kMin are re-identification risks and flagged for suppression.
+    * One hash aggregate over the corpus (partial agg, group cardinality
+    * bounded by |roles|·|tools|·16 buckets, never by rows); all-integer
+    * output plus the exact-rational risk = 1/k, 4-dp-quantized.
+    * Output: (role, tool, len_bucket, k, suppress, risk).
+    */
+  def kAnonymity(transcripts: DataFrame, kMin: Long = 5L): DataFrame =
+    transcripts
+      .select(col("role"), coalesce(col("tool"), lit("none")).as("tool"),
+        least(floor(length(col("text")) / 64), lit(15L)).as("len_bucket"))
+      .groupBy("role", "tool", "len_bucket")
+      .agg(count(lit(1)).as("k"))
+      .select(col("role"), col("tool"), col("len_bucket"), col("k"),
+        (col("k") < kMin).as("suppress"),
+        round(lit(1.0) / col("k") + lit(1e-9), 4).as("risk"))
 }
