@@ -2056,6 +2056,10 @@ object SparkEntry {
     "txt_k_anon" -> ((s, dir) =>
       TextAnalysis.kAnonymity(transcripts(s, dir), kMin = 5L)
         .orderBy("role", "tool", "len_bucket")),
+    // per-label embedding-centroid drift between the two vec_id-parity
+    // halves (the distribution-shift monitor for an embedding store)
+    "emb_drift" -> ((s, dir) =>
+      Similarity.embDrift(embeddings(s, dir)).orderBy("label")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -7781,6 +7785,38 @@ private object Oracles {
           |  round(1.0 / count(*) + 1e-9, 4) AS risk
           |FROM transcripts GROUP BY 1, 2, 3
           |ORDER BY 1, 2, 3""".stripMargin),
+    "emb_drift" ->
+      ("""WITH q AS (
+          |  SELECT label, vec_id % 2 AS ep,
+          |    list_transform(cast(embedding AS DOUBLE[]),
+          |                   x -> cast(round(x * 1e4) AS BIGINT)) AS qv
+          |  FROM embeddings
+          |), ex AS (
+          |  SELECT label, ep, i AS d, qv[i] AS qvd
+          |  FROM q, (SELECT unnest(generate_series(1, 64)) AS i)
+          |), s AS (
+          |  SELECT label, ep, d, CAST(sum(qvd) AS BIGINT) AS sv,
+          |    count(*) AS c
+          |  FROM ex GROUP BY 1, 2, 3
+          |), w AS (
+          |  SELECT label, d,
+          |    CAST(sum(CASE WHEN ep = 0 THEN sv END) AS BIGINT) AS u,
+          |    CAST(sum(CASE WHEN ep = 1 THEN sv END) AS BIGINT) AS v,
+          |    max(CASE WHEN ep = 0 THEN c END) AS ca,
+          |    max(CASE WHEN ep = 1 THEN c END) AS cb
+          |  FROM s GROUP BY 1, 2
+          |), f AS (
+          |  SELECT label, max(ca) AS n_a, max(cb) AS n_b,
+          |    CAST(CAST(sum(u * v) AS BIGINT) AS DOUBLE) AS dot,
+          |    CAST(CAST(sum(u * u) AS BIGINT) AS DOUBLE) AS n2a,
+          |    CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE) AS n2b
+          |  FROM w GROUP BY 1
+          |)
+          |SELECT label, n_a, n_b,
+          |  round(dot / sqrt(n2a * n2b) + 1e-9, 4) + 0.0 AS drift_cos
+          |FROM f
+          |WHERE n_a IS NOT NULL AND n_b IS NOT NULL AND n2a > 0 AND n2b > 0
+          |ORDER BY label""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

@@ -531,4 +531,44 @@ object Similarity {
         col("min_n2"), col("max_n2"),
         round(sqrt(col("sum_n2").cast("double") / col("n_vecs") / lit(1e8))
           + lit(1e-9), 4).as("rms_norm"))
+
+  /** Embedding-centroid drift per label between two halves of the corpus
+    * (here: vec_id parity — in production, two time windows): the cosine
+    * between the halves' centroid vectors, the canonical "did my embedding
+    * distribution move" monitor. Cosine is scale-invariant, so the SUM
+    * vectors stand in for the centroids — no division before the final
+    * ratio. Exactness: elements quantize to integers (round(x·1e4)), all
+    * sums/dots are then exact int64 (bound: per-label half-corpus count ×
+    * 3e3 ≤ ~3e9 per dim keeps Σu·v below 2^63; the final cast-to-double of
+    * an exact integer and one correctly-rounded sqrt/division are IEEE-
+    * identical cross-engine, 4-dp-quantized at the boundary). Plan: one
+    * 64× posexplode with map-side partial agg into (label, half, dim)
+    * groups — group count bounded by |labels|·2·64, never by corpus size.
+    */
+  def embDrift(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(col("label"), (col("vec_id") % 2).as("ep"),
+        posexplode(expr(
+          """transform(cast(embedding AS array<double>),
+            |          x -> cast(round(x * 1e4) AS bigint))""".stripMargin)))
+      .toDF("label", "ep", "d", "qv")
+    val sums = q.groupBy("label", "ep", "d")
+      .agg(sum("qv").as("s"), count(lit(1)).as("c"))
+    val wide = sums.groupBy("label", "d")
+      .agg(sum(when(col("ep") === 0, col("s"))).as("u"),
+        sum(when(col("ep") === 1, col("s"))).as("v"),
+        max(when(col("ep") === 0, col("c"))).as("ca"),
+        max(when(col("ep") === 1, col("c"))).as("cb"))
+    wide.groupBy("label")
+      .agg(max("ca").as("n_a"), max("cb").as("n_b"),
+        sum(col("u") * col("v")).as("dot"),
+        sum(col("u") * col("u")).as("n2a"),
+        sum(col("v") * col("v")).as("n2b"))
+      .filter(col("n_a").isNotNull && col("n_b").isNotNull &&
+        col("n2a") > 0 && col("n2b") > 0)
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("n2a").cast("double") * col("n2b").cast("double"))
+          + lit(1e-9), 4).as("drift_cos"))
+  }
 }

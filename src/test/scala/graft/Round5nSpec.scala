@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Intervals, SeriesOps, TextAnalysis}
+import graft.operators.{Intervals, SeriesOps, Similarity, TextAnalysis}
 import graft.sources.Transcripts
 
 /** Interval joins, concurrency, Haar energy, Granger screen, k-anonymity. */
@@ -76,6 +76,22 @@ class Round5nSpec extends AnyFunSuite {
     assert(r.getAs[Double]("r2_gain") > 0.95,
       s"planted dependency scored ${r.getAs[Double]("r2_gain")}")
     assert(r.getAs[Double]("f_stat") > 10.0)
+  }
+
+  test("embDrift: identical halves score cosine 1; opposite halves score -1") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => ((i % 7) - 3) * 0.01f).toArray
+    val neg = base.map(-_)
+    val rows = (0 until 20).map { i =>
+      // label 0: both parities share `base` → drift 1.0
+      // label 1: odd parity is the negation → drift -1.0
+      val lab = (i / 2) % 2
+      val v = if (lab == 0 || i % 2 == 0) base else neg
+      (i.toLong, v, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val d = Similarity.embDrift(rows).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("drift_cos")).toMap
+    assert(d(0) == 1.0 && d(1) == -1.0, d.toString)
   }
 
   test("kAnonymity: suppress flag is exactly k < kMin; group sizes conserve rows") {
