@@ -850,12 +850,15 @@ object SeriesOps {
       .withColumn("idx", row_number().over(w))
       .withColumn("cum", sum(col(valueCol)).over(w))
       .withColumn("dd", max(col("cum")).over(w) - col("cum"))
-      .withColumn("maxdd",
-        max(col("dd")).over(Window.partitionBy("conv_id")))
       .groupBy("conv_id")
       .agg(count(lit(1)).as("n_obs"),
-        first("maxdd").as("max_drawdown"),
-        min(when(col("dd") === col("maxdd"), col("idx"))).as("at_idx"))
+        // argmax in ONE partial agg (max dd, ties → earliest idx) instead
+        // of a second whole-partition window pass + post-join
+        max(struct(col("dd").as("dd"), negate(col("idx")).as("nidx")))
+          .as("mx"))
+      .select(col("conv_id"), col("n_obs"),
+        col("mx").getField("dd").as("max_drawdown"),
+        negate(col("mx").getField("nidx")).cast("int").as("at_idx"))
   }
 
   /** Role diversity per conversation via EXACT rational indices (no
