@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2060,6 +2060,42 @@ object SparkEntry {
     // halves (the distribution-shift monitor for an embedding store)
     "emb_drift" -> ((s, dir) =>
       Similarity.embDrift(embeddings(s, dir)).orderBy("label")),
+    // Dickey–Fuller unit-root screen: mean-reverting vs random-walk
+    // verbosity, closed-form from six integer partial sums
+    "ts_adf" -> ((s, dir) =>
+      SeriesOps.adfScreen(
+        metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // Croston intermittent-demand forecast over per-day tool-call counts
+    // (sparse demand: most days see zero calls for most conversations)
+    "ts_croston" -> ((s, dir) =>
+      Forecast.croston(
+        transcripts(s, dir).filter(col("tool").isNotNull)
+          .groupBy(col("conv_id"),
+            floor(unix_millis(col("ts").cast("timestamp")) / lit(86400000L))
+              .cast("long").as("period_idx"))
+          .agg(count(lit(1)).cast("double").as("qty")),
+        alpha = 0.25)
+        .orderBy("conv_id", "i")),
+    // day-of-week effect one-way ANOVA per series (F + eta-squared)
+    "ts_dow_anova" -> ((s, dir) =>
+      SeriesOps.dowAnova(
+        metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // RAG chunking: 32-token windows, 8-token overlap, md5 fingerprints
+    "txt_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(documents(s, dir), chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+    // token-weighted duplication-inflation ledger over the planted corpus
+    "txt_dup_inflation" -> ((s, dir) =>
+      TextAnalysis.dupInflation(docsPlanted(s, dir))),
+    // Morton z-order layout key over (conv-hash cell, hour cell) — the
+    // two-dimensional file-clustering key for the transcript store
+    "ts_zorder" -> ((s, dir) =>
+      Layout.transcriptZ(transcripts(s, dir), bits = 16)
+        .select(col("conv_id"), col("turn_idx"), col("conv_cell"),
+          col("time_cell"), col("z"))
+        .orderBy("conv_id", "turn_idx")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -7817,6 +7853,152 @@ private object Oracles {
           |FROM f
           |WHERE n_a IS NOT NULL AND n_b IS NOT NULL AND n2a > 0 AND n2b > 0
           |ORDER BY label""".stripMargin),
+    // closed-form DF regression from integer partial sums; beta/t_stat are
+    // signed -> -0.0-normalized; the stationary flag compares the
+    // UNQUANTIZED t in both engines (identical operand order)
+    "ts_adf" ->
+      (cte + metricsCte +
+        """, xv AS (
+          |  SELECT conv_id, text_len AS y, lag(text_len) OVER w AS x
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), p AS (
+          |  SELECT conv_id, y - x AS d, x FROM xv WHERE x IS NOT NULL
+          |), ag AS (
+          |  SELECT conv_id, CAST(count(*) AS DOUBLE) AS n,
+          |    sum(x) AS sx, sum(d) AS sd, sum(x * x) AS sxx,
+          |    sum(x * d) AS sxd, sum(d * d) AS sdd
+          |  FROM p GROUP BY 1
+          |), m AS (
+          |  SELECT conv_id, n, sxx - sx * sx / n AS vx,
+          |    sxd - sx * sd / n AS cxd, sdd - sd * sd / n AS vd
+          |  FROM ag
+          |), b AS (
+          |  SELECT conv_id, n, vx, cxd / vx AS beta,
+          |    vd - (cxd / vx) * cxd AS sse
+          |  FROM m WHERE n >= 8 AND vx > 0
+          |)
+          |SELECT conv_id, CAST(n AS BIGINT) AS n_pairs,
+          |  round(beta + 1e-9, 4) + 0.0 AS beta,
+          |  round(beta / sqrt(sse / ((n - 2) * vx)) + 1e-9, 4) + 0.0 AS t_stat,
+          |  beta / sqrt(sse / ((n - 2) * vx)) < -2.86 AS stationary
+          |FROM b WHERE sse > 0 ORDER BY conv_id""".stripMargin),
+    // Croston two-state SES replay over the nonzero demand relation;
+    // z/p are smoothed positives (tau >= 1, qty >= 1) but z-p style
+    // signed values never appear, so only rate carries the +0.0 belt
+    "ts_croston" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, dem AS (
+          |  SELECT conv_id,
+          |    CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS period_idx,
+          |    CAST(count(*) AS DOUBLE) AS qty
+          |  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+          |), v AS (
+          |  SELECT conv_id, period_idx, qty,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY period_idx) AS int) AS i
+          |  FROM dem
+          |), r AS (
+          |  SELECT conv_id, i, period_idx, qty, cast(NULL AS BIGINT) AS tau,
+          |    round(qty + 1e-9, 4) AS z, CAST(1.0 AS DOUBLE) AS p
+          |  FROM v WHERE i = 1
+          |  UNION ALL
+          |  SELECT v.conv_id, v.i, v.period_idx, v.qty,
+          |    v.period_idx - r.period_idx AS tau,
+          |    round(0.25 * v.qty + 0.75 * r.z + 1e-9, 4) AS z,
+          |    round(0.25 * (v.period_idx - r.period_idx) + 0.75 * r.p
+          |      + 1e-9, 4) AS p
+          |  FROM r JOIN v ON v.conv_id = r.conv_id AND v.i = r.i + 1
+          |)
+          |SELECT conv_id, i, period_idx, qty, tau,
+          |  z + 0.0 AS z_smooth, p + 0.0 AS p_smooth,
+          |  round(z / p + 1e-9, 4) + 0.0 AS rate
+          |FROM r ORDER BY conv_id, i""".stripMargin),
+    // weekday ANOVA: per-group sums are integer; the <=7-term float sum
+    // sgg is order-safe through the r4 guard (the ts_hurst precedent)
+    "ts_dow_anova" ->
+      (cte + metricsCte +
+        """, g AS (
+          |  SELECT conv_id,
+          |    CAST((CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) + 4)
+          |      % 7 AS INT) AS dow,
+          |    text_len AS v
+          |  FROM metrics
+          |), pg AS (
+          |  SELECT conv_id, dow, CAST(count(*) AS DOUBLE) AS ng,
+          |    sum(v) AS sg, sum(v * v) AS sqg
+          |  FROM g GROUP BY 1, 2
+          |), ag AS (
+          |  SELECT conv_id, sum(ng) AS n, CAST(count(*) AS DOUBLE) AS k,
+          |    sum(sg) AS s, sum(sqg) AS sq, sum(sg * sg / ng) AS sgg
+          |  FROM pg GROUP BY 1
+          |), st AS (
+          |  SELECT conv_id, n, k, sgg - s * s / n AS ssb, sq - sgg AS ssw
+          |  FROM ag
+          |)
+          |SELECT conv_id, CAST(n AS BIGINT) AS n_obs,
+          |  CAST(k AS BIGINT) AS k_groups,
+          |  round((ssb / (k - 1)) / (ssw / (n - k)) + 1e-9, 4) + 0.0 AS f_stat,
+          |  round(ssb / (ssb + ssw) + 1e-9, 4) + 0.0 AS eta_sq
+          |FROM st WHERE k >= 2 AND n > k AND ssw > 0
+          |ORDER BY conv_id""".stripMargin),
+    // chunk grid is pure integer arithmetic; md5 over the token-slice
+    // join-back (split-on-' ' keeps consecutive-space empties in BOTH
+    // engines, so the rejoin reproduces the original text span exactly)
+    "txt_chunks" ->
+      ("""WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          |), nn AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+          |), c AS (
+          |  SELECT doc_id, toks, n,
+          |    unnest(generate_series(0,
+          |      CAST(greatest(0, (n - 32 + 23) // 24) AS BIGINT))) AS chunk_idx
+          |  FROM nn
+          |)
+          |SELECT doc_id, chunk_idx,
+          |  1 + chunk_idx * 24 AS tok_start,
+          |  least(1 + chunk_idx * 24 + 31, n) AS tok_end,
+          |  least(1 + chunk_idx * 24 + 31, n) - (1 + chunk_idx * 24) + 1 AS n_tok,
+          |  md5(array_to_string(
+          |    toks[(1 + chunk_idx * 24):(least(1 + chunk_idx * 24 + 31, n))],
+          |    ' ')) AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+    // every sum CAST to BIGINT (the DuckDB HUGEINT render lesson);
+    // inflation >= 1 so no -0.0 exposure
+    "txt_dup_inflation" ->
+      (plantedCte +
+        """, g AS (
+          |  SELECT md5(text) AS h, count(*) AS copies,
+          |    min(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tok
+          |  FROM docs GROUP BY 1
+          |)
+          |SELECT CAST(sum(copies) AS BIGINT) AS n_docs,
+          |  count(*) AS n_unique_texts,
+          |  CAST(sum(copies - 1) AS BIGINT) AS n_dup_docs,
+          |  CAST(sum(n_tok * copies) AS BIGINT) AS total_tokens,
+          |  CAST(sum(n_tok) AS BIGINT) AS canonical_tokens,
+          |  CAST(sum(n_tok * (copies - 1)) AS BIGINT) AS wasted_tokens,
+          |  round(CAST(sum(n_tok * copies) AS DOUBLE) / sum(n_tok)
+          |    + 1e-9, 4) AS inflation
+          |FROM g""".stripMargin),
+    // Morton interleave replay: u32-md5 conv cell (the weightedPriority
+    // u32 recipe) and hour cell, bit-interleaved over generate_series —
+    // pure integer bit arithmetic, no rounding contract
+    "ts_zorder" ->
+      (cte +
+        s""", cells AS (
+          |  SELECT conv_id, turn_idx,
+          |    ${u32Sql("conv_id")} & 65535 AS conv_cell,
+          |    CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) & 65535
+          |      AS time_cell
+          |  FROM transcripts
+          |)
+          |SELECT conv_id, turn_idx, conv_cell, time_cell,
+          |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+          |    (((conv_cell >> i) & 1) << (2 * i + 1)) +
+          |    (((time_cell >> i) & 1) << (2 * i)))) AS BIGINT) AS z
+          |FROM cells ORDER BY conv_id, turn_idx""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

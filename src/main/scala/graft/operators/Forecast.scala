@@ -109,6 +109,51 @@ object Forecast {
     * series, so the four ratios are single IEEE divisions — bit-identical
     * cross-engine with no aggregation-order exposure.
     */
+  /** Croston's method for intermittent demand (Croston 1972, the standard
+    * sparse-series forecaster — tool invocations in agent transcripts are
+    * exactly its domain: most periods see zero calls). Input is the
+    * NONZERO demand relation (conv_id, period_idx, qty): only periods with
+    * demand carry rows; zero periods are implicit in the `period_idx`
+    * gaps. Two coupled SES recursions over the demand subsequence i=1..k:
+    *   init (i=1):  z = r4(q₁), p = 1.0 (fixed-init convention), τ₁ NULL
+    *   step (i≥2):  τᵢ = periodᵢ − periodᵢ₋₁  (integer ≥ 1)
+    *                z = r4(α·qᵢ + (1−α)·z⁻),  p = r4(α·τᵢ + (1−α)·p⁻)
+    *   rateᵢ = r4(z/p)   (the demand-per-period forecast)
+    * Per-step 4-dp quantization of BOTH states makes the machine exactly
+    * replayable by a recursive-CTE oracle (the holt/holtWinters contract).
+    * Same scale shape as [[holtWinters]]: a typed sorted-fold kernel per
+    * conversation, O(1) state, one conv_id shuffle — and the input is the
+    * ALREADY-AGGREGATED demand relation, orders of magnitude smaller than
+    * raw turns. Emits one row per demand: (conv_id, i, period_idx, qty,
+    * tau, z_smooth, p_smooth, rate).
+    */
+  def croston(demands: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    val spark = demands.sparkSession
+    import spark.implicits._
+    demands
+      .select(col("conv_id").cast("string"), col("period_idx").cast("long"),
+        col("qty").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var z = 0.0; var p = 1.0; var prevT = 0L
+        rows.iterator.zipWithIndex.map { case ((_, t, q), i0) =>
+          val tau: Option[Long] = if (i0 == 0) None else Some(t - prevT)
+          if (i0 == 0) { z = r4d(q); p = 1.0 }
+          else {
+            z = r4d(alpha * q + (1 - alpha) * z)
+            p = r4d(alpha * (t - prevT) + (1 - alpha) * p)
+          }
+          prevT = t
+          (conv, i0 + 1, t, q, tau, z, p, r4d(z / p))
+        }
+      }
+      .toDF("conv_id", "i", "period_idx", "qty", "tau",
+        "z_smooth", "p_smooth", "rate")
+  }
+
   def forecastAccuracy(metrics: DataFrame,
       valueCol: String = "value"): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")

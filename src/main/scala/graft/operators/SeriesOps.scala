@@ -1524,4 +1524,79 @@ object SeriesOps {
           .as("f_stat"),
         r4((col("rssr") - col("rssf")) / col("rssr")).as("r2_gain"))
   }
+
+  /** Dickey–Fuller unit-root screen (Dickey & Fuller 1979, the no-lag DF
+    * regression with intercept): per series regress Δy_t on y_{t−1},
+    *   Δy_t = a + β·y_{t−1} + ε_t,
+    * in closed form from SIX integer partial sums (n, Σx, Σd, Σx², Σxd,
+    * Σd² with x = y_{t−1}, d = Δy — both integer on integer-valued
+    * series), the [[grangerScreen]] design: the shuffle moves exact
+    * integer sums, and every float operation afterwards is ONE fixed-
+    * operand-order per-group expression — bit-identical cross-engine, no
+    * aggregation-order exposure at any corpus size. β̂ = Sxd/Sxx,
+    * SSE = Sdd − β̂·Sxd, t = β̂ / √(SSE/((n−2)·Sxx)). A stationary
+    * (mean-reverting) series drives β̂ < 0 with large |t|; a random walk
+    * keeps β̂ ≈ 0. `stationary` = t < −2.86 (the 5% DF critical value for
+    * large n with intercept — a screen, not a calibrated test at small n).
+    * Output: (conv_id, n_pairs, beta, t_stat, stationary); series need
+    * ≥ 8 pairs, positive regressor variance and positive SSE.
+    */
+  def adfScreen(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics
+      .withColumn("x", lag(valueCol, 1).over(w))
+      .filter(col("x").isNotNull)
+      .withColumn("d", col(valueCol) - col("x"))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("d").as("sd"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("d")).as("sxd"),
+        sum(col("d") * col("d")).as("sdd"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("cxd", col("sxd") - col("sx") * col("sd") / col("n"))
+      .withColumn("vd", col("sdd") - col("sd") * col("sd") / col("n"))
+      .filter(col("n") >= 8 && col("vx") > 0)
+      .withColumn("beta", col("cxd") / col("vx"))
+      .withColumn("sse", col("vd") - col("beta") * col("cxd"))
+      .filter(col("sse") > 0)
+      .withColumn("t",
+        col("beta") / sqrt(col("sse") / ((col("n") - 2) * col("vx"))))
+      .select(col("conv_id"), col("n").cast("long").as("n_pairs"),
+        r4(col("beta")).as("beta"), r4(col("t")).as("t_stat"),
+        (col("t") < lit(-2.86)).as("stationary"))
+  }
+
+  /** Day-of-week effect one-way ANOVA per series: does the metric's level
+    * differ by weekday? Groups g ∈ 0..6 (epoch-arithmetic dow — the
+    * [[Features.dowHourProfile]] timezone-free rule: (epochDay+4) mod 7,
+    * 0=Sunday), SS_between = Σ_g S_g²/n_g − S²/n and
+    * SS_within = Σv² − Σ_g S_g²/n_g from INTEGER per-group sums — the agg
+    * is (conv, dow)-keyed (≤7 rows per conv) and the F ratio is one
+    * fixed-order expression per conv. η² = SSB/SST is the effect size.
+    * Series need ≥ 2 weekday groups, more observations than groups, and
+    * positive within variance. Output: (conv_id, n_obs, k_groups, f_stat,
+    * eta_sq).
+    */
+  def dowAnova(metrics: DataFrame, valueCol: String = "value"): DataFrame = {
+    val dow = pmod(floor(ms(col("ts")) / lit(86400000L)) + lit(4L), lit(7L))
+      .cast("int")
+    metrics
+      .groupBy(col("conv_id"), dow.as("dow"))
+      .agg(count(lit(1)).cast("double").as("ng"),
+        sum(valueCol).as("sg"),
+        sum(col(valueCol) * col(valueCol)).as("sqg"))
+      .groupBy("conv_id")
+      .agg(sum("ng").as("n"), count(lit(1)).cast("double").as("k"),
+        sum("sg").as("s"), sum("sqg").as("sq"),
+        sum(col("sg") * col("sg") / col("ng")).as("sgg"))
+      .withColumn("ssb", col("sgg") - col("s") * col("s") / col("n"))
+      .withColumn("ssw", col("sq") - col("sgg"))
+      .filter(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0)
+      .select(col("conv_id"), col("n").cast("long").as("n_obs"),
+        col("k").cast("long").as("k_groups"),
+        r4((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k")))).as("f_stat"),
+        r4(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+  }
 }

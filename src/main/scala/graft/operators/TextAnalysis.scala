@@ -1082,4 +1082,67 @@ object TextAnalysis {
       .select(col("role"), col("tool"), col("len_bucket"), col("k"),
         (col("k") < kMin).as("suppress"),
         round(lit(1.0) / col("k") + lit(1e-9), 4).as("risk"))
+
+  /** RAG chunking: split each document into token windows of `chunkSize`
+    * tokens stepping by `chunkSize − overlap` (consecutive chunks share
+    * `overlap` tokens — the retrieval-context standard so a fact straddling
+    * a boundary survives in at least one chunk). Tokenization is the
+    * engine's single-space rule (split-on-' ', the txt_tokens contract —
+    * consecutive-space empties kept, so the join-back reproduces the
+    * original text exactly and the md5 is a faithful chunk fingerprint).
+    * Chunk count = 1 + max(0, ⌈(n − chunkSize)/stride⌉) via integer
+    * floor-division — every emitted column is integer/string/md5; no
+    * rounding contract at all. Map-only (no shuffle, no window): the
+    * explode is embarrassingly parallel and output rows ≈ n_tok/stride per
+    * doc — at 100 TB this is a pure scan→project pipeline that Spark
+    * schedules per input split. Output: (doc_id, chunk_idx, tok_start,
+    * tok_end, n_tok, chunk_md5), 1-based inclusive token positions.
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 2 && overlap >= 0 && overlap < chunkSize,
+      "need chunkSize >= 2 and 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc", lit(1L) + greatest(lit(0L),
+        floor((col("n") - chunkSize + (stride - 1)) / lit(stride))
+          .cast("long")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .withColumn("tok_start", lit(1L) + col("chunk_idx") * stride)
+      .withColumn("tok_end",
+        least(col("tok_start") + (chunkSize - 1), col("n")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("tok_end"), (col("tok_end") - col("tok_start") + 1).as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("tok_start").cast("int"),
+          (col("tok_end") - col("tok_start") + 1).cast("int")))
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  /** Token-weighted duplication inflation — the "how much of my token
+    * budget is duplicate mass" corpus ledger (the cost-facing companion of
+    * [[graft.operators.Dedup.clusterStats]]'s doc-count view): group by
+    * exact text hash, weight each group by its token count. ONE hash
+    * aggregate (partial agg; a 10^9-copy clone storm is one group row) +
+    * one single-row reduce. All-integer except the final inflation ratio
+    * (total/canonical tokens, one division, 4-dp). Output one row:
+    * (n_docs, n_unique_texts, n_dup_docs, total_tokens, canonical_tokens,
+    * wasted_tokens, inflation).
+    */
+  def dupInflation(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("copies"), min("n_tok").as("n_tok"))
+      .agg(sum("copies").as("n_docs"),
+        count(lit(1)).as("n_unique_texts"),
+        sum(col("copies") - 1).as("n_dup_docs"),
+        sum(col("n_tok") * col("copies")).as("total_tokens"),
+        sum("n_tok").as("canonical_tokens"),
+        sum(col("n_tok") * (col("copies") - 1)).as("wasted_tokens"))
+      .withColumn("inflation",
+        round(col("total_tokens").cast("double") / col("canonical_tokens")
+          + lit(1e-9), 4))
 }

@@ -47,7 +47,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "ts_conv_pctile", // CDF window over the ≤64-row log2-bucket census
     "ts_cal_anomaly", // max-week reduce over the |weeks|·168 cell relation
     "dd_cluster_stats", // scalar singleton-count total + bounded histogram
-    "ts_staleness") // scalar watermark reduce over the conv-last relation
+    "ts_staleness", // scalar watermark reduce over the conv-last relation
+    "txt_dup_inflation") // one-row corpus ledger over the dup-group relation
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
