@@ -2096,6 +2096,79 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("conv_cell"),
           col("time_cell"), col("z"))
         .orderBy("conv_id", "turn_idx")),
+    // perceptual average-hash over media payload bytes (integer
+    // cross-multiplied bucket means — no float anywhere)
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.phash(s, documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .orderBy("doc_id")),
+    // perceptual near-dup media pairs at Hamming<=3 via pigeonhole banding
+    // over the planted-duplicate corpus (clones -> hamming 0)
+    "mm_phash_dups" -> ((s, dir) =>
+      Multimodal.phashDups(
+        Multimodal.phash(s, docsPlanted(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))),
+        maxHamming = 3)
+        .orderBy("id1", "id2")),
+    // chunk-level duplication over the planted corpus: shared chunk_md5
+    // groups — the RAG-store dedup answer at chunk granularity
+    "txt_chunk_dedup" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(docsPlanted(s, dir), chunkSize = 32, overlap = 8)
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("copies"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .filter(col("copies") > 1)
+        .orderBy("chunk_md5")),
+    // Flesch reading-ease readability score per document
+    "txt_readability" -> ((s, dir) =>
+      TextAnalysis.readability(documents(s, dir)).orderBy("doc_id")),
+    // theta-method forecaster (M3 winner): OLS theta-0 line + SES over the
+    // theta-2 line, equal-weight one-step combination
+    "ts_theta" -> ((s, dir) =>
+      Forecast.theta(metrics(s, dir).withColumnRenamed("text_len", "value"),
+        alpha = 0.25)
+        .orderBy("conv_id", "idx")),
+    // SMA golden/death-cross screen (fast 5 vs slow 20, integer
+    // cross-multiplied state — a float mean can never flip a crossing)
+    "ts_sma_cross" -> ((s, dir) =>
+      SeriesOps.smaCross(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        fast = 5, slow = 20)
+        .orderBy("conv_id")),
+    // media clone FAMILIES: perceptual near-dup pairs -> star-contraction
+    // connected components (the dd_components machinery on phash edges)
+    "mm_phash_cc" -> ((s, dir) =>
+      Dedup.components(
+        Multimodal.phashDups(
+          Multimodal.phash(s, docsPlanted(s, dir)
+            .select(col("doc_id"), col("text").cast("binary").as("payload"))),
+          maxHamming = 3)
+          .select("id1", "id2"))
+        .orderBy("doc_id")),
+    // byte-histogram Shannon entropy per payload (media-QA screen:
+    // text-like vs compressed/encrypted payloads, no decode)
+    "mm_entropy" -> ((s, dir) =>
+      Multimodal.payloadEntropy(s, documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .orderBy("doc_id")),
+    // context-window budget profile per conversation: prefix-sum of
+    // text_len vs an 8192-char budget (turns that fit, first overflow)
+    "ts_context_budget" -> ((s, dir) => {
+      val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+      metrics(s, dir)
+        .withColumn("idx", row_number().over(w))
+        .withColumn("cum",
+          sum("text_len").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum("text_len").cast("long").as("total_chars"),
+          sum(when(col("cum") <= 8192, 1L).otherwise(0L))
+            .as("turns_within_budget"),
+          coalesce(min(when(col("cum") > 8192, col("idx"))).cast("long"),
+            lit(-1L)).as("first_overflow_idx"))
+        .orderBy("conv_id")
+    }),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -7946,16 +8019,8 @@ private object Oracles {
     // join-back (split-on-' ' keeps consecutive-space empties in BOTH
     // engines, so the rejoin reproduces the original text span exactly)
     "txt_chunks" ->
-      ("""WITH t AS (
-          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-          |), nn AS (
-          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
-          |), c AS (
-          |  SELECT doc_id, toks, n,
-          |    unnest(generate_series(0,
-          |      CAST(greatest(0, (n - 32 + 23) // 24) AS BIGINT))) AS chunk_idx
-          |  FROM nn
-          |)
+      ("WITH docs AS (SELECT doc_id, text FROM documents)" + chunksSql +
+        """
           |SELECT doc_id, chunk_idx,
           |  1 + chunk_idx * 24 AS tok_start,
           |  least(1 + chunk_idx * 24 + 31, n) AS tok_end,
@@ -7999,6 +8064,206 @@ private object Oracles {
           |    (((conv_cell >> i) & 1) << (2 * i + 1)) +
           |    (((time_cell >> i) & 1) << (2 * i)))) AS BIGINT) AS z
           |FROM cells ORDER BY conv_id, turn_idx""".stripMargin),
+    // aHash replay: bucket of byte i = (i*64)//len, bit = integer
+    // cross-multiplied mean compare; hash emitted as two non-negative
+    // 32-bit halves (a signed 64-bit key would wrap at bit 63)
+    "mm_phash" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents)" + phashSql +
+        """SELECT doc_id, hash_hi, hash_lo
+          |FROM ph ORDER BY doc_id""".stripMargin),
+    "mm_phash_dups" ->
+      (plantedCte + phashSql +
+        """, segd AS (
+          |  SELECT doc_id, hash_hi, hash_lo,
+          |    unnest(generate_series(0, 3)) AS bidx
+          |  FROM ph
+          |), seg AS (
+          |  SELECT doc_id, hash_hi, hash_lo, bidx,
+          |    CASE WHEN bidx * 16 < 32 THEN (hash_lo >> (bidx * 16)) & 65535
+          |         ELSE (hash_hi >> (bidx * 16 - 32)) & 65535 END AS bval
+          |  FROM segd
+          |), pr AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          |    CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+          |      + bit_count(xor(a.hash_lo, b.hash_lo)) AS int) AS hamming
+          |  FROM seg a JOIN seg b
+          |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+          |)
+          |SELECT id1, id2, hamming FROM pr
+          |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin),
+    "txt_chunk_dedup" ->
+      (plantedCte + chunksSql +
+        """, chh AS (
+          |  SELECT doc_id,
+          |    md5(array_to_string(
+          |      toks[(1 + chunk_idx * 24):(least(1 + chunk_idx * 24 + 31, n))],
+          |      ' ')) AS chunk_md5
+          |  FROM c
+          |)
+          |SELECT chunk_md5, count(*) AS copies,
+          |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+          |FROM chh GROUP BY 1 HAVING count(*) > 1
+          |ORDER BY chunk_md5""".stripMargin),
+    // flesch can be negative on run-on text -> +0.0 normalizer
+    "txt_readability" ->
+      ("""WITH cnt AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+          |      AS BIGINT) AS n_words,
+          |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+          |      AS BIGINT)) AS n_sentences,
+          |    CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+          |      AS BIGINT) AS n_syllables
+          |  FROM documents
+          |)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+          |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+          |    + 1e-9, 4) + 0.0 AS flesch
+          |FROM cnt WHERE n_words > 0 ORDER BY doc_id""".stripMargin),
+    // theta: quantized OLS (a4, b4) from exact integer sums, then the
+    // SES-over-theta2 recursion replayed step-exactly; all three derived
+    // columns are signed -> +0.0 normalizers
+    "ts_theta" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |), ols AS (
+          |  SELECT conv_id, any_value(n) AS n,
+          |    sum(CAST(idx - 1 AS DOUBLE)) AS sx, sum(y) AS sy,
+          |    sum(CAST(idx - 1 AS DOUBLE) * (idx - 1)) AS sxx,
+          |    sum((idx - 1) * y) AS sxy
+          |  FROM v GROUP BY 1 HAVING any_value(n) >= 8
+          |), ab AS (
+          |  SELECT conv_id, n, sx, sy,
+          |    round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 4)
+          |      AS b4
+          |  FROM ols
+          |), ab2 AS (
+          |  SELECT conv_id,
+          |    round((sy - b4 * sx) / n + 1e-9, 4) AS a4, b4
+          |  FROM ab
+          |), r AS (
+          |  SELECT v.conv_id, v.idx, v.y,
+          |    round(2 * v.y - (t.a4 + t.b4 * (v.idx - 1)) + 1e-9, 4) AS d,
+          |    round(2 * v.y - (t.a4 + t.b4 * (v.idx - 1)) + 1e-9, 4) AS s,
+          |    t.a4 AS a4, t.b4 AS b4
+          |  FROM v JOIN ab2 t ON v.conv_id = t.conv_id WHERE v.idx = 1
+          |  UNION ALL
+          |  SELECT v.conv_id, v.idx, v.y,
+          |    round(2 * v.y - (r.a4 + r.b4 * (v.idx - 1)) + 1e-9, 4) AS d,
+          |    round(0.25 * round(2 * v.y - (r.a4 + r.b4 * (v.idx - 1))
+          |        + 1e-9, 4) + 0.75 * r.s + 1e-9, 4) AS s,
+          |    r.a4, r.b4
+          |  FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1
+          |)
+          |SELECT conv_id, idx, y AS value, d + 0.0 AS theta2, s + 0.0 AS ses,
+          |  round(0.5 * (s + (a4 + b4 * idx)) + 1e-9, 4) + 0.0 AS forecast
+          |FROM r ORDER BY conv_id, idx""".stripMargin),
+    // SMA cross: trailing-window integer sums, state compared by integer
+    // cross-multiplication; all-integer output, no rounding contract
+    "ts_sma_cross" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, ts, text_len AS y,
+          |    row_number() OVER (PARTITION BY conv_id
+          |                       ORDER BY ts, turn_idx) AS rn,
+          |    sum(text_len) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sf,
+          |    sum(text_len) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+          |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss
+          |  FROM metrics
+          |), st AS (
+          |  SELECT conv_id, ts, rn, sf * 20 > ss * 5 AS state
+          |  FROM v WHERE rn >= 20
+          |), fl AS (
+          |  SELECT conv_id, ts, state,
+          |    lag(state) OVER (PARTITION BY conv_id ORDER BY rn) AS prev
+          |  FROM st
+          |)
+          |SELECT conv_id, count(*) AS n_obs,
+          |  CAST(sum(CASE WHEN prev IS NOT NULL AND NOT prev AND state
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_golden,
+          |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev AND NOT state
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
+          |  coalesce(min(CASE WHEN prev IS NOT NULL AND NOT prev AND state
+          |    THEN epoch_ms(ts) END), -1) AS first_golden_ms
+          |FROM fl GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    // phash pairs -> transitive-closure replay (the dd_components oracle
+    // shape on perceptual-hash edges)
+    "mm_phash_cc" ->
+      (plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") + phashSql +
+        """, segd AS (
+          |  SELECT doc_id, hash_hi, hash_lo,
+          |    unnest(generate_series(0, 3)) AS bidx
+          |  FROM ph
+          |), seg AS (
+          |  SELECT doc_id, hash_hi, hash_lo, bidx,
+          |    CASE WHEN bidx * 16 < 32 THEN (hash_lo >> (bidx * 16)) & 65535
+          |         ELSE (hash_hi >> (bidx * 16 - 32)) & 65535 END AS bval
+          |  FROM segd
+          |), pairs AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM seg a JOIN seg b
+          |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+          |), esym AS (
+          |  SELECT id1 AS x, id2 AS y FROM pairs
+          |  UNION
+          |  SELECT id2 AS x, id1 AS y FROM pairs
+          |), reach AS (
+          |  SELECT x, y FROM (SELECT x, y FROM esym UNION SELECT x, x AS y FROM esym)
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN esym e ON r.y = e.x
+          |), comp AS (
+          |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+          |), csz AS (
+          |  SELECT component, count(*) AS group_sz FROM comp GROUP BY 1
+          |)
+          |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical,
+          |  s.group_sz
+          |FROM comp c JOIN csz s USING (component) ORDER BY doc_id""".stripMargin),
+    // entropy from the phashSql byte relation: ln quantized to integer
+    // ten-thousandths BEFORE summation (zipf precedent) so the sum is
+    // exact; H >= 0 by construction, no -0.0 exposure
+    "mm_entropy" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents)" + phashSql +
+        """, ec AS (
+          |  SELECT doc_id, min(len) AS n, v, count(*) AS c
+          |  FROM pbv GROUP BY doc_id, v
+          |), eq AS (
+          |  SELECT doc_id, min(n) AS n,
+          |    CAST(count(*) AS BIGINT) AS n_distinct,
+          |    CAST(sum(c * cast(round(ln(cast(c AS double)) * 10000)
+          |      AS bigint)) AS BIGINT) AS s
+          |  FROM ec GROUP BY doc_id
+          |)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, n_distinct,
+          |  round((n * cast(round(ln(cast(n AS double)) * 10000) AS bigint)
+          |    - s) / (n * 10000.0) + 1e-9, 4) AS entropy
+          |FROM eq ORDER BY doc_id""".stripMargin),
+    "ts_context_budget" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len,
+          |    row_number() OVER w AS idx,
+          |    sum(text_len) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS cum
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |)
+          |SELECT conv_id, count(*) AS n_turns,
+          |  CAST(sum(text_len) AS BIGINT) AS total_chars,
+          |  CAST(sum(CASE WHEN cum <= 8192 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS turns_within_budget,
+          |  coalesce(CAST(min(CASE WHEN cum > 8192 THEN idx END) AS BIGINT),
+          |    -1) AS first_overflow_idx
+          |FROM v GROUP BY 1 ORDER BY conv_id""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every
@@ -8075,6 +8340,64 @@ private object Oracles {
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
       |  SELECT doc_id + 200000, text || ' zz near dup tail' FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  /** RAG chunk grid over a `docs(doc_id, text)` relation (mirrors
+    * TextAnalysis.chunkDocs at chunkSize=32, overlap=8 → stride 24):
+    * leaves `c(doc_id, toks, n, chunk_idx)` defined.
+    */
+  private lazy val chunksSql =
+    """, t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM docs
+      |), nn AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+      |), c AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(generate_series(0,
+      |      CAST(greatest(0, (n - 32 + 23) // 24) AS BIGINT))) AS chunk_idx
+      |  FROM nn
+      |)""".stripMargin
+
+  /** aHash over a `docs(doc_id, text)` relation (mirrors Multimodal.phash:
+    * byte bucket j = (i·64)//len, bit = integer cross-multiplied mean
+    * compare, empty payloads drop): leaves `ph(doc_id, hash_hi, hash_lo)`
+    * defined. Byte values decode from hex() pairs (the mm_features
+    * first-BYTE recipe — ascii() would give the first codepoint).
+    */
+  private lazy val phashSql =
+    """, pb AS (
+      |  SELECT doc_id, hex(cast(text AS BLOB)) AS hx,
+      |    octet_length(cast(text AS BLOB)) AS len
+      |  FROM docs WHERE octet_length(cast(text AS BLOB)) > 0
+      |), pbytes AS (
+      |  SELECT doc_id, len, hx,
+      |    unnest(generate_series(0, len - 1)) AS i
+      |  FROM pb
+      |), pbv AS (
+      |  SELECT doc_id, len, (i * 64) // len AS j,
+      |    (strpos('0123456789ABCDEF',
+      |        substr(hx, cast(2 * i + 1 AS int), 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF',
+      |          substr(hx, cast(2 * i + 2 AS int), 1)) - 1 AS v
+      |  FROM pbytes
+      |), pagg AS (
+      |  SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS sj, count(*) AS cj,
+      |    min(len) AS len
+      |  FROM pbv GROUP BY 1, 2
+      |), ptot AS (
+      |  SELECT doc_id, CAST(sum(sj) AS BIGINT) AS sa FROM pagg GROUP BY 1
+      |), pbits AS (
+      |  SELECT a.doc_id, a.j,
+      |    CASE WHEN a.sj * a.len > t.sa * a.cj THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM pagg a JOIN ptot t ON a.doc_id = t.doc_id
+      |), ph AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END)
+      |      AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END)
+      |      AS BIGINT) AS hash_lo
+      |  FROM pbits GROUP BY 1
       |)""".stripMargin
 
   private lazy val shingleCtes =

@@ -109,6 +109,61 @@ object Forecast {
     * series, so the four ratios are single IEEE divisions — bit-identical
     * cross-engine with no aggregation-order exposure.
     */
+  /** Theta-method forecaster (Assimakopoulos & Nikolopoulos 2000 — the
+    * M3-competition winner; equivalently SES with drift b/2, Hyndman &
+    * Billah 2003). Per series over the time-ordered values with 0-based
+    * position t:
+    *   1. OLS trend (the θ=0 line): b = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) from
+    *      EXACT integer sums (t, y integer-valued; n·M·n² < 2^53 bound),
+    *      quantized b4 = r4(b), then a4 = r4((Σy − b4·Σt)/n).
+    *   2. θ=2 line: d_t = r4(2·y_t − (a4 + b4·t)) — doubles the curvature.
+    *   3. SES over d: s_1 = d_1, s_t = r4(α·d_t + (1−α)·s_{t−1}).
+    *   4. one-step combined forecast: fc_t = r4(0.5·(s_t + (a4+b4·(t+1))))
+    *      — the equal-weight θ-0/θ-2 combination.
+    * Every recursion input is already 4-dp quantized, so a recursive-CTE
+    * oracle replays the machine exactly (the holt contract). One typed
+    * sorted-fold kernel per conversation: the OLS sums AND the recursion
+    * run in the same pass over the sorted array — no join, one conv_id
+    * shuffle. Series need ≥ 8 points and non-degenerate time variance
+    * (guaranteed for distinct positions). Emits (conv_id, idx, value,
+    * theta2, ses, forecast) per observation.
+    */
+  def theta(metrics: DataFrame, alpha: Double,
+      valueCol: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        val n = rows.length
+        if (n < 8) Iterator.empty
+        else {
+          val y = rows.map(_._4)
+          var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+          var t = 0
+          while (t < n) {
+            sx += t; sy += y(t); sxx += t.toDouble * t
+            sxy += t * y(t); t += 1
+          }
+          val b4 = r4d((n * sxy - sx * sy) / (n * sxx - sx * sx))
+          val a4 = r4d((sy - b4 * sx) / n)
+          var s = 0.0
+          Iterator.range(0, n).map { i =>
+            val d = r4d(2 * y(i) - (a4 + b4 * i))
+            s = if (i == 0) d else r4d(alpha * d + (1 - alpha) * s)
+            val fc = r4d(0.5 * (s + (a4 + b4 * (i + 1))))
+            (conv, i + 1, y(i), d, s, fc)
+          }
+        }
+      }
+      .toDF("conv_id", "idx", "value", "theta2", "ses", "forecast")
+  }
+
   /** Croston's method for intermittent demand (Croston 1972, the standard
     * sparse-series forecaster — tool invocations in agent transcripts are
     * exactly its domain: most periods see zero calls). Input is the

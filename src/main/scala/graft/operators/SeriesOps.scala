@@ -1567,6 +1567,46 @@ object SeriesOps {
         (col("t") < lit(-2.86)).as("stationary"))
   }
 
+  /** Moving-average crossover signals (the trading golden/death-cross
+    * screen, applied to conversational intensity): fast SMA over the
+    * trailing `fast` observations vs slow SMA over the trailing `slow`.
+    * The comparison is INTEGER cross-multiplication — Σ_fast·slow vs
+    * Σ_slow·fast — so the state is exact (a float mean's last ulp can
+    * never flip a crossing). State is defined from the first FULL slow
+    * window (row ≥ slow); a golden cross is a false→true state flip,
+    * a death cross the reverse. Two conv-partitioned window passes
+    * sharing the same sort order + one partial agg. Output per series:
+    * (conv_id, n_obs, n_golden, n_death, first_golden_ms) with -1 when
+    * no golden cross occurs.
+    */
+  def smaCross(metrics: DataFrame, fast: Int, slow: Int,
+      valueCol: String = "value"): DataFrame = {
+    require(fast >= 1 && slow > fast, "need slow > fast >= 1")
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val wf = w.rowsBetween(-(fast - 1), 0)
+    val ws = w.rowsBetween(-(slow - 1), 0)
+    val staged = metrics
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sf", sum(valueCol).over(wf))
+      .withColumn("ss", sum(valueCol).over(ws))
+      .filter(col("rn") >= slow)
+      .withColumn("state", col("sf") * slow > col("ss") * fast)
+    val w2 = Window.partitionBy("conv_id").orderBy("rn")
+    staged
+      .withColumn("prev", lag("state", 1).over(w2))
+      .withColumn("golden",
+        when(col("prev").isNotNull && !col("prev") && col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("death",
+        when(col("prev").isNotNull && col("prev") && !col("state"), 1L)
+          .otherwise(0L))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum("golden").as("n_golden"), sum("death").as("n_death"),
+        coalesce(min(when(col("golden") === 1, ms(col("ts")))), lit(-1L))
+          .as("first_golden_ms"))
+  }
+
   /** Day-of-week effect one-way ANOVA per series: does the metric's level
     * differ by weekday? Groups g ∈ 0..6 (epoch-arithmetic dow — the
     * [[Features.dowHourProfile]] timezone-free rule: (epochDay+4) mod 7,

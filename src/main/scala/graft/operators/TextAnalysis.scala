@@ -1083,6 +1083,34 @@ object TextAnalysis {
         (col("k") < kMin).as("suppress"),
         round(lit(1.0) / col("k") + lit(1e-9), 4).as("risk"))
 
+  /** Flesch reading-ease score per document — the classic readability
+    * quality signal (Flesch 1948; the Gopher/quality batteries grade
+    * length and repetition, this grades sentence/word complexity):
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * with the standard library-free syllable proxy = vowel-group count
+    * ([AEIOUYaeiouy]+ runs, the hyphenation-algorithm baseline), and
+    * sentences = max(1, terminal-punctuation runs). All three counts are
+    * integers from one regexp pass each (map-only, no shuffle); the score
+    * is ONE fixed-operand-order float expression, 4-dp at the boundary —
+    * and can be negative on run-on text, so the oracle carries the −0.0
+    * normalizer. Output: (doc_id, n_words, n_sentences, n_syllables,
+    * flesch).
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long")
+          .as("n_words"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+"))
+          .cast("long")).as("n_sentences"),
+        regexp_count(col("text"), lit("[AEIOUYaeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))
+          + lit(1e-9), 4))
+
   /** RAG chunking: split each document into token windows of `chunkSize`
     * tokens stepping by `chunkSize − overlap` (consecutive chunks share
     * `overlap` tokens — the retrieval-context standard so a fact straddling
