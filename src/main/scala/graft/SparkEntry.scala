@@ -2152,6 +2152,21 @@ object SparkEntry {
       Multimodal.payloadEntropy(s, documents(s, dir)
           .select(col("doc_id"), col("text").cast("binary").as("payload")))
         .orderBy("doc_id")),
+    // retrieval-quality eval of the BM25 index: MRR + NDCG@10 against
+    // all-terms binary relevance; rank discounts are shared 4-dp literals
+    "txt_mrr" -> ((s, dir) =>
+      TextAnalysis.retrievalEval(documents(s, dir), bm25Queries, k = 10)
+        .orderBy("qid")),
+    // measured LSH recall/precision vs exact gram-Jaccard ground truth
+    // (QA-scale evaluator; pairs with dd_lsh_curve's theoretical S-curve)
+    "dd_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(docsPlanted(s, dir), threshold = 0.5)),
+    // seasonal-naive backtest (m=4): the baseline a seasonal model must
+    // beat; integer-sum-ratio metrics like ts_forecast_acc
+    "ts_snaive_acc" -> ((s, dir) =>
+      Forecast.seasonalNaiveAccuracy(
+        metrics(s, dir).withColumnRenamed("text_len", "value"), m = 4)
+        .orderBy("conv_id")),
     // context-window budget profile per conversation: prefix-sum of
     // text_len vs an 8192-char budget (turns that fit, first overflow)
     "ts_context_budget" -> ((s, dir) => {
@@ -8264,6 +8279,116 @@ private object Oracles {
           |  coalesce(CAST(min(CASE WHEN cum > 8192 THEN idx END) AS BIGINT),
           |    -1) AS first_overflow_idx
           |FROM v GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    // MRR/NDCG@10 replay on the shared bm25 CTE chain; relevance =
+    // all-query-terms-present computed from the same token relation
+    "txt_mrr" ->
+      (bm25Ctes +
+        s""", top AS (
+          |  SELECT qid, doc_id, rn FROM (
+          |    SELECT qid, doc_id,
+          |      row_number() OVER (PARTITION BY qid
+          |                         ORDER BY score DESC, doc_id) AS rn
+          |    FROM scored)
+          |  WHERE rn <= 10
+          |), dtok AS (
+          |  SELECT DISTINCT doc_id, term FROM tok
+          |), qcnt AS (
+          |  SELECT qid, count(*) AS nq FROM q GROUP BY 1
+          |), relx AS (
+          |  SELECT q.qid, t.doc_id, count(*) AS c
+          |  FROM dtok t JOIN q USING (term) GROUP BY 1, 2
+          |), rel AS (
+          |  SELECT r.qid, r.doc_id FROM relx r JOIN qcnt USING (qid)
+          |  WHERE r.c = qcnt.nq
+          |), relc AS (
+          |  SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1
+          |), hitr AS (
+          |  SELECT t.qid, t.rn, ${discCase("t.rn")} AS disc
+          |  FROM top t JOIN rel r ON t.qid = r.qid AND t.doc_id = r.doc_id
+          |), mq AS (
+          |  SELECT qid, count(*) AS hits, CAST(min(rn) AS BIGINT) AS frr,
+          |    sum(disc) AS dcg0
+          |  FROM hitr GROUP BY 1
+          |), ideal AS (
+          |  SELECT c.qid, c.n_rel,
+          |    list_sum(list_transform(generate_series(1,
+          |      CAST(least(10, c.n_rel) AS BIGINT)),
+          |      r -> ${discCase("r")})) AS idcg0
+          |  FROM relc c WHERE c.n_rel > 0
+          |)
+          |SELECT i.qid, i.n_rel,
+          |  coalesce(m.hits, 0) AS hits,
+          |  coalesce(m.frr, -1) AS first_rel_rank,
+          |  round(coalesce(1.0 / m.frr, 0.0) + 1e-9, 4) AS mrr,
+          |  round(coalesce(m.dcg0, 0.0) + 1e-9, 4) AS dcg,
+          |  round(i.idcg0 + 1e-9, 4) AS idcg,
+          |  round(coalesce(m.dcg0, 0.0) / i.idcg0 + 1e-9, 4) AS ndcg
+          |FROM ideal i LEFT JOIN mq m ON i.qid = m.qid
+          |ORDER BY i.qid""".stripMargin),
+    // exact gram-sharing ground truth (complete for J >= tau > 0) vs the
+    // banded LSH candidates from the shared minhash CTE chain
+    "dd_lsh_recall" ->
+      (plantedCte + shingleCtes + bandCtes +
+        """, shx AS (
+          |  SELECT doc_id, unnest(sh) AS s FROM sgl
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n FROM shx GROUP BY 1
+          |), gp AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+          |), ginter AS (
+          |  SELECT g.id1, g.id2, count(*) AS n_inter
+          |  FROM gp g JOIN shx a ON a.doc_id = g.id1
+          |  JOIN shx b2 ON b2.doc_id = g.id2 AND b2.s = a.s
+          |  GROUP BY 1, 2
+          |), truth AS (
+          |  SELECT g.id1, g.id2
+          |  FROM gp g JOIN ginter i ON i.id1 = g.id1 AND i.id2 = g.id2
+          |  JOIN sizes s1 ON s1.doc_id = g.id1
+          |  JOIN sizes s2 ON s2.doc_id = g.id2
+          |  WHERE round(cast(i.n_inter AS double) /
+          |    (s1.n + s2.n - i.n_inter) + 1e-9, 4) >= 0.5
+          |), cand AS (
+          |  SELECT DISTINCT id1, id2 FROM pairs
+          |), hit AS (
+          |  SELECT t.id1 FROM truth t
+          |  JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2
+          |)
+          |SELECT
+          |  (SELECT count(*) FROM truth) AS n_truth,
+          |  (SELECT count(*) FROM cand) AS n_candidates,
+          |  (SELECT count(*) FROM hit) AS n_hit,
+          |  round(cast((SELECT count(*) FROM hit) AS double) /
+          |    (SELECT count(*) FROM truth) + 1e-9, 4) AS recall,
+          |  round(cast((SELECT count(*) FROM hit) AS double) /
+          |    (SELECT count(*) FROM cand) + 1e-9, 4) AS precision""".stripMargin),
+    "ts_snaive_acc" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y,
+          |    lag(text_len, 4) OVER w AS prev,
+          |    cast(row_number() OVER w AS int) AS idx,
+          |    cast(count(*) OVER (PARTITION BY conv_id) AS int) AS n
+          |  FROM metrics
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |), f AS (
+          |  SELECT *, (n * 4) // 5 AS h FROM v WHERE n >= 12
+          |), a AS (
+          |  SELECT conv_id, any_value(n) AS n, any_value(h) AS h,
+          |    sum(CASE WHEN idx > h THEN abs(y - prev) ELSE 0.0 END) AS sae,
+          |    sum(CASE WHEN idx > h THEN (y - prev) * (y - prev) ELSE 0.0 END) AS sse,
+          |    sum(CASE WHEN idx > h THEN abs(y) ELSE 0.0 END) AS say,
+          |    sum(CASE WHEN idx > 4 AND idx <= h THEN abs(y - prev) ELSE 0.0 END) AS strain
+          |  FROM f GROUP BY 1
+          |)
+          |SELECT conv_id, cast(n AS bigint) AS n_obs,
+          |  cast(n - h AS bigint) AS n_test,
+          |  round(sae / (n - h) + 1e-9, 4) AS mae,
+          |  round(sqrt(sse / (n - h)) + 1e-9, 4) AS rmse,
+          |  CASE WHEN say > 0 THEN round(100 * sae / say + 1e-9, 4) END AS wape,
+          |  CASE WHEN strain > 0
+          |       THEN round(sae * (h - 4) / ((n - h) * strain) + 1e-9, 4) END AS mase
+          |FROM a ORDER BY conv_id""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every
@@ -8549,7 +8674,16 @@ private object Oracles {
   // left-assoc double chain (all literals cast to double — DuckDB decimal
   // literals would silently switch the arithmetic to DECIMAL), per-doc sum
   // over term-ordered parts, 4-dp round before ranking.
-  private lazy val bm25Sql: String = {
+  private lazy val bm25Sql: String =
+    bm25Ctes +
+      """
+        |SELECT qid, doc_id, score, rn FROM (
+        |  SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  private lazy val bm25Ctes: String = {
     val qvals = SparkEntry.bm25Queries
       .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
     s"""WITH tok AS (
@@ -8584,13 +8718,17 @@ private object Oracles {
        |  SELECT qid, doc_id,
        |    round(list_sum(list(part ORDER BY term)) + 1e-9, 4) AS score
        |  FROM parts GROUP BY 1, 2
-       |)
-       |SELECT qid, doc_id, score, rn FROM (
-       |  SELECT qid, doc_id, score,
-       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
-       |  FROM scored)
-       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+       |)""".stripMargin
   }
+
+  /** 1/log₂(r+1) rank discounts for r = 1..10 as shared 4-dp literals —
+    * the engine uses the identical constants, so NDCG has no runtime log.
+    */
+  private def discCase(x: String): String =
+    "CASE " + x + (Seq(1.0, 0.6309, 0.5, 0.4307, 0.3869,
+      0.3562, 0.3333, 0.3155, 0.3010, 0.2891).zipWithIndex.map {
+        case (d, i) => s" WHEN ${i + 1} THEN CAST($d AS double)"
+      }.mkString) + " END"
 
   // PQ oracle: unrolled quantized-Lloyd per subspace + encode + ADC search.
   // Same engine-replay contract as kmeansSql: every distance is rounded to

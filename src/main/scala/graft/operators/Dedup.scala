@@ -919,4 +919,42 @@ object Dedup {
         countDistinct(col("mid_h")).as("n_mids"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .filter(col("n_docs") >= 2)
+
+  /** LSH tuning grade: measured recall/precision of [[minhashPairs]]
+    * against the EXACT ground truth "quantized 3-gram Jaccard ≥ τ".
+    * Ground truth is complete because any pair with J ≥ τ > 0 shares at
+    * least one gram, so the gram-sharing equi-join enumerates every
+    * positive — this is the exact quadratic-risk path LSH exists to avoid,
+    * which is precisely why this evaluator is a QA-SCALE tool: run it on a
+    * bounded validation sample (as here), read recall, then trust the
+    * banded path corpus-wide ([[lshCurve]] gives the matching theoretical
+    * S-curve). One-row output: (n_truth, n_candidates, n_hit, recall,
+    * precision) — precision counts candidate pairs that truly clear τ.
+    */
+  def lshRecall(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("s", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+          |  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          |            element_at(toks, i + 3))))""".stripMargin)))
+      .select(col("doc_id"), col("s"))
+    val gp = sh.select(col("doc_id").as("id1"), col("s"))
+      .join(sh.select(col("doc_id").as("id2"), col("s")), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val truth = ngramJaccard(docs, gp)
+      .filter(col("jaccard") >= threshold).select("id1", "id2")
+    val cand = minhashPairs(docs).select("id1", "id2").distinct()
+    val hit = truth.join(cand, Seq("id1", "id2"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth") + lit(1e-9), 4)
+          .as("recall"),
+        round(col("n_hit").cast("double") / col("n_candidates") + lit(1e-9),
+          4).as("precision"))
+  }
 }

@@ -209,6 +209,48 @@ object Forecast {
         "z_smooth", "p_smooth", "rate")
   }
 
+  /** Seasonal-naive backtest — the m-periodic sibling of
+    * [[forecastAccuracy]] (Hyndman & Athanasopoulos FPP3 §5.2: forecast
+    * every test point with the observation m steps back; the baseline any
+    * seasonal model must beat). Same 80/20 split and the same
+    * integer-sum-ratio metric contract; the seasonal MASE denominator is
+    * the train-side mean |y_i − y_{i−m}|. Series need ≥ 3·m observations
+    * so the train side holds at least one full seasonal comparison.
+    */
+  def seasonalNaiveAccuracy(metrics: DataFrame, m: Int,
+      valueCol: String = "value"): DataFrame = {
+    require(m >= 1, "period m >= 1")
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    val idxd = metrics
+      .withColumn("idx", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .withColumn("prev", lag(col(valueCol), m).over(w))
+      .filter(col("n") >= 3 * m)
+      .withColumn("h", floor(col("n") * 4 / lit(5)).cast("long"))
+    idxd.groupBy("conv_id")
+      .agg(
+        first("n").as("n"), first("h").as("h"),
+        sum(when(col("idx") > col("h"),
+          abs(col(valueCol) - col("prev"))).otherwise(lit(0.0))).as("sae"),
+        sum(when(col("idx") > col("h"),
+          (col(valueCol) - col("prev")) * (col(valueCol) - col("prev")))
+          .otherwise(lit(0.0))).as("sse"),
+        sum(when(col("idx") > col("h"), abs(col(valueCol)))
+          .otherwise(lit(0.0))).as("say"),
+        sum(when(col("idx") > lit(m) && col("idx") <= col("h"),
+          abs(col(valueCol) - col("prev"))).otherwise(lit(0.0))).as("strain"))
+      .select(col("conv_id"),
+        col("n").cast("long").as("n_obs"),
+        (col("n") - col("h")).cast("long").as("n_test"),
+        r4(col("sae") / (col("n") - col("h"))).as("mae"),
+        r4(sqrt(col("sse") / (col("n") - col("h")))).as("rmse"),
+        when(col("say") > 0, r4(lit(100) * col("sae") / col("say")))
+          .as("wape"),
+        when(col("strain") > 0,
+          r4(col("sae") * (col("h") - m) /
+            ((col("n") - col("h")) * col("strain")))).as("mase"))
+  }
+
   def forecastAccuracy(metrics: DataFrame,
       valueCol: String = "value"): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")

@@ -1083,6 +1083,63 @@ object TextAnalysis {
         (col("k") < kMin).as("suppress"),
         round(lit(1.0) / col("k") + lit(1e-9), 4).as("risk"))
 
+  /** Retrieval-quality evaluation of the [[bm25]] index — MRR and NDCG@k
+    * (Järvelin & Kekäläinen 2002) against binary relevance = "document
+    * contains EVERY query term" (the all-terms conjunctive label, computed
+    * exactly from the same token relation the index uses). The k ≤ 10 rank
+    * discounts 1/log₂(r+1) are SHARED 4-dp LITERALS in both engines — no
+    * runtime log anywhere — so DCG is a sum of ≤ k exact constants (r4
+    * guard at the boundary). Corpus-sized work is the bm25 scoring itself
+    * plus one distinct-token pass; everything after runs on |queries|·k
+    * rows. Output per query: (qid, n_rel, hits, first_rel_rank, mrr, dcg,
+    * idcg, ndcg); queries with an empty relevance set drop.
+    */
+  def retrievalEval(docs: DataFrame, queries: Seq[(Int, String)],
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, "discount literals cover k <= 10")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val disc = Seq(1.0, 0.6309, 0.5, 0.4307, 0.3869,
+      0.3562, 0.3333, 0.3155, 0.3010, 0.2891)
+    val top = bm25(docs, queries, k)
+    val tok = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> w != '')")).as("term"))
+      .distinct()
+    val q = queries.toDF("qid", "qtext")
+      .select(col("qid"),
+        explode(expr("filter(split(qtext, ' '), w -> w != '')")).as("term"))
+      .distinct()
+    val qn = q.groupBy("qid").agg(count(lit(1)).as("nq"))
+    val rel = tok.join(broadcast(q), "term")
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("c"))
+      .join(broadcast(qn), "qid")
+      .filter(col("c") === col("nq")).select("qid", "doc_id")
+    val relc = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val discArr = array(disc.map(lit): _*)
+    val m = top.join(rel, Seq("qid", "doc_id"))
+      .withColumn("disc", element_at(discArr, col("rn")))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"),
+        min(col("rn").cast("long")).as("frr"),
+        sum("disc").as("dcg0"))
+    val idealExpr = expr(
+      s"""aggregate(slice(array(${disc.mkString(", ")}), 1,
+         |  int(least($k, n_rel))), cast(0 as double), (a, x) -> a + x)"""
+        .stripMargin)
+    relc.filter(col("n_rel") > 0)
+      .withColumn("idcg0", idealExpr)
+      .join(m, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("frr"), lit(-1L)).as("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("frr"), lit(0.0)) + lit(1e-9), 4)
+          .as("mrr"),
+        round(coalesce(col("dcg0"), lit(0.0)) + lit(1e-9), 4).as("dcg"),
+        round(col("idcg0") + lit(1e-9), 4).as("idcg"),
+        round(coalesce(col("dcg0"), lit(0.0)) / col("idcg0") + lit(1e-9), 4)
+          .as("ndcg"))
+  }
+
   /** Flesch reading-ease score per document — the classic readability
     * quality signal (Flesch 1948; the Gopher/quality batteries grade
     * length and repetition, this grades sentence/word complexity):

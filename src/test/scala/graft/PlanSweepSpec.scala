@@ -48,7 +48,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "ts_cal_anomaly", // max-week reduce over the |weeks|·168 cell relation
     "dd_cluster_stats", // scalar singleton-count total + bounded histogram
     "ts_staleness", // scalar watermark reduce over the conv-last relation
-    "txt_dup_inflation") // one-row corpus ledger over the dup-group relation
+    "txt_dup_inflation", // one-row corpus ledger over the dup-group relation
+    "txt_mrr", // |queries|-row eval: BM25's k-row top lists + 3-row metrics
+    "dd_lsh_recall") // one-row recall/precision totals (QA-scale evaluator)
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
