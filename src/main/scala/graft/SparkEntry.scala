@@ -2152,6 +2152,20 @@ object SparkEntry {
       Multimodal.payloadEntropy(s, documents(s, dir)
           .select(col("doc_id"), col("text").cast("binary").as("payload")))
         .orderBy("doc_id")),
+    // token-bucket rate-limiter replay: 2-burst, 1-request-per-2-hours
+    // sustained (all-integer micro-token state machine; tight enough that
+    // the fixture's bursty conversations actually throttle)
+    "ts_rate_limit" -> ((s, dir) =>
+      SeriesOps.tokenBucket(transcripts(s, dir), capacityMicro = 14400000L,
+        ratePerMsMicro = 1L, costMicro = 7200000L)
+        .orderBy("conv_id")),
+    // EWMA control chart (Roberts 1959): mean+variance EWMAs, squared
+    // breach comparison (no sqrt in the contract)
+    "ts_ewma_chart" -> ((s, dir) =>
+      SeriesOps.ewmaChart(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        alpha = 0.25, k = 3.0)
+        .orderBy("conv_id")),
     // retrieval-quality eval of the BM25 index: MRR + NDCG@10 against
     // all-terms binary relevance; rank discounts are shared 4-dp literals
     "txt_mrr" -> ((s, dir) =>
@@ -8279,6 +8293,72 @@ private object Oracles {
           |  coalesce(CAST(min(CASE WHEN cum > 8192 THEN idx END) AS BIGINT),
           |    -1) AS first_overflow_idx
           |FROM v GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    // all-integer token-bucket state machine: refill (t-t_prev)·1 micro/ms,
+    // min with capacity, subtract cost on allow — recursion replay
+    "ts_rate_limit" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, v AS (
+          |  SELECT conv_id, epoch_ms(ts) AS t,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS i
+          |  FROM transcripts
+          |), r AS (
+          |  SELECT conv_id, i, t,
+          |    CAST(14400000 - 7200000 AS BIGINT) AS tokens,
+          |    1 AS allowed, CAST(NULL AS BIGINT) AS den_t
+          |  FROM v WHERE i = 1
+          |  UNION ALL
+          |  SELECT conv_id, i, t,
+          |    CASE WHEN refilled >= 7200000 THEN refilled - 7200000
+          |         ELSE refilled END AS tokens,
+          |    CASE WHEN refilled >= 7200000 THEN 1 ELSE 0 END AS allowed,
+          |    CASE WHEN refilled < 7200000 THEN t END AS den_t
+          |  FROM (
+          |    SELECT x.conv_id AS conv_id, x.i AS i, x.t AS t,
+          |      least(CAST(14400000 AS BIGINT),
+          |            r.tokens + (x.t - r.t)) AS refilled
+          |    FROM r JOIN v x ON x.conv_id = r.conv_id AND x.i = r.i + 1
+          |  )
+          |)
+          |SELECT conv_id, count(*) AS n_events,
+          |  CAST(sum(allowed) AS BIGINT) AS n_allowed,
+          |  CAST(sum(1 - allowed) AS BIGINT) AS n_denied,
+          |  coalesce(min(den_t), -1) AS first_denied_ms
+          |FROM r GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    // EWMA chart recursion: v-update reads the PREVIOUS m (matching the
+    // kernel's update order); breach on the squared comparison with the
+    // shared k^2 = 9.0 literal
+    "ts_ewma_chart" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS y, epoch_ms(ts) AS t,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS i
+          |  FROM metrics
+          |), r AS (
+          |  SELECT conv_id, i, t, y AS m, CAST(0.0 AS DOUBLE) AS v2,
+          |    0 AS breach, CAST(NULL AS BIGINT) AS b_t
+          |  FROM v WHERE i = 1
+          |  UNION ALL
+          |  SELECT x.conv_id, x.i, x.t,
+          |    round(0.25 * x.y + 0.75 * r.m + 1e-9, 4) AS m,
+          |    round(0.25 * (x.y - r.m) * (x.y - r.m) + 0.75 * r.v2
+          |      + 1e-9, 4) AS v2,
+          |    CASE WHEN r.v2 > 0 AND (x.y - r.m) * (x.y - r.m) > 9.0 * r.v2
+          |         THEN 1 ELSE 0 END AS breach,
+          |    CASE WHEN r.v2 > 0 AND (x.y - r.m) * (x.y - r.m) > 9.0 * r.v2
+          |         THEN x.t END AS b_t
+          |  FROM r JOIN v x ON x.conv_id = r.conv_id AND x.i = r.i + 1
+          |), agg AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    CAST(sum(breach) AS BIGINT) AS n_breach,
+          |    coalesce(min(b_t), -1) AS first_breach_ms, max(i) AS mi
+          |  FROM r GROUP BY 1
+          |)
+          |SELECT a.conv_id, a.n_obs, a.n_breach, a.first_breach_ms,
+          |  l.m + 0.0 AS m_final, l.v2 + 0.0 AS v_final
+          |FROM agg a JOIN r l ON l.conv_id = a.conv_id AND l.i = a.mi
+          |ORDER BY a.conv_id""".stripMargin),
     // MRR/NDCG@10 replay on the shared bm25 CTE chain; relevance =
     // all-query-terms-present computed from the same token relation
     "txt_mrr" ->

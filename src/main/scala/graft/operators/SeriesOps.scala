@@ -1607,6 +1607,85 @@ object SeriesOps {
           .as("first_golden_ms"))
   }
 
+  /** Token-bucket rate-limiter replay over each conversation's arrival
+    * stream — the ops question "which agents would a C-burst / r-sustained
+    * limiter throttle, and when". Units are MICRO-tokens with an integer
+    * per-millisecond refill, so the state machine is ALL-INTEGER (no
+    * fractional-refill carry to lose): on each arrival,
+    *   tokens = min(capacity, tokens + (t − t_prev)·ratePerMs)
+    *   allowed ⇔ tokens ≥ cost;  allowed ⇒ tokens −= cost
+    * starting from a full bucket. Exactly replayable by a recursive-CTE
+    * oracle; one sorted-fold kernel per conversation (O(1) state, one
+    * conv_id shuffle). Output: (conv_id, n_events, n_allowed, n_denied,
+    * first_denied_ms) with -1 when nothing is throttled.
+    */
+  def tokenBucket(metrics: DataFrame, capacityMicro: Long,
+      ratePerMsMicro: Long, costMicro: Long): DataFrame = {
+    require(capacityMicro >= costMicro && ratePerMsMicro > 0 && costMicro > 0,
+      "bucket must hold at least one request")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var tokens = capacityMicro
+        var prevT = rows.head._2
+        var allowed = 0L; var denied = 0L; var firstDen = -1L
+        rows.foreach { case (_, t, _) =>
+          tokens = math.min(capacityMicro, tokens + (t - prevT) * ratePerMsMicro)
+          if (tokens >= costMicro) { allowed += 1; tokens -= costMicro }
+          else { denied += 1; if (firstDen < 0) firstDen = t }
+          prevT = t
+        }
+        (conv, rows.length.toLong, allowed, denied, firstDen)
+      }
+      .toDF("conv_id", "n_events", "n_allowed", "n_denied", "first_denied_ms")
+  }
+
+  /** EWMA control chart (Roberts 1959 — the third classic SPC screen next
+    * to [[cusum]] and [[pageHinkley]]): exponentially-weighted mean AND
+    * variance, both 4-dp-quantized per step,
+    *   m_t = r4(α·y + (1−α)·m),  v_t = r4(α·(y − m_{t−1})² + (1−α)·v)
+    * with a breach when (y − m_{t−1})² > k²·v_{t−1} (squared comparison —
+    * no sqrt in the contract; k² is a shared literal) and v_{t−1} > 0.
+    * Init m = y₁, v = 0, so breaches can only start at the third point.
+    * Same fold-kernel/recursive-CTE-oracle shape as holt. Output:
+    * (conv_id, n_obs, n_breach, first_breach_ms, m_final, v_final).
+    */
+  def ewmaChart(metrics: DataFrame, alpha: Double, k: Double,
+      valueCol: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && k > 0, "alpha in (0,1], k > 0")
+    val k2 = k * k
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var m = rows.head._4
+        var v = 0.0
+        var breach = 0L; var firstB = -1L
+        rows.iterator.drop(1).foreach { case (_, t, _, y) =>
+          val d2 = (y - m) * (y - m)
+          if (v > 0 && d2 > k2 * v) {
+            breach += 1; if (firstB < 0) firstB = t
+          }
+          v = r4d(alpha * d2 + (1 - alpha) * v)
+          m = r4d(alpha * y + (1 - alpha) * m)
+        }
+        (conv, rows.length.toLong, breach, firstB, m, v)
+      }
+      .toDF("conv_id", "n_obs", "n_breach", "first_breach_ms",
+        "m_final", "v_final")
+  }
+
   /** Day-of-week effect one-way ANOVA per series: does the metric's level
     * differ by weekday? Groups g ∈ 0..6 (epoch-arithmetic dow — the
     * [[Features.dowHourProfile]] timezone-free rule: (epochDay+4) mod 7,

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SeriesOps
+
+/** Token-bucket rate limiter and EWMA control chart. */
+class Round5rSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("tokenBucket: hand-replayed burst/refill/deny sequence") {
+    import spark.implicits._
+    // capacity 14.4M micro, 1 micro/ms, cost 7.2M: burst 2, 1 per 2 h
+    val tr = Seq(
+      ("c", 0, ts(0L)),          // full bucket: allow, tokens 7.2M
+      ("c", 1, ts(1000L)),       // +1000 -> 7.201M: allow, tokens 1000
+      ("c", 2, ts(1000000L)),    // +999000 -> 1M < 7.2M: DENY
+      ("c", 3, ts(20000000L))    // +19M -> capped 14.4M: allow
+    ).toDF("conv_id", "turn_idx", "ts")
+    val r = SeriesOps.tokenBucket(tr, 14400000L, 1L, 7200000L).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 1000000L, "first denial at the starved arrival")
+  }
+
+  test("ewmaChart: constant series never breaches (v stays 0); a spike after real variance does") {
+    import spark.implicits._
+    val hour = 3600000L
+    val mk = (c: String, vs: Seq[Double]) => vs.zipWithIndex.map {
+      case (v, i) => (c, i, ts(i * hour), v)
+    }
+    val m = (mk("const", Seq.fill(6)(50.0)) ++
+      mk("spiky", Seq(100.0, 104.0, 96.0, 104.0, 96.0, 1000.0)))
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val out = SeriesOps.ewmaChart(m, alpha = 0.25, k = 3.0).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("const").getLong(2) == 0L, "zero variance -> no breach")
+    assert(out("const").getLong(3) == -1L)
+    assert(out("spiky").getLong(2) == 1L, "the spike breaches once")
+    assert(out("spiky").getLong(3) == 5L * hour, "breach at the spike row")
+  }
+}
