@@ -2152,6 +2152,25 @@ object SparkEntry {
       Multimodal.payloadEntropy(s, documents(s, dir)
           .select(col("doc_id"), col("text").cast("binary").as("payload")))
         .orderBy("doc_id")),
+    // AR(2) one-step backcast via Yule-Walker from the quantized ACF,
+    // with skill vs the lag-1 naive baseline (centi-quantized errors)
+    "ts_ar2" -> ((s, dir) =>
+      Forecast.ar2Forecast(
+        metrics(s, dir).withColumnRenamed("text_len", "value"))
+        .orderBy("conv_id")),
+    // dedup-aware corpus sampling: canonicals weighted by clone-family
+    // size, singletons weight 1, deterministic A-ES priority keep set
+    "dd_dup_sample" -> ((s, dir) => {
+      val d = docsPlanted(s, dir)
+      val comp = Dedup.components(Dedup.minhashPairs(d))
+      val canon = comp.filter(col("is_canonical"))
+        .select(col("doc_id"), col("group_sz").cast("long").as("w"))
+      val singles = d.select("doc_id")
+        .join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("w", lit(1L))
+      Select.weightedPrioritySample(canon.unionByName(singles),
+        "doc_id", "w", k = 16)
+    }),
     // token-bucket rate-limiter replay: 2-burst, 1-request-per-2-hours
     // sustained (all-integer micro-token state machine; tight enough that
     // the fixture's bursty conversations actually throttle)
@@ -8293,6 +8312,103 @@ private object Oracles {
           |  coalesce(CAST(min(CASE WHEN cum > 8192 THEN idx END) AS BIGINT),
           |    -1) AS first_overflow_idx
           |FROM v GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    // Yule-Walker phis off the shared quantized-ACF chain; errors
+    // centi-quantized before squaring so the sums are exact integers;
+    // phi/skill are signed -> +0.0 normalizers
+    "ts_ar2" ->
+      (cte + metricsCte +
+        """, st AS (
+          |  SELECT conv_id, count(*) AS n_obs,
+          |    round(avg(text_len) + 1e-9, 4) AS mu
+          |  FROM metrics GROUP BY 1
+          |), dxt AS (
+          |  SELECT m.conv_id, st.n_obs, m.text_len - st.mu AS dx,
+          |    lag(m.text_len - st.mu, 1) OVER w AS dx1,
+          |    lag(m.text_len - st.mu, 2) OVER w AS dx2,
+          |    lag(m.text_len - st.mu, 3) OVER w AS dx3
+          |  FROM metrics m JOIN st ON m.conv_id = st.conv_id
+          |  WINDOW w AS (PARTITION BY m.conv_id ORDER BY m.ts, m.turn_idx)
+          |), ag AS (
+          |  SELECT conv_id, min(n_obs) AS n_obs,
+          |    sum(dx * dx) AS c0, sum(dx * dx1) AS c1,
+          |    sum(dx * dx2) AS c2, sum(dx * dx3) AS c3
+          |  FROM dxt GROUP BY 1
+          |), rr AS (
+          |  SELECT conv_id, n_obs,
+          |    round(c1 / c0 + 1e-9, 4) AS r1,
+          |    round(c2 / c0 + 1e-9, 4) AS r2
+          |  FROM ag WHERE round(c0 + 1e-9, 4) > 0
+          |), phd AS (
+          |  SELECT conv_id, r1, r2,
+          |    round(1.0 - r1 * r1 + 1e-9, 4) AS den
+          |  FROM rr
+          |), ph2 AS (
+          |  SELECT conv_id,
+          |    round((r2 - r1 * r1) / den + 1e-9, 4) AS phi2,
+          |    round(r1 * (1.0 - r2) / den + 1e-9, 4) AS phi1
+          |  FROM phd WHERE den > 0
+          |), pts AS (
+          |  SELECT m.conv_id, m.text_len AS y, st.mu, p.phi1, p.phi2,
+          |    lag(m.text_len, 1) OVER w AS y1,
+          |    lag(m.text_len, 2) OVER w AS y2
+          |  FROM metrics m JOIN st ON m.conv_id = st.conv_id
+          |  JOIN ph2 p ON m.conv_id = p.conv_id
+          |  WINDOW w AS (PARTITION BY m.conv_id ORDER BY m.ts, m.turn_idx)
+          |), er AS (
+          |  SELECT conv_id, phi1, phi2,
+          |    CAST(round((y - (mu + phi1 * (y1 - mu) + phi2 * (y2 - mu)))
+          |      * 100) AS BIGINT) AS e_c,
+          |    CAST(round((y - y1) * 100) AS BIGINT) AS en_c
+          |  FROM pts WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+          |), agg AS (
+          |  SELECT conv_id, count(*) AS n_pts,
+          |    any_value(phi1) AS phi1, any_value(phi2) AS phi2,
+          |    CAST(sum(e_c * e_c) AS BIGINT) AS se2,
+          |    CAST(sum(en_c * en_c) AS BIGINT) AS sn2
+          |  FROM er GROUP BY 1
+          |)
+          |SELECT conv_id, n_pts, phi1 + 0.0 AS phi1, phi2 + 0.0 AS phi2,
+          |  round(sqrt(se2 / (10000.0 * n_pts)) + 1e-9, 4) AS rmse_ar2,
+          |  round(sqrt(sn2 / (10000.0 * n_pts)) + 1e-9, 4) AS rmse_naive,
+          |  CASE WHEN sn2 > 0
+          |       THEN round(1.0 - sqrt(se2 / sn2) + 1e-9, 4) + 0.0
+          |  END AS skill
+          |FROM agg ORDER BY conv_id""".stripMargin),
+    // dedup-aware sampling replay: closure components -> canonical
+    // weights (+ singleton weight 1) -> the ts_weighted_sample priority
+    "dd_dup_sample" ->
+      (plantedCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        shingleCtes + bandCtes +
+        s""", esym AS (
+          |  SELECT id1 AS x, id2 AS y FROM pairs
+          |  UNION
+          |  SELECT id2 AS x, id1 AS y FROM pairs
+          |), reach AS (
+          |  SELECT x, y FROM (SELECT x, y FROM esym UNION SELECT x, x AS y FROM esym)
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN esym e ON r.y = e.x
+          |), comp AS (
+          |  SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+          |), csz AS (
+          |  SELECT component, count(*) AS group_sz FROM comp GROUP BY 1
+          |), wts AS (
+          |  SELECT CAST(c.doc_id AS VARCHAR) AS key,
+          |    CAST(s.group_sz AS BIGINT) AS weight
+          |  FROM comp c JOIN csz s USING (component)
+          |  WHERE c.doc_id = c.component
+          |  UNION ALL
+          |  SELECT CAST(d.doc_id AS VARCHAR) AS key, CAST(1 AS BIGINT)
+          |  FROM docs d WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+          |), k2 AS (
+          |  SELECT key, weight, ${u32Sql("key")} AS h FROM wts
+          |  WHERE weight > 0
+          |), p AS (
+          |  SELECT key, weight, h, h // weight AS priority
+          |  FROM k2 ORDER BY priority, key LIMIT 16
+          |)
+          |SELECT key, weight, h, priority,
+          |  CAST(row_number() OVER (ORDER BY priority, key) AS INT) AS rank
+          |FROM p ORDER BY rank""".stripMargin),
     // all-integer token-bucket state machine: refill (t-t_prev)·1 micro/ms,
     // min with capacity, subtract cost on allow — recursion replay
     "ts_rate_limit" ->

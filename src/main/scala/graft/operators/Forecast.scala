@@ -164,6 +164,53 @@ object Forecast {
       .toDF("conv_id", "idx", "value", "theta2", "ses", "forecast")
   }
 
+  /** AR(2) one-step backcast via Yule-Walker — the autoregressive member
+    * of the forecast family, built ENTIRELY from already-quantized
+    * relational pieces (no recursion, no kernel): φ₂ = (r₂−r₁²)/(1−r₁²),
+    * φ₁ = r₁(1−r₂)/(1−r₁²) from [[SeriesOps.acf]]'s 4-dp autocorrelations,
+    * then every in-sample point is predicted as
+    * ŷ = μ + φ₁(y₋₁−μ) + φ₂(y₋₂−μ) (one fixed-order float chain over
+    * quantized inputs — bit-identical cross-engine). Errors are quantized
+    * to integer CENTI-units before squaring, so ΣεΔ² is an exact integer
+    * sum (2-dp RMSE precision; bound n·(100·|e|max)² < 2^53 documented)
+    * and the skill score vs the lag-1 naive baseline is a single √ ratio.
+    * One acf pass + one window pass sharing the conv partitioning.
+    * Output: (conv_id, n_pts, phi1, phi2, rmse_ar2, rmse_naive, skill).
+    */
+  def ar2Forecast(metrics: DataFrame,
+      valueCol: String = "value"): DataFrame = {
+    val phi = SeriesOps.acf(metrics, valueCol)
+      .withColumn("den", r4(lit(1.0) - col("r1") * col("r1")))
+      .filter(col("den") > 0)
+      .withColumn("phi2", r4((col("r2") - col("r1") * col("r1")) / col("den")))
+      .withColumn("phi1",
+        r4(col("r1") * (lit(1.0) - col("r2")) / col("den")))
+      .select("conv_id", "phi1", "phi2")
+    val mu = metrics.groupBy("conv_id").agg(r4(avg(valueCol)).as("mu"))
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    metrics.join(mu, "conv_id").join(phi, "conv_id")
+      .withColumn("y1", lag(valueCol, 1).over(w))
+      .withColumn("y2", lag(valueCol, 2).over(w))
+      .filter(col("y1").isNotNull && col("y2").isNotNull)
+      .withColumn("pred",
+        col("mu") + col("phi1") * (col("y1") - col("mu")) +
+          col("phi2") * (col("y2") - col("mu")))
+      .withColumn("e_c",
+        round((col(valueCol) - col("pred")) * 100).cast("long"))
+      .withColumn("en_c",
+        round((col(valueCol) - col("y1")) * 100).cast("long"))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_pts"),
+        first("phi1").as("phi1"), first("phi2").as("phi2"),
+        sum(col("e_c") * col("e_c")).as("se2"),
+        sum(col("en_c") * col("en_c")).as("sn2"))
+      .select(col("conv_id"), col("n_pts"), col("phi1"), col("phi2"),
+        r4(sqrt(col("se2") / (lit(10000.0) * col("n_pts")))).as("rmse_ar2"),
+        r4(sqrt(col("sn2") / (lit(10000.0) * col("n_pts")))).as("rmse_naive"),
+        when(col("sn2") > 0,
+          r4(lit(1.0) - sqrt(col("se2") / col("sn2")))).as("skill"))
+  }
+
   /** Croston's method for intermittent demand (Croston 1972, the standard
     * sparse-series forecaster — tool invocations in agent transcripts are
     * exactly its domain: most periods see zero calls). Input is the

@@ -23,6 +23,39 @@ class Round5rSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1000000L, "first denial at the starved arrival")
   }
 
+  test("ar2Forecast: structure and guards (n_pts = n-2; degenerate acf drops)") {
+    import spark.implicits._
+    val hour = 3600000L
+    // damped oscillation: well-defined acf, non-degenerate den
+    val vs = Seq(100.0, 140.0, 90.0, 130.0, 95.0, 125.0, 100.0, 120.0,
+      105.0, 115.0, 108.0, 112.0)
+    // constant series: zero variance -> the acf gate drops it
+    val const = Seq.fill(12)(42.0)
+    val m = (vs.zipWithIndex.map { case (v, i) => ("osc", i, ts(i * hour), v) }
+      ++ const.zipWithIndex.map { case (v, i) => ("const", i, ts(i * hour), v) })
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val out = graft.operators.Forecast.ar2Forecast(m).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.contains("osc"))
+    assert(!out.contains("const"), "zero-variance series must drop")
+    val o = out("osc")
+    assert(o.getLong(1) == vs.length - 2L, "one prediction per lag-2 point")
+    assert(o.getDouble(5) > 0, "naive rmse positive on a non-constant series")
+    // oscillation is strongly negatively autocorrelated: AR(2) beats naive
+    assert(o.getDouble(4) < o.getDouble(5) && o.getDouble(6) > 0)
+  }
+
+  test("dd_dup_sample: deterministic dedup-aware keep set over the planted corpus") {
+    val r = SparkEntry.queries("dd_dup_sample")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length == 16)
+    assert(r.map(_.getInt(4)).toSeq == (1 to 16), "ranks are 1..16")
+    assert(r.forall(row => row.getLong(1) >= 1L), "weights >= 1")
+    assert(r.forall(row =>
+      row.getLong(3) == row.getLong(2) / row.getLong(1)),
+      "priority = h div weight")
+  }
+
   test("ewmaChart: constant series never breaches (v stays 0); a spike after real variance does") {
     import spark.implicits._
     val hour = 3600000L
