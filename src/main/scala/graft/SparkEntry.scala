@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Sliding, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2217,6 +2217,24 @@ object SparkEntry {
             lit(-1L)).as("first_overflow_idx"))
         .orderBy("conv_id")
     }),
+    // hopping-window rollup (1h window / 15m hop): each turn explodes
+    // into its 4 windows; two-phase partial agg keyed (window, conv)
+    // first so exact n_convs never count-distincts a hot window
+    "ts_sliding_agg" -> ((s, dir) =>
+      Sliding.slidingAgg(metrics(s, dir)).orderBy("window_start")),
+    // trailing-8-turn OLS slope per turn (PromQL deriv on a row basis):
+    // four integer window sums, one float division at the boundary
+    "ts_rolling_slope" -> ((s, dir) =>
+      Sliding.rollingSlope(metrics(s, dir)).orderBy("conv_id", "idx")),
+    // sliding 24h distinct-conversation estimate per hour from hour-keyed
+    // HLL registers: raw read once, slide = register-wise RANGE max
+    "ts_hll_sliding" -> ((s, dir) =>
+      Sliding.hllSliding(transcripts(s, dir)).orderBy("hour_ts")),
+    // Iceberg-maintenance bin-packing plan over the per-(day, conv) file
+    // ledger: cumulative-capacity bins, window at manifest scale only
+    "ts_compaction_plan" -> ((s, dir) =>
+      Layout.compactionPlan(transcripts(s, dir), 512L)
+        .orderBy("day", "bin")),
   )
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
@@ -2363,6 +2381,16 @@ object SparkEntry {
   */
 private object Oracles {
   private val cte = Transcripts.oracleCte
+
+  /** Shared literal for the sliding-HLL estimate α·m²·2^B (m = 256,
+    * B = 25): the Spark side recomputes the identical Scala double in
+    * [[graft.operators.Sliding.hllSliding]]; `Double.toString`
+    * round-trips, so the SQL literal parses back to the same bits.
+    * (Defined BEFORE `val all` — plain vals after it are null during
+    * object init.)
+    */
+  private val hllSlideC: Double =
+    (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * (1L << 25).toDouble
 
   private val metricsCte =
     """, metrics AS (
@@ -8585,6 +8613,111 @@ private object Oracles {
           |  CASE WHEN strain > 0
           |       THEN round(sae * (h - 4) / ((n - h) * strain) + 1e-9, 4) END AS mase
           |FROM a ORDER BY conv_id""".stripMargin),
+    // hopping windows: hop cell k0 -> windows k0-3..k0 via unnest; the
+    // (window, conv) partial makes n_convs a plain count
+    "ts_sliding_agg" ->
+      (cte + metricsCte +
+        """, pts AS (
+          |  SELECT conv_id, epoch_ms(ts) // 900000 AS k0,
+          |    CAST(text_len AS BIGINT) AS v
+          |  FROM metrics
+          |), ex AS (
+          |  SELECT conv_id, v, unnest(generate_series(k0 - 3, k0)) AS k
+          |  FROM pts
+          |), pc AS (
+          |  SELECT k, conv_id, count(*) AS n, sum(v) AS s
+          |  FROM ex GROUP BY 1, 2
+          |)
+          |SELECT make_timestamp(k * 900000 * 1000) AS window_start,
+          |  make_timestamp((k * 900000 + 3600000) * 1000) AS window_end,
+          |  CAST(sum(n) AS BIGINT) AS n_turns,
+          |  CAST(sum(s) AS BIGINT) AS total_len,
+          |  CAST(count(*) AS BIGINT) AS n_convs
+          |FROM pc GROUP BY k ORDER BY 1""".stripMargin),
+    // trailing-8 OLS slope from four integer window sums; slope is signed
+    // -> +0.0 normalizer
+    "ts_rolling_slope" ->
+      (cte + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, CAST(text_len AS BIGINT) AS y,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS bigint) AS i
+          |  FROM metrics
+          |), s AS (
+          |  SELECT conv_id, i, y,
+          |    count(*) OVER w AS n,
+          |    sum(y) OVER w AS sy, sum(i) OVER w AS si,
+          |    sum(i * y) OVER w AS siy, sum(i * i) OVER w AS sii
+          |  FROM v
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY i
+          |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+          |)
+          |SELECT conv_id, i AS idx, y AS value,
+          |  round(CAST(8 * siy - si * sy AS DOUBLE)
+          |        / CAST(8 * sii - si * si AS DOUBLE) + 1e-9, 4) + 0.0
+          |    AS slope
+          |FROM s WHERE n = 8 ORDER BY conv_id, idx""".stripMargin),
+    // hour-keyed HLL registers (the ts_hll u32 replay keyed by hour on
+    // md5(conv_id)) -> dense hour x register grid -> register-wise
+    // trailing RANGE max -> exact integer 2^(25-rho) sums per hour
+    "ts_hll_sliding" ->
+      (cte +
+        s""", hh AS (
+          |  SELECT epoch_ms(ts) // 3600000 AS hr,
+          |    CAST(list_sum(list_transform(generate_series(1, 8), d ->
+          |      cast(strpos('0123456789abcdef', substr(md5(conv_id), cast(d AS int), 1)) - 1 AS bigint)
+          |        * cast(pow(16, 8 - d) AS bigint))) AS BIGINT) AS u32
+          |  FROM transcripts
+          |), reg AS (
+          |  SELECT hr, cast(u32 // 16777216 AS int) AS register,
+          |    u32 % 16777216 AS rem
+          |  FROM hh
+          |), rg AS (
+          |  SELECT hr, register,
+          |    cast(max(CASE WHEN rem = 0 THEN 25
+          |                  ELSE 24 - length(bin(rem)) + 1 END) AS int) AS rho
+          |  FROM reg GROUP BY 1, 2
+          |), hours AS (SELECT DISTINCT hr FROM rg
+          |), grid AS (
+          |  SELECT hr, unnest(generate_series(0, 255)) AS register FROM hours
+          |), j AS (
+          |  SELECT g.hr, g.register, rg.rho
+          |  FROM grid g LEFT JOIN rg ON g.hr = rg.hr AND g.register = rg.register
+          |), sl AS (
+          |  SELECT hr, register,
+          |    max(rho) OVER (PARTITION BY register ORDER BY hr
+          |                   RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS rho_w
+          |  FROM j
+          |)
+          |SELECT make_timestamp(hr * 3600000 * 1000) AS hour_ts,
+          |  CAST(sum(CASE WHEN rho_w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS v_zero,
+          |  CAST(sum(CAST(1 AS BIGINT) << (25 - coalesce(rho_w, 0))) AS BIGINT)
+          |    AS s_scaled,
+          |  round($hllSlideC
+          |    / CAST(sum(CAST(1 AS BIGINT) << (25 - coalesce(rho_w, 0))) AS DOUBLE)
+          |    + 1e-9, 4) AS est
+          |FROM sl GROUP BY hr ORDER BY 1""".stripMargin),
+    // bin-packing replay: per-day file ledger, cumulative-capacity bins;
+    // cum is HUGEINT -> bin CAST BIGINT (the winnow lesson)
+    "ts_compaction_plan" ->
+      (cte +
+        """, files AS (
+          |  SELECT conv_id, date_trunc('day', ts) AS day,
+          |    CAST(sum(length(text)) AS BIGINT) AS bytes
+          |  FROM transcripts GROUP BY 1, 2
+          |), c AS (
+          |  SELECT day, conv_id, bytes,
+          |    sum(bytes) OVER (PARTITION BY day
+          |                     ORDER BY bytes DESC, conv_id
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING
+          |                       AND CURRENT ROW) AS cum
+          |  FROM files
+          |)
+          |SELECT day, CAST((greatest(cum, 1) - 1) // 512 AS BIGINT) AS bin,
+          |  CAST(count(*) AS BIGINT) AS n_files,
+          |  CAST(sum(bytes) AS BIGINT) AS bin_bytes
+          |FROM c GROUP BY 1, 2 ORDER BY day, bin""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

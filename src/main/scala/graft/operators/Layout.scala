@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multidimensional data layout: Morton/z-order clustering of the
@@ -63,4 +64,37 @@ object Layout {
     transcriptZ(df, bits)
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")
+
+  /** Small-file compaction plan — the Iceberg `rewrite_data_files`
+    * bin-packing planner as a relation. The per-day ingest "file ledger"
+    * (one file per (day, conv): its byte mass = Σ text bytes, the shape a
+    * per-conversation streaming ingest leaves behind) is packed into
+    * target-size rewrite groups by CUMULATIVE-CAPACITY packing: files
+    * ordered (bytes DESC, conv_id) inside their day partition, running
+    * byte total, bin = (cum−1) DIV target. Each bin's mass is
+    * < target + its largest file — the streaming approximation Iceberg's
+    * own BinPacking uses, chosen here because it is ORDER-DETERMINISTIC
+    * and purely relational (one window over the ledger), where true
+    * first-fit-decreasing needs a sequential bin state.
+    *
+    * Scale shape: the window runs over the FILE LEDGER (manifest scale —
+    * files per day-partition, ~|convs active that day|), never over raw
+    * turns; the raw pass is one hash agg. All-integer output — no
+    * rounding contract: (day, bin, n_files, bin_bytes).
+    */
+  def compactionPlan(transcripts: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes > 0")
+    val files = transcripts
+      .groupBy(col("conv_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(length(col("text")).cast("long")).as("bytes"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("bytes").desc, col("conv_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin",
+        expr(s"(greatest(cum, CAST(1 AS BIGINT)) - 1) DIV $targetBytes"))
+      .groupBy("day", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"))
+  }
 }

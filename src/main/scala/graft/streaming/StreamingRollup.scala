@@ -210,6 +210,30 @@ object StreamingRollup {
         col("sum_v"), col("sum2_v"), col("min_v"), col("max_v"))
   }
 
+  /** Streaming hopping-window rollup —
+    * [[graft.operators.Sliding.slidingAgg]]'s streaming twin via Spark's
+    * native sliding `window(ts, windowDur, slideDur)` (the engine's
+    * TimeWindow expression performs the same explode-into-overlapping-
+    * windows the batch operator spells out). The turn count and integer
+    * value mass are commutative mergeable aggregates, so a
+    * watermark-closed window equals the batch row bit-identically; exact
+    * distinct conversations is deliberately absent here (unbounded
+    * streaming state — the batch two-phase path or the HLL register
+    * stream covers distincts). Append mode; input (conv_id, ts, value).
+    */
+  def slidingStream(metrics: DataFrame, windowDur: String = "1 hour",
+      slideDur: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, window}
+    metrics.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("value").cast("long")).as("total_len"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_turns"), col("total_len"))
+  }
+
   /** Streaming near-dup SCREEN: LSH-band every incoming doc and join it
     * against the committed corpus's banded signatures (a stream-static
     * equi-join — the supported streaming join shape; no stream-side state
