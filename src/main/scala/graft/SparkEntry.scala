@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Sliding, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Contract, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Sliding, Smooth, Som, Summary, Texture, TextAnalysis, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2235,7 +2235,40 @@ object SparkEntry {
     "ts_compaction_plan" -> ((s, dir) =>
       Layout.compactionPlan(transcripts(s, dir), 512L)
         .orderBy("day", "bin")),
+    // data-contract validation battery over a deterministically corrupted
+    // twin (planted dup keys / ts inversions / null text / bad roles —
+    // the docsPlanted pattern, so every check is non-vacuous)
+    "ts_contract_checks" -> ((s, dir) =>
+      Contract.contractChecks(corruptedTranscripts(s, dir))
+        .orderBy("check_name")),
   )
+
+  /** Deterministically corrupted transcripts twin for the contract-check
+    * battery (the clone-planting pattern of [[docsPlanted]], aimed at
+    * schema/ordering violations instead of near-dups): the conv u32-md5
+    * mod 3 assigns each conversation one violation class — 0: turn 2's
+    * event time rewinds 2h (inversion candidate), 1: turn 1 loses its
+    * text, 2: turn 0's role leaves the vocabulary — and mod 4 == 0
+    * additionally duplicates turn 3's key. Small moduli on purpose: the
+    * sf0.001 fixture has only ~15 conversations, so every class must
+    * fire there too.
+    */
+  private def corruptedTranscripts(s: SparkSession, dir: String): DataFrame = {
+    val t = transcripts(s, dir)
+    val h = Accuracy.u32Md5(col("conv_id"))
+    val base = t.select(
+      col("conv_id"), col("turn_idx"),
+      when(h % 3 === 2 && col("turn_idx") === 0, lit("bot"))
+        .otherwise(col("role")).as("role"),
+      when(h % 3 === 1 && col("turn_idx") === 1, lit(null).cast("string"))
+        .otherwise(col("text")).as("text"),
+      when(h % 3 === 0 && col("turn_idx") === 2,
+        col("ts") - expr("INTERVAL 2 HOURS"))
+        .otherwise(col("ts")).as("ts"))
+    val dups = t.filter(h % 4 === 0 && col("turn_idx") === 3)
+      .select("conv_id", "turn_idx", "role", "text", "ts")
+    base.unionByName(dups)
+  }
 
   /** Ground-truth sample points for the sits_get_* family: turn 3 of every
     * 7th conversation — deterministic, tiny (≙ the reference's CSV sample
@@ -8718,6 +8751,50 @@ private object Oracles {
           |  CAST(count(*) AS BIGINT) AS n_files,
           |  CAST(sum(bytes) AS BIGINT) AS bin_bytes
           |FROM c GROUP BY 1, 2 ORDER BY day, bin""".stripMargin),
+    // corrupted-twin replay (same u32-keyed plantings) + the five checks
+    // from one window pass + one per-conv agg, stacked
+    "ts_contract_checks" ->
+      (cte +
+        s""", hh AS (
+          |  SELECT *, ${u32Sql("conv_id")} AS h FROM transcripts
+          |), corr AS (
+          |  SELECT conv_id, turn_idx,
+          |    CASE WHEN h % 3 = 2 AND turn_idx = 0 THEN 'bot'
+          |         ELSE role END AS role,
+          |    CASE WHEN h % 3 = 1 AND turn_idx = 1 THEN NULL
+          |         ELSE text END AS text,
+          |    CASE WHEN h % 3 = 0 AND turn_idx = 2 THEN ts - INTERVAL 2 HOUR
+          |         ELSE ts END AS ts
+          |  FROM hh
+          |  UNION ALL
+          |  SELECT conv_id, turn_idx, role, text, ts FROM hh
+          |  WHERE h % 4 = 0 AND turn_idx = 3
+          |), m AS (
+          |  SELECT conv_id, turn_idx,
+          |    CASE WHEN ts < lag(ts) OVER (PARTITION BY conv_id
+          |                                 ORDER BY turn_idx, ts)
+          |         THEN 1 ELSE 0 END AS inv,
+          |    CASE WHEN text IS NULL OR length(text) = 0
+          |         THEN 1 ELSE 0 END AS nulls,
+          |    CASE WHEN role IN ('user', 'assistant', 'tool', 'system')
+          |         THEN 0 ELSE 1 END AS badrole
+          |  FROM corr
+          |), pc AS (
+          |  SELECT conv_id, count(*) AS n_rows,
+          |    count(DISTINCT turn_idx) AS n_idx,
+          |    CAST(max(turn_idx) AS BIGINT) AS max_idx,
+          |    sum(inv) AS inv, sum(nulls) AS nulls, sum(badrole) AS badrole
+          |  FROM m GROUP BY 1
+          |), ck AS (
+          |  SELECT 'duplicate_turn_key' AS check_name, n_rows - n_idx AS v FROM pc
+          |  UNION ALL SELECT 'event_time_inversion', inv FROM pc
+          |  UNION ALL SELECT 'null_or_empty_text', nulls FROM pc
+          |  UNION ALL SELECT 'role_out_of_vocab', badrole FROM pc
+          |  UNION ALL SELECT 'turn_idx_gap', max_idx + 1 - n_idx FROM pc
+          |)
+          |SELECT check_name, CAST(sum(v) AS BIGINT) AS n_violations,
+          |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_convs
+          |FROM ck GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

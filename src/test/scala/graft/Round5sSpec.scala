@@ -130,4 +130,38 @@ class Round5sSpec extends AnyFunSuite {
       assert(streamed() == batch(b1 ++ b2))
     } finally q.stop()
   }
+
+  test("contractChecks: each planted violation class is counted once, clean convs contribute nothing") {
+    import spark.implicits._
+    val hour = 3600000L
+    val tr = Seq(
+      // clean conv: contributes to no check
+      ("ok", 0, "user", "hi", ts(0L)),
+      ("ok", 1, "assistant", "hello", ts(hour)),
+      // dup key on turn 1 (2 rows -> 1 violation), plus a gap (idx 3 with no 2)
+      ("dup", 0, "user", "a", ts(0L)),
+      ("dup", 1, "tool", "b", ts(hour)),
+      ("dup", 1, "tool", "b", ts(hour)),
+      ("dup", 3, "user", "c", ts(2 * hour)),
+      // inversion: turn 1 earlier than turn 0; also empty text; bad role
+      ("inv", 0, "user", "x", ts(5 * hour)),
+      ("inv", 1, "bot", "", ts(hour))
+    ).toDF("conv_id", "turn_idx", "role", "text", "ts")
+    val out = graft.operators.Contract.contractChecks(tr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("duplicate_turn_key") == ((1L, 1L)))
+    assert(out("event_time_inversion") == ((1L, 1L)))
+    assert(out("null_or_empty_text") == ((1L, 1L)))
+    assert(out("role_out_of_vocab") == ((1L, 1L)))
+    assert(out("turn_idx_gap") == ((1L, 1L)))
+  }
+
+  test("ts_contract_checks: the corrupted twin plants every class non-vacuously at sf0.001") {
+    val out = SparkEntry.queries("ts_contract_checks")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5)
+    val m = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("duplicate_turn_key") > 0 && m("null_or_empty_text") > 0 &&
+      m("role_out_of_vocab") > 0, "planted classes fire")
+  }
 }
