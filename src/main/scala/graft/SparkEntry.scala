@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Contract, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Sliding, Smooth, Som, Summary, Texture, TextAnalysis, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Contract, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Sliding, Smooth, Som, Summary, Texture, TextAnalysis, TierDispatch, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2241,7 +2241,21 @@ object SparkEntry {
     "ts_contract_checks" -> ((s, dir) =>
       Contract.contractChecks(corruptedTranscripts(s, dir))
         .orderBy("check_name")),
+    // tier-dispatch range aggregate: raw edges + 1h edges + 1d core, the
+    // total row is the algebraic merge — oracle recomputes every region
+    // (and the total) directly from raw, proving dispatch == direct
+    "ts_tier_dispatch" -> ((s, dir) =>
+      TierDispatch.rangeAggregate(metrics(s, dir),
+        dispatchFromMs, dispatchToMs).orderBy("region")),
   )
+
+  /** Shared [from, to) for the tier-dispatch query: 2024-01-02T05:30Z to
+    * 2024-01-28T19:45Z — deliberately unaligned so all five regions
+    * (raw/hour/day/hour/raw) are exercised. Mirrored into the oracle's
+    * region boundaries by the same ceil/floor arithmetic.
+    */
+  private[graft] val dispatchFromMs: Long = 1704173400000L
+  private[graft] val dispatchToMs: Long = 1706471100000L
 
   /** Deterministically corrupted transcripts twin for the contract-check
     * battery (the clone-planting pattern of [[docsPlanted]], aimed at
@@ -2424,6 +2438,15 @@ private object Oracles {
     */
   private val hllSlideC: Double =
     (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * (1L << 25).toDouble
+
+  // tier-dispatch region boundaries, same ceil/floor arithmetic as
+  // TierDispatch.rangeAggregate over SparkEntry.dispatchFrom/ToMs
+  private val dpFrom = SparkEntry.dispatchFromMs
+  private val dpTo = SparkEntry.dispatchToMs
+  private val dpHC0 = ((dpFrom + 3600000L - 1) / 3600000L) * 3600000L
+  private val dpHF1 = (dpTo / 3600000L) * 3600000L
+  private val dpDC0 = ((dpHC0 + 86400000L - 1) / 86400000L) * 86400000L
+  private val dpDF1 = (dpHF1 / 86400000L) * 86400000L
 
   private val metricsCte =
     """, metrics AS (
@@ -8795,6 +8818,43 @@ private object Oracles {
           |SELECT check_name, CAST(sum(v) AS BIGINT) AS n_violations,
           |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_convs
           |FROM ck GROUP BY 1 ORDER BY 1""".stripMargin),
+    // direct-from-raw replay of every dispatch region AND the total: the
+    // hash equality is the dispatch == direct-recompute proof
+    "ts_tier_dispatch" ->
+      (cte + metricsCte +
+        s""", pts AS (
+          |  SELECT epoch_ms(ts) AS t, CAST(text_len AS BIGINT) AS v
+          |  FROM metrics
+          |  WHERE epoch_ms(ts) >= $dpFrom AND epoch_ms(ts) < $dpTo
+          |), tagged AS (
+          |  SELECT CASE
+          |    WHEN t < $dpHC0 THEN '1_raw_head'
+          |    WHEN t < $dpDC0 THEN '2_hour_head'
+          |    WHEN t < $dpDF1 THEN '3_day_core'
+          |    WHEN t < $dpHF1 THEN '4_hour_tail'
+          |    ELSE '5_raw_tail' END AS region, t, v
+          |  FROM pts
+          |), reg AS (
+          |  SELECT region,
+          |    CAST(CASE WHEN region IN ('1_raw_head', '5_raw_tail')
+          |           THEN count(*)
+          |         WHEN region = '3_day_core'
+          |           THEN count(DISTINCT t // 86400000)
+          |         ELSE count(DISTINCT t // 3600000) END AS BIGINT)
+          |      AS buckets_read,
+          |    CAST(count(*) AS BIGINT) AS n_turns,
+          |    CAST(sum(v) AS BIGINT) AS sum_v, min(v) AS min_v,
+          |    max(v) AS max_v
+          |  FROM tagged GROUP BY 1
+          |)
+          |SELECT * FROM (
+          |  SELECT * FROM reg
+          |  UNION ALL
+          |  SELECT '6_total', CAST(sum(buckets_read) AS BIGINT),
+          |    CAST(sum(n_turns) AS BIGINT), CAST(sum(sum_v) AS BIGINT),
+          |    min(min_v), max(max_v)
+          |  FROM reg
+          |) ORDER BY region""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every

@@ -156,6 +156,33 @@ class Round5sSpec extends AnyFunSuite {
     assert(out("turn_idx_gap") == ((1L, 1L)))
   }
 
+  test("tierDispatch: total equals the direct range aggregate; regions partition the range") {
+    import spark.implicits._
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // turns sprinkled across 3+ days incl. both sub-hour edges
+    val m = (0 until 200).map { i =>
+      ("c" + (i % 5), i, ts(base + i.toLong * 37 * 60000L), 10.0 + (i % 7))
+    }.toDF("conv_id", "turn_idx", "ts", "text_len")
+    val from = base + 5 * 3600000L + 1800000L  // day 1 05:30
+    val to = base + 4 * 86400000L + 2 * 3600000L + 900000L // day 5 02:15
+    val out = graft.operators.TierDispatch.rangeAggregate(m, from, to)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val direct = m.filter(
+      expr("unix_millis(cast(ts AS timestamp))").between(from, to - 1))
+      .agg(count(lit(1)), sum(col("text_len").cast("long")),
+        min(col("text_len").cast("long")), max(col("text_len").cast("long")))
+      .head()
+    val tot = out("6_total")
+    assert(tot.getLong(2) == direct.getLong(0), "n_turns == direct")
+    assert(tot.getLong(3) == direct.getLong(1), "sum == direct")
+    assert(tot.getLong(4) == direct.getLong(2) &&
+      tot.getLong(5) == direct.getLong(3), "min/max == direct")
+    // regions partition: per-region counts sum to the total
+    val regs = out.view.filterKeys(_ != "6_total").values
+    assert(regs.map(_.getLong(2)).sum == tot.getLong(2))
+    assert(out.contains("3_day_core") && out.contains("2_hour_head"))
+  }
+
   test("ts_contract_checks: the corrupted twin plants every class non-vacuously at sf0.001") {
     val out = SparkEntry.queries("ts_contract_checks")(
       spark, "/root/testdata/sf0.001").collect()
