@@ -50,7 +50,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "ts_staleness", // scalar watermark reduce over the conv-last relation
     "txt_dup_inflation", // one-row corpus ledger over the dup-group relation
     "txt_mrr", // |queries|-row eval: BM25's k-row top lists + 3-row metrics
-    "dd_lsh_recall") // one-row recall/precision totals (QA-scale evaluator)
+    "dd_lsh_recall", // one-row recall/precision totals (QA-scale evaluator)
+    "ts_tier_dispatch") // six scalar region totals: each funnels ONLY
+                        // partial-agg rows (raw edges are ≤2h pruned
+                        // slivers; tier regions are time-bounded 1h/1d
+                        // states, one partial row per task)
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
