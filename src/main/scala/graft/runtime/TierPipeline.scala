@@ -313,7 +313,21 @@ object TierPipeline {
         window <- """"window":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1))
       } yield (bucket, window)
     }.distinct
-    val src = spark.read.parquet(live: _*)
+    // EXACT (path, bucket) read, not a raw union of the live dirs: a dir
+    // adopted by patchTier/eraseConvs may physically carry superseded rows
+    // for buckets this snapshot committed elsewhere — an unfiltered union
+    // would both double-count those buckets and keep erased bytes alive.
+    // The bucket-filtered rewrite is what makes compaction the PHYSICAL
+    // completer of an erasure (Iceberg's rewrite_data_files role).
+    val pb = committedPathBuckets(outRoot, tier, snapshotId)
+    val src = live.map { pa =>
+      val df = spark.read.parquet(pa)
+      pb.get(pa) match {
+        case Some(bs) if df.columns.contains("bucket") =>
+          df.filter(col("bucket").isin(bs.toSeq: _*))
+        case _ => df
+      }
+    }.reduce(_ unionByName _)
     val timeCol = Seq("bucket_ts", "start_ts").find(src.columns.contains)
     val (mntAgg, mxtAgg) = timeCol match {
       case Some(tc) => (min(unix_millis(col(tc))), max(unix_millis(col(tc))))
@@ -471,6 +485,204 @@ object TierPipeline {
     // rewrite the dirty buckets only (runTier's resume diff now sees every
     // clean bucket as committed and filters freshState to the dirty set)
     runTier(spark, outRoot, tier, snapNew, nBuckets, freshState)
+  }
+
+  /** Conversation erasure (right-to-be-forgotten) propagated through a
+    * tier with [[patchTier]]'s minimal-rewrite semantics: only the buckets
+    * that HOLD an erased conversation are re-aggregated (from `stateAll`
+    * with the victims filtered out — erasure is by construction, the
+    * deleted ids never reach the write path); every clean bucket is
+    * adopted into the new snapshot by manifest reference. At 10^12 turns
+    * an erasure request touching k conversations rewrites ≤k of the
+    * nBuckets hash buckets — a metadata commit plus a sliver re-aggregate,
+    * never a store rebuild. `stateAll` is the SAME state relation the tier
+    * was originally built from (it may still contain the victims).
+    *
+    * Logical erasure is immediate (readers of `snapNew` see no victim
+    * rows); PHYSICAL erasure completes when [[retireSuperseded]] +
+    * [[vacuumTier]] remove the replaced dirty-bucket dirs — the same
+    * two-phase contract GDPR deletes have on Iceberg (rewrite data files,
+    * then expire the old snapshot and remove orphans).
+    */
+  def eraseConvs(spark: SparkSession, outRoot: String, tier: String,
+      snapOld: Long, snapNew: Long, nBuckets: Int,
+      convIds: Seq[String], stateAll: DataFrame): TierRun = {
+    require(convIds.nonEmpty, "eraseConvs: empty victim list")
+    import spark.implicits._
+    // victim buckets via the SAME hash expression the pipeline buckets
+    // with — never re-derived arithmetic that could drift from bucketCol
+    val dirty = convIds.toDF("conv_id")
+      .select(bucketCol(nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val fresh = stateAll.filter(!col("conv_id").isin(convIds: _*))
+    patchTier(spark, outRoot, tier, snapOld, snapNew, nBuckets, dirty, fresh)
+  }
+
+  /** Tombstone (under `snapOld`) every batch dir committed for `snapOld`
+    * that `snapNew` did NOT adopt — the targeted, path-based retirement
+    * that completes an erasure/patch: adopted dirs stay live (the new
+    * snapshot references them), only the superseded dirty-bucket dirs
+    * become vacuumable. Unlike [[expireBatches]] this is snapshot-diff
+    * driven, not time-cutoff driven, so it works mid-retention-horizon.
+    * Time travel to `snapOld` ends for the retired dirs once
+    * [[vacuumTier]] runs — that is the point (the victims' bytes go away).
+    */
+  def retireSuperseded(outRoot: String, tier: String, snapOld: Long,
+      snapNew: Long): Seq[String] = {
+    val oldPaths = committedPaths(outRoot, tier, snapOld)
+    val keep = committedPaths(outRoot, tier, snapNew).toSet
+    val victims = oldPaths.filterNot(keep).sorted
+    appendLines(outRoot, tier, victims.map { path =>
+      s"""{"jobId":"retire-$tier-$snapOld-$snapNew","tier":"$tier","bucket":-1,""" +
+        s""""snapshotId":$snapOld,"path":"$path","window":"-",""" +
+        s""""supersededBy":$snapNew,"status":"expired"}"""
+    })
+    victims
+  }
+
+  private val cascadeTiers: Seq[(String, Tier)] = Seq(
+    "1m-chunks" -> Tier.M1, "1h-state" -> Tier.H1,
+    "1d-state" -> Tier.D1, "1mo-state" -> Tier.Mo1)
+
+  private def ghBucketCol(nBuckets: Int) =
+    pmod(hash(col("bucket_ts")), lit(nBuckets))
+
+  /** Conversation erasure propagated through EVERY tier of a committed
+    * [[runAll]] cascade — without a single raw scan. Per-conv tiers
+    * (1m-chunks, 1h/1d/1mo state) are separable by conversation, so the
+    * erased bucket's fresh content is the stored bucket with the victims'
+    * rows filtered out: the rewrite reads ≤|dirty buckets| of each tier's
+    * own (ratio-smaller) store, never the 10^12-turn raw table. The global
+    * gh-state tier DOES merge victims into shared hour rows, so the hours
+    * the victims participated in (taken from the OLD 1h state — that set
+    * also covers hours that exist only because of a victim and must
+    * disappear) are re-merged from the already-erased 1h state. Everything
+    * clean is adopted by manifest reference ([[patchTier]] semantics);
+    * physical erasure then follows the standard two-phase close:
+    * [[compactTier]] under `snapNew` (its (path,bucket)-exact read drops
+    * dead adopted rows), [[retireSuperseded]], [[vacuumTier]].
+    */
+  def eraseCascade(spark: SparkSession, outRoot: String, nBuckets: Int,
+      snapOld: Long, snapNew: Long, convIds: Seq[String]): Seq[TierRun] = {
+    require(convIds.nonEmpty, "eraseCascade: empty victim list")
+    import spark.implicits._
+    val dirty = convIds.toDF("conv_id")
+      .select(bucketCol(nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val victim = col("conv_id").isin(convIds: _*)
+    val perConv = cascadeTiers.map { case (tier, _) =>
+      val fresh = readTierExact(spark, outRoot, tier, snapOld)
+        .filter(col("bucket").isin(dirty.toSeq: _*) && !victim)
+      patchTier(spark, outRoot, tier, snapOld, snapNew, nBuckets, dirty, fresh)
+    }
+    val ghB = ghBucketCol(nBuckets)
+    val dirtyGh = readTierExact(spark, outRoot, "1h-state", snapOld)
+      .filter(victim).select(ghB.as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    perConv :+ ghPatch(spark, outRoot, nBuckets, snapOld, snapNew, dirtyGh)
+  }
+
+  /** Late-data invalidation through the WHOLE cascade — the multi-tier
+    * composition of [[patchTier]]: rows arriving behind the seal for
+    * `convIds` re-aggregate only the conv-hash buckets those conversations
+    * live in, at every tier. The raw scan is predicate-pruned to the dirty
+    * buckets (`transcripts` is the NEW full input; at cluster scale the
+    * raw table is bucketed by the same conv hash, so this prunes to
+    * |dirty|/nBuckets of the files); 1d/1mo re-cascade from the freshly
+    * committed 1h/1d state of `snapNew` restricted to the same buckets;
+    * the global tier re-merges exactly the hour buckets whose content
+    * changed (hours of the dirty conv buckets under EITHER snapshot).
+    * Equality with a from-scratch [[runAll]] over the new input is the
+    * test contract (Round5uSpec).
+    */
+  def patchCascade(spark: SparkSession, transcripts: DataFrame,
+      inputPath: String, outRoot: String, nBuckets: Int, snapOld: Long,
+      convIds: Seq[String],
+      metrics: Seq[String] = Seq("text_len")): Seq[TierRun] = {
+    require(convIds.nonEmpty, "patchCascade: empty late-conversation list")
+    require(metrics.nonEmpty, "no metrics")
+    import spark.implicits._
+    val single = metrics.size == 1
+    val snapNew = snapshotId(inputPath)
+    require(snapNew != snapOld,
+      "patchCascade: input snapshot unchanged — nothing arrived late")
+    val dirty = convIds.toDF("conv_id")
+      .select(bucketCol(nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val inDirty = col("bucket").isin(dirty.toSeq: _*)
+    val b = bucketCol(nBuckets)
+
+    // fresh raw-derived state for the dirty buckets only: the bucket is a
+    // pure function of conv_id, so filtering the raw scan by it yields
+    // exactly the conversations whose buckets get rewritten (every conv in
+    // a dirty bucket, not just the late ones — runTier commits whole
+    // buckets). Same one-scan-serves-all-bands shape as runAll.
+    val sub = transcripts.filter(b.isin(dirty.toSeq: _*))
+    val fv = (if (single) Regularize.firstValid(sub, Tier.M1, metrics.head)
+              else Regularize.firstValidAll(sub, Tier.M1, metrics))
+      .persist()
+    fv.count()
+    val chunksDf =
+      if (single) ChunkStore.encodeFilled(spark, fv, Tier.M1).toDF()
+      else metrics.map { m =>
+        ChunkStore.encodeFilled(spark,
+          fv.select(col("conv_id"), col("bucket_ts"), col(m).as("value")),
+          Tier.M1).toDF().withColumn("metric", lit(m))
+      }.reduce(_ unionByName _)
+    val r1 = patchTier(spark, outRoot, "1m-chunks", snapOld, snapNew,
+      nBuckets, dirty, chunksDf.withColumn("bucket", b))
+    val st1h0 =
+      if (single) SeriesRollup.stateDenseHist(spark, fv, Tier.M1, Tier.H1)
+      else SeriesRollup.stateDenseHistMulti(spark, fv, Tier.M1, Tier.H1,
+        metrics)
+    val r2 = patchTier(spark, outRoot, "1h-state", snapOld, snapNew,
+      nBuckets, dirty, st1h0.withColumn("bucket", b))
+    fv.unpersist()
+
+    // upper tiers re-cascade from the committed lower tier of snapNew,
+    // restricted to the dirty buckets (bucket is conv-keyed at all three)
+    val r3 = patchTier(spark, outRoot, "1d-state", snapOld, snapNew,
+      nBuckets, dirty,
+      Rollup.cascadeHist(
+        readTierExact(spark, outRoot, "1h-state", snapNew).filter(inDirty)
+          .drop("bucket"), Tier.D1)
+        .withColumn("bucket", b))
+    val r4 = patchTier(spark, outRoot, "1mo-state", snapOld, snapNew,
+      nBuckets, dirty,
+      Rollup.cascadeHist(
+        readTierExact(spark, outRoot, "1d-state", snapNew).filter(inDirty)
+          .drop("bucket"), Tier.Mo1)
+        .withColumn("bucket", b))
+
+    val ghB = ghBucketCol(nBuckets)
+    val dirtyGh = (readTierExact(spark, outRoot, "1h-state", snapOld)
+        .filter(inDirty).select(ghB.as("b")) unionByName
+      readTierExact(spark, outRoot, "1h-state", snapNew)
+        .filter(inDirty).select(ghB.as("b")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    Seq(r1, r2, r3, r4,
+      ghPatch(spark, outRoot, nBuckets, snapOld, snapNew, dirtyGh))
+  }
+
+  /** Re-merge the global gh-state tier for `dirtyGh` time-hash buckets
+    * from the committed (new-snapshot) 1h state, adopting every clean
+    * bucket. The fresh merge filters 1h rows by the same time-hash
+    * expression the tier is bucketed on — a whole-bucket rewrite needs
+    * every hour landing in the bucket, for all conversations.
+    */
+  private def ghPatch(spark: SparkSession, outRoot: String, nBuckets: Int,
+      snapOld: Long, snapNew: Long, dirtyGh: Set[Int]): TierRun = {
+    val ghB = ghBucketCol(nBuckets)
+    val fresh =
+      if (dirtyGh.isEmpty)
+        spark.emptyDataFrame.withColumn("bucket", lit(0))
+      else Rollup.cascadeHist(
+          readTierExact(spark, outRoot, "1h-state", snapNew)
+            .filter(ghB.isin(dirtyGh.toSeq: _*))
+            .drop("bucket").drop("conv_id"), Tier.H1)
+        .withColumn("bucket", ghB)
+    patchTier(spark, outRoot, "gh-state", snapOld, snapNew, nBuckets,
+      dirtyGh, fresh)
   }
 
   /** Materialize a committed tier into a new root ≙ `sits_cube_copy`
