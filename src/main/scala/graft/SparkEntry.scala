@@ -773,6 +773,14 @@ object SparkEntry {
       val d = docsPlanted(s, dir)
       Dedup.ngramJaccard(d, Dedup.minhashPairs(d)).orderBy("id1", "id2")
     }),
+    // EXACT similarity self-join (PPJoin-style prefix filter): every pair
+    // with quantized gram-Jaccard >= 0.5, complete by the prefix-filtering
+    // theorem, precise by the exact Jaccard filter — the no-false-negatives
+    // dedup path (oracle enumerates candidates naively, proving the
+    // prefix-filtered candidate set loses nothing)
+    "dd_ssjoin" -> ((s, dir) =>
+      Dedup.exactJaccardJoin(docsPlanted(s, dir), threshold = 0.5)
+        .orderBy("id1", "id2")),
     // containment (asymmetric): the planted tail-append near-dups are
     // SUPERSETS of their originals — cont1 pins 1.0 where jaccard < 1,
     // the quote/subset duplication the symmetric measure under-ranks
@@ -5622,6 +5630,36 @@ private object Oracles {
           |JOIN sizes s1 ON s1.doc_id = p.id1
           |JOIN sizes s2 ON s2.doc_id = p.id2
           |ORDER BY p.id1, p.id2""".stripMargin),
+    "dd_ssjoin" ->
+      // naive complete candidate enumeration (any shared gram) + exact
+      // quantized Jaccard >= τ: an INDEPENDENT construction of the same
+      // pair set the engine reaches through the prefix filter — the oracle
+      // proves prefix filtering drops no qualifying pair
+      (plantedCte + shingleCtes +
+        """, shx AS (
+          |  SELECT doc_id, unnest(sh) AS s FROM sgl
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n FROM shx GROUP BY 1
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM shx a JOIN shx b ON b.s = a.s AND a.doc_id < b.doc_id
+          |), inter AS (
+          |  SELECT c.id1, c.id2, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN shx a ON a.doc_id = c.id1
+          |  JOIN shx b2 ON b2.doc_id = c.id2 AND b2.s = a.s
+          |  GROUP BY 1, 2
+          |), jac AS (
+          |  SELECT i.id1, i.id2,
+          |    round(cast(i.n_inter AS double) /
+          |          (s1.n + s2.n - i.n_inter) + 1e-9, 4) AS jaccard
+          |  FROM inter i
+          |  JOIN sizes s1 ON s1.doc_id = i.id1
+          |  JOIN sizes s2 ON s2.doc_id = i.id2
+          |)
+          |SELECT id1, id2, jaccard FROM jac
+          |WHERE jaccard >= 0.5
+          |ORDER BY id1, id2""".stripMargin),
     "dd_containment" ->
       (plantedCte + shingleCtes + bandCtes +
         """, shx AS (

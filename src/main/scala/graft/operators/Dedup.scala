@@ -923,34 +923,75 @@ object Dedup {
   /** LSH tuning grade: measured recall/precision of [[minhashPairs]]
     * against the EXACT ground truth "quantized 3-gram Jaccard ≥ τ".
     * Ground truth is complete because any pair with J ≥ τ > 0 shares at
-    * least one gram, so the gram-sharing equi-join enumerates every
-    * positive — this is the exact quadratic-risk path LSH exists to avoid,
-    * which is precisely why this evaluator is a QA-SCALE tool: run it on a
-    * bounded validation sample (as here), read recall, then trust the
-    * banded path corpus-wide ([[lshCurve]] gives the matching theoretical
-    * S-curve). One-row output: (n_truth, n_candidates, n_hit, recall,
-    * precision) — precision counts candidate pairs that truly clear τ.
+    * least one gram — and, sharper, must share one inside both docs'
+    * PREFIXES under any canonical total gram order (prefix filtering,
+    * Chaudhuri et al. ICDE'06 / PPJoin: the order-minimal shared gram g*
+    * has < g* grams of each doc all in the difference set, and
+    * |A∖B| ≤ (1−τ)·|A| when J ≥ τ, so g* sits within the first
+    * ⌊(1−τ)·n⌋+1 grams of BOTH docs). The candidate equi-join therefore
+    * runs on hashed prefix grams only — at τ=0.5 that quarters the pair
+    * blowup vs the naive all-grams join — and the exact Jaccard filter
+    * after it keeps the truth set IDENTICAL (hash collisions and prefix
+    * slack only ever ADD candidates, which the τ filter removes). Still
+    * intrinsically a QA-SCALE evaluator — run it on a bounded validation
+    * sample, read recall, then trust the banded path corpus-wide
+    * ([[lshCurve]] gives the matching theoretical S-curve). One-row
+    * output: (n_truth, n_candidates, n_hit, recall, precision) —
+    * precision counts candidate pairs that truly clear τ.
     */
-  def lshRecall(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docs
+  /** EXACT similarity self-join — every pair with quantized 3-gram
+    * Jaccard ≥ τ, no approximation — at sub-quadratic candidate cost via
+    * prefix filtering (Chaudhuri/Ganti/Kaushik ICDE'06, the PPJoin family;
+    * see [[lshRecall]]'s doc for the completeness proof). The first-class
+    * exact-dedup path for when recall loss is unacceptable (e.g. a
+    * benchmark-decontamination sweep where one missed near-dup poisons an
+    * eval): candidates come from an equi-join on each doc's
+    * ⌊(1−τ)·n⌋+1 hash-smallest grams — at τ=0.8 that is 20% of the gram
+    * mass per doc and ~4% of the naive pair blowup — then the exact
+    * quantized Jaccard filter makes the output precise as well as
+    * complete. Versus [[minhashPairs]]: no false negatives, but candidate
+    * cost grows with true pair density — run it where exactness is the
+    * contract, the banded path where throughput is.
+    */
+  def exactJaccardJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    // per-doc distinct grams, hashed; canonical global order = hash order
+    val grams = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("s", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
-          |  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
-          |            element_at(toks, i + 3))))""".stripMargin)))
-      .select(col("doc_id"), col("s"))
-    val gp = sh.select(col("doc_id").as("id1"), col("s"))
-      .join(sh.select(col("doc_id").as("id2"), col("s")), Seq("s"))
+      .withColumn("gs", expr(
+        """array_sort(transform(
+          |  array_distinct(transform(sequence(0, size(toks) - 3), i ->
+          |    concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          |              element_at(toks, i + 3)))), s -> xxhash64(s)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("gs"))
+    // prefix filter: keep the ⌊(1−τ)·n⌋+1 hash-smallest grams per doc
+    val pre = grams
+      .withColumn("g", explode(expr(
+        s"slice(gs, 1, cast(floor((1.0 - $threshold) * size(gs)) AS int) + 1)")))
+      .select(col("doc_id"), col("g"))
+    val gp = pre.select(col("doc_id").as("id1"), col("g"))
+      .join(pre.select(col("doc_id").as("id2"), col("g")), Seq("g"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val truth = ngramJaccard(docs, gp)
-      .filter(col("jaccard") >= threshold).select("id1", "id2")
+    ngramJaccard(docs, gp).filter(col("jaccard") >= threshold)
+  }
+
+  def lshRecall(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val truth = exactJaccardJoin(docs, threshold).select("id1", "id2")
     val cand = minhashPairs(docs).select("id1", "id2").distinct()
-    val hit = truth.join(cand, Seq("id1", "id2"))
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    // ONE evaluation of each (expensive) side: the full-outer pair join
+    // carries membership flags, and a single aggregation produces all
+    // three counts — vs the naive truth.agg × cand.agg × (truth⋈cand).agg
+    // shape, which re-executes the exact-join and the banded path twice
+    truth.withColumn("in_t", lit(1))
+      .join(cand.withColumn("in_c", lit(1)), Seq("id1", "id2"), "full_outer")
+      .agg(
+        coalesce(sum("in_t"), lit(0L)).as("n_truth"),
+        coalesce(sum("in_c"), lit(0L)).as("n_candidates"),
+        coalesce(sum(when(col("in_t") === 1 && col("in_c") === 1, 1L)),
+          lit(0L)).as("n_hit"))
       .select(col("n_truth"), col("n_candidates"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_truth") + lit(1e-9), 4)
           .as("recall"),

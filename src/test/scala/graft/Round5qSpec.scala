@@ -44,6 +44,26 @@ class Round5qSpec extends AnyFunSuite {
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  test("lshRecall prefix filter: truth set identical to brute-force all-pairs Jaccard, incl. partial-overlap pairs") {
+    import spark.implicits._
+    // overlapping chains: doc i and i+1 share a sliding word window, so
+    // the fixture is dense in partial Jaccard values straddling τ = 0.5
+    val words = (0 until 60).map(i => s"w$i")
+    val docs = (0 until 24).map { i =>
+      (i.toLong, words.slice(i * 2, i * 2 + 12).mkString(" "))
+    }.toDF("doc_id", "text")
+    // brute force: every pair, exact quantized Jaccard
+    val ids = docs.select(col("doc_id").as("id1"))
+    val all = ids.crossJoin(docs.select(col("doc_id").as("id2")))
+      .filter(col("id1") < col("id2"))
+    val brute = Dedup.ngramJaccard(docs, all)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(brute >= 20, "fixture must produce partial-overlap truth pairs")
+    val r = Dedup.lshRecall(docs, threshold = 0.5).head()
+    assert(r.getLong(0) == brute,
+      s"prefix-filtered truth ${r.getLong(0)} != brute-force $brute")
+  }
+
   test("seasonalNaiveAccuracy: a perfectly 4-periodic series backtests to zero error (and NULL MASE)") {
     import spark.implicits._
     val cycle = Seq(10.0, 20.0, 30.0, 40.0)
