@@ -4,7 +4,8 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
-import graft.operators.{ChunkStore, GapFill, Regularize, Rollup, SeriesRollup}
+import graft.operators.{ChunkStore, Downsample, GapFill, Regularize, Rollup, SeriesRollup}
+import graft.model.ChunkStruct
 
 /** Resumable tier-rollup pipeline with per-partition lineage manifests —
   * the north-rule runtime, mirroring the reference's missing-jobs recovery
@@ -563,18 +564,23 @@ object TierPipeline {
     * dead adopted rows), [[retireSuperseded]], [[vacuumTier]].
     */
   def eraseCascade(spark: SparkSession, outRoot: String, nBuckets: Int,
-      snapOld: Long, snapNew: Long, convIds: Seq[String]): Seq[TierRun] = {
+      snapOld: Long, snapNew: Long, convIds: Seq[String],
+      extraPerConvTiers: Seq[String] = Nil): Seq[TierRun] = {
     require(convIds.nonEmpty, "eraseCascade: empty victim list")
     import spark.implicits._
     val dirty = convIds.toDF("conv_id")
       .select(bucketCol(nBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val victim = col("conv_id").isin(convIds: _*)
-    val perConv = cascadeTiers.map { case (tier, _) =>
-      val fresh = readTierExact(spark, outRoot, tier, snapOld)
-        .filter(col("bucket").isin(dirty.toSeq: _*) && !victim)
-      patchTier(spark, outRoot, tier, snapOld, snapNew, nBuckets, dirty, fresh)
-    }
+    // any conv-hash-bucketed tier erases by the same filter-and-patch
+    // shape — the m4-1h downsample tier rides along via extraPerConvTiers
+    val perConv =
+      (cascadeTiers.map(_._1) ++ extraPerConvTiers).map { tier =>
+        val fresh = readTierExact(spark, outRoot, tier, snapOld)
+          .filter(col("bucket").isin(dirty.toSeq: _*) && !victim)
+        patchTier(spark, outRoot, tier, snapOld, snapNew, nBuckets, dirty,
+          fresh)
+      }
     val ghB = ghBucketCol(nBuckets)
     val dirtyGh = readTierExact(spark, outRoot, "1h-state", snapOld)
       .filter(victim).select(ghB.as("b"))
@@ -921,5 +927,48 @@ object TierPipeline {
       }
 
     Seq(r1, r2, r3, r4, r5)
+  }
+
+  /** Committed DOWNSAMPLE tier — the render store of the north rule's
+    * "rollup + downsample + retention" triad, materialized with the same
+    * manifest/resume machinery as the aggregate tiers. Per (conv, hour)
+    * the M4 quad (min/max/first/last + count, Jugel et al. VLDB'14 — the
+    * four points a pixel column of any line chart needs for error-free
+    * rendering) is computed FROM THE COMMITTED 1m-chunk store, never from
+    * raw: a dashboard backfill decodes the ratio-smaller chunk tier, and
+    * the downsample survives raw-input expiry by construction. Multi-band
+    * chunk stores carry a `metric` column; each band decodes through the
+    * same typed codec path and keeps its `metric` key in the output.
+    * Resumable at bucket granularity (`limitBuckets`), conv-hash
+    * bucketed — so [[eraseConvs]] applies to it directly, and
+    * [[eraseCascade]] covers it via `extraPerConvTiers`.
+    */
+  def downsampleTier(spark: SparkSession, outRoot: String, snap: Long,
+      nBuckets: Int, limitBuckets: Option[Int] = None,
+      metrics: Seq[String] = Seq("text_len")): TierRun = {
+    require(metrics.nonEmpty, "no metrics")
+    import spark.implicits._
+    if (committedBuckets(outRoot, "1m-chunks", snap).size < nBuckets)
+      return TierRun("m4-1h", Nil, Nil, 0, 0)
+    val stored = readTier(spark, outRoot, "1m-chunks", snap)
+    val single = !stored.columns.contains("metric")
+    if (!single) require(metrics.nonEmpty, "no metrics")
+    val chunkCols = Seq("conv_id", "tier", "start_ts", "n", "codec",
+      "ts_payload", "value_payload")
+    def m4Of(chunksDf: DataFrame): DataFrame = {
+      val dec = ChunkStore.decode(spark,
+        chunksDf.select(chunkCols.map(col): _*).as[ChunkStruct])
+        .filter(col("value").isNotNull)
+        .select(col("conv_id"), col("bucket_ts").as("ts"), col("value"))
+      // grid timestamps are unique within (conv, hour) → ts is total
+      Downsample.m4(dec, date_trunc("hour", col("ts")))
+    }
+    val out =
+      if (single) m4Of(stored)
+      else metrics.map { m =>
+        m4Of(stored.filter(col("metric") === m)).withColumn("metric", lit(m))
+      }.reduce(_ unionByName _)
+    runTier(spark, outRoot, "m4-1h", snap, nBuckets,
+      out.withColumn("bucket", bucketCol(nBuckets)), limitBuckets)
   }
 }

@@ -234,6 +234,32 @@ object StreamingRollup {
         col("n_turns"), col("total_len"))
   }
 
+  /** Streaming M4 downsample — the live edge of the committed `m4-1h`
+    * downsample tier ([[graft.runtime.TierPipeline.downsampleTier]]):
+    * per (conv, hour) min/max/first/last + count, all five mergeable
+    * aggregates (min_by/max_by on the event timestamp merge associatively
+    * because grid timestamps are unique within a conv), so a
+    * watermark-closed hour equals the batch [[graft.operators.Downsample
+    * .m4]] row bit-identically — a dashboard reads sealed hours from the
+    * tier store and the open hour from this stream, the realtimeState
+    * routing shape applied to rendering. Append mode; input
+    * (conv_id, ts, value).
+    */
+  def m4Stream(metrics: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    metrics.withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), window(col("ts"), "1 hour"))
+      .agg(
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        min_by(col("value"), col("ts")).as("v_first"),
+        max_by(col("value"), col("ts")).as("v_last"),
+        min("ts").as("t_first"),
+        max("ts").as("t_last"),
+        count(lit(1)).as("n"))
+      .select(col("conv_id"), col("window.start").as("bucket_ts"),
+        col("v_min"), col("v_max"), col("v_first"), col("v_last"),
+        col("t_first"), col("t_last"), col("n"))
+
   /** Streaming near-dup SCREEN: LSH-band every incoming doc and join it
     * against the committed corpus's banded signatures (a stream-static
     * equi-join — the supported streaming join shape; no stream-side state
