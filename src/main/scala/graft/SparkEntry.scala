@@ -1296,6 +1296,16 @@ object SparkEntry {
         date_trunc("hour", col("ts")),
         ord = struct(col("ts"), col("turn_idx")))
         .orderBy("conv_id", "bucket_ts")),
+    // pixel-budget render dispatch: coarsest granularity (day/hour/minute)
+    // filling a 96-px chart over [2024-01-01, 2024-01-08), then the global
+    // M4 envelope at that granularity (7 days -> 168 hours >= 96 -> hour);
+    // the oracle re-derives the choice as a CASE chain and picks the
+    // matching branch, so the dispatch arithmetic is cross-checked too
+    "ts_render_dispatch" -> ((s, dir) =>
+      Downsample.renderDispatch(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        renderFromMs, renderToMs, widthPx = 96)
+        .orderBy("bucket_ts")),
     // per-conversation gap/heartbeat report (threshold 10 min), exact ms
     "ts_gaps" -> ((s, dir) =>
       Downsample.gapReport(metrics(s, dir), thresholdMs = 600000L)
@@ -2265,6 +2275,10 @@ object SparkEntry {
   private[graft] val dispatchFromMs: Long = 1704173400000L
   private[graft] val dispatchToMs: Long = 1706471100000L
 
+  // render-dispatch window: [2024-01-01T00Z, 2024-01-08T00Z), 96-px budget
+  private[graft] val renderFromMs: Long = 1704067200000L
+  private[graft] val renderToMs: Long = 1704672000000L
+
   /** Deterministically corrupted transcripts twin for the contract-check
     * battery (the clone-planting pattern of [[docsPlanted]], aimed at
     * schema/ordering violations instead of near-dups): the conv u32-md5
@@ -2455,6 +2469,50 @@ private object Oracles {
   private val dpHF1 = (dpTo / 3600000L) * 3600000L
   private val dpDC0 = ((dpHC0 + 86400000L - 1) / 86400000L) * 86400000L
   private val dpDF1 = (dpHF1 / 86400000L) * 86400000L
+
+  /** Render-dispatch oracle: the granularity CASE chain mirrors
+    * Downsample.renderGranularity's ceil arithmetic; all three candidate
+    * M4 envelopes are built and the branch matching the derived choice is
+    * selected — so BOTH the dispatch decision and the chosen envelope are
+    * cross-checked. (Built before `val all`; lazy to use metricsCte.)
+    */
+  private lazy val renderDispatchSql: String = {
+    val (f, t, w) = (SparkEntry.renderFromMs, SparkEntry.renderToMs, 96)
+    def m4Branch(g: String) =
+      s"""  SELECT '$g' AS granularity, bucket_ts,
+         |    min(text_len) AS v_min, max(text_len) AS v_max,
+         |    min(CASE WHEN ra = 1 THEN text_len END) AS v_first,
+         |    min(CASE WHEN rd = 1 THEN text_len END) AS v_last,
+         |    count(*) AS n
+         |  FROM (
+         |    SELECT date_trunc('$g', ts) AS bucket_ts, text_len,
+         |      row_number() OVER (PARTITION BY date_trunc('$g', ts)
+         |        ORDER BY ts, conv_id, turn_idx) AS ra,
+         |      row_number() OVER (PARTITION BY date_trunc('$g', ts)
+         |        ORDER BY ts DESC, conv_id DESC, turn_idx DESC) AS rd
+         |    FROM rng)
+         |  GROUP BY 1, 2""".stripMargin
+    cte + metricsCte +
+      s""", rng AS (
+         |  SELECT conv_id, turn_idx, ts, text_len FROM metrics
+         |  WHERE epoch_ms(ts) >= $f AND epoch_ms(ts) < $t
+         |), choice AS (
+         |  SELECT CASE
+         |    WHEN ceil((${t}.0 - $f) / 86400000.0) >= $w THEN 'day'
+         |    WHEN ceil((${t}.0 - $f) / 3600000.0) >= $w THEN 'hour'
+         |    ELSE 'minute' END AS g
+         |), all3 AS (
+         |${m4Branch("day")}
+         |  UNION ALL
+         |${m4Branch("hour")}
+         |  UNION ALL
+         |${m4Branch("minute")}
+         |)
+         |SELECT a.granularity, a.bucket_ts, a.v_min, a.v_max,
+         |       a.v_first, a.v_last, a.n
+         |FROM all3 a JOIN choice c ON a.granularity = c.g
+         |ORDER BY a.bucket_ts""".stripMargin
+  }
 
   private val metricsCte =
     """, metrics AS (
@@ -4057,6 +4115,7 @@ private object Oracles {
           |  min(CASE WHEN rd = 1 THEN text_len END) AS v_last,
           |  min(ts) AS t_first, max(ts) AS t_last, count(*) AS n
           |FROM rk GROUP BY 1, 2 ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_render_dispatch" -> renderDispatchSql,
     "ts_gaps" ->
       (cte + metricsCte +
         """, dd AS (

@@ -53,6 +53,53 @@ object Downsample {
         max("ts").as("t_last"),
         count(lit(1)).as("n"))
 
+  /** The render router's granularity choice: the COARSEST of day/hour/
+    * minute whose ceil'd bucket count across [fromMs, toMs) still fills a
+    * `widthPx`-pixel chart (≥ 1 bucket per pixel column keeps M4's
+    * zero-error guarantee meaningful); minute if even that is too coarse.
+    * Pure integer arithmetic — deterministic, replayed as a CASE chain in
+    * the oracle.
+    */
+  def renderGranularity(fromMs: Long, toMs: Long, widthPx: Int): String = {
+    require(toMs > fromMs, "empty range")
+    require(widthPx > 0, "non-positive pixel budget")
+    val span = toMs - fromMs
+    def buckets(ms: Long) = (span + ms - 1) / ms
+    if (buckets(86400000L) >= widthPx) "day"
+    else if (buckets(3600000L) >= widthPx) "hour"
+    else "minute"
+  }
+
+  /** Pixel-budget downsample dispatch — the query-side companion of the
+    * committed `m4-1h` downsample tier ([[graft.runtime.TierPipeline
+    * .downsampleTier]]) and [[graft.operators.TierDispatch]]: a dashboard
+    * asks for [from, to) at `widthPx` columns, [[renderGranularity]]
+    * picks the coarsest granularity that still fills the width, and ONE
+    * partial-agg pass emits the global M4 envelope at that granularity —
+    * at cluster scale the scan is the matching tier store (day/hour reads
+    * hit sealed tiers; only a minute-grade zoom touches raw), and the
+    * range filter is a pushable ts predicate either way. first/last are
+    * ordered by the total (ts, conv_id, turn_idx) key, so the corpus-wide
+    * envelope is deterministic despite cross-conversation ts ties.
+    */
+  def renderDispatch(metrics: DataFrame, fromMs: Long, toMs: Long,
+      widthPx: Int, valueCol: String = "value"): DataFrame = {
+    val g = renderGranularity(fromMs, toMs, widthPx)
+    val ord = struct(col("ts"), col("conv_id"), col("turn_idx"))
+    metrics
+      .filter(unix_millis(col("ts").cast("timestamp")) >= fromMs &&
+        unix_millis(col("ts").cast("timestamp")) < toMs)
+      .groupBy(date_trunc(g, col("ts")).as("bucket_ts"))
+      .agg(
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        min_by(col(valueCol), ord).as("v_first"),
+        max_by(col(valueCol), ord).as("v_last"),
+        count(lit(1)).as("n"))
+      .select(lit(g).as("granularity"), col("bucket_ts"),
+        col("v_min"), col("v_max"), col("v_first"), col("v_last"), col("n"))
+  }
+
   /** Gap statistics per conversation: inter-observation deltas over the
     * time-ordered series; a delta strictly greater than `thresholdMs`
     * counts as a gap. Returns n_obs, n_gaps, max_gap_ms, idle_ms (sum of

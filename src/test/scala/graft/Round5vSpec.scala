@@ -74,6 +74,33 @@ class Round5vSpec extends AnyFunSuite {
       "m4-1h tier differs from direct M4 over the filled grid")
   }
 
+  test("renderGranularity: coarsest granularity that fills the pixel budget; renderDispatch M4 envelope with deterministic cross-conv ties") {
+    import spark.implicits._
+    val day = 86400000L
+    // 400 days / 96 px: day grid (400 >= 96) is enough
+    assert(Downsample.renderGranularity(0L, 400 * day, 96) == "day")
+    // 7 days / 96 px: 7 day-buckets too few, 168 hours enough
+    assert(Downsample.renderGranularity(0L, 7 * day, 96) == "hour")
+    // 2 hours / 96 px: 2 hour-buckets too few -> minute
+    assert(Downsample.renderGranularity(0L, 7200000L, 96) == "minute")
+    // boundary: exactly widthPx day-buckets chooses day
+    assert(Downsample.renderGranularity(0L, 96 * day, 96) == "day")
+
+    def at(ms: Long) = new java.sql.Timestamp(ms)
+    // two convs share the hour; ties on ts broken by (conv_id, turn_idx)
+    val m = Seq(
+      ("a", 0, at(60000L), 5.0), ("b", 0, at(60000L), 9.0),
+      ("a", 1, at(120000L), 1.0), ("b", 1, at(3000000L), 7.0))
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val r = Downsample.renderDispatch(m, 0L, 7200000L, widthPx = 2).head()
+    // 2h/2px -> hour granularity; single populated hour bucket
+    assert(r.getString(0) == "hour")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0, "min/max")
+    assert(r.getDouble(4) == 5.0, "first: ts tie at 60s -> conv a before b")
+    assert(r.getDouble(5) == 7.0, "last: latest ts wins")
+    assert(r.getLong(6) == 4L)
+  }
+
   test("m4Stream == batch m4 after every prefix, incl. a late in-hour arrival updating all four stats") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
