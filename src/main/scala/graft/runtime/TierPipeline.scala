@@ -830,9 +830,12 @@ object TierPipeline {
   def runAll(spark: SparkSession, transcripts: DataFrame, inputPath: String,
       outRoot: String, nBuckets: Int = 8,
       limitBuckets: Option[Int] = None,
-      metrics: Seq[String] = Seq("text_len")): Seq[TierRun] = {
+      metrics: Seq[String] = Seq("text_len"),
+      asBands: Boolean = false): Seq[TierRun] = {
     require(metrics.nonEmpty, "no metrics")
-    val single = metrics.size == 1
+    // asBands forces the banded schema (metric dimension column) even for
+    // a one-band run — the store shape [[addMetricBand]] can extend later
+    val single = metrics.size == 1 && !asBands
     val snap = snapshotId(inputPath)
     val b = bucketCol(nBuckets)
 
@@ -970,5 +973,76 @@ object TierPipeline {
       }.reduce(_ unionByName _)
     runTier(spark, outRoot, "m4-1h", snap, nBuckets,
       out.withColumn("bucket", bucketCol(nBuckets)), limitBuckets)
+  }
+
+  /** Band BACKFILL — add one metric band to an already-committed banded
+    * store without touching the existing bands (the tier store's
+    * ALTER TABLE ADD COLUMN): every tier's new-band rows are committed as
+    * window-tagged batch dirs (`band-<metric>`), so the resume diff,
+    * retention, and readers treat them exactly like any other windowed
+    * append — the base run's dirs are never rewritten, and re-running the
+    * backfill resumes at bucket granularity per tier. One raw scan total
+    * for the new band (1m chunks + 1h state share the persisted
+    * first-valid relation, like [[runAll]]); 1d/1mo/gh-state cascade from
+    * the committed 1h rows of the new band only. Requires the store to
+    * carry the banded schema ([[runAll]] with several metrics or
+    * `asBands = true`).
+    */
+  def addMetricBand(spark: SparkSession, transcripts: DataFrame,
+      inputPath: String, outRoot: String, nBuckets: Int, metric: String,
+      limitBuckets: Option[Int] = None): Seq[TierRun] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val snap = snapshotId(inputPath)
+    require(readTier(spark, outRoot, "1m-chunks", snap).columns
+        .contains("metric"),
+      s"addMetricBand: store at $outRoot is not banded (runAll with " +
+        "several metrics or asBands = true)")
+    val w = Some(s"band-$metric")
+    val b = bucketCol(nBuckets)
+    val fv = Regularize.firstValid(transcripts, Tier.M1, metric).persist()
+    fv.count()
+    val f1 = Future {
+      val chunks = ChunkStore.encodeFilled(spark, fv, Tier.M1).toDF()
+        .withColumn("metric", lit(metric)).withColumn("bucket", b)
+      runTier(spark, outRoot, "1m-chunks", snap, nBuckets, chunks,
+        limitBuckets, window = w)
+    }
+    val f2 = Future {
+      val st1h = SeriesRollup.stateDenseHistMulti(spark,
+          fv.select(col("conv_id"), col("bucket_ts"),
+            col("value").as(metric)), Tier.M1, Tier.H1, Seq(metric))
+        .withColumn("bucket", b)
+      runTier(spark, outRoot, "1h-state", snap, nBuckets, st1h,
+        limitBuckets, window = w)
+    }
+    val r1 = Await.result(f1, Duration.Inf)
+    val r2 = Await.result(f2, Duration.Inf)
+    fv.unpersist()
+    val bandRows = col("metric") === metric
+    val r3 =
+      if (committedBuckets(outRoot, "1h-state", snap, w).size < nBuckets)
+        TierRun("1d-state", Nil, Nil, 0, 0)
+      else runTier(spark, outRoot, "1d-state", snap, nBuckets,
+        Rollup.cascadeHist(readTier(spark, outRoot, "1h-state", snap)
+            .filter(bandRows).drop("bucket"), Tier.D1)
+          .withColumn("bucket", b), limitBuckets, window = w)
+    val r4 =
+      if (committedBuckets(outRoot, "1d-state", snap, w).size < nBuckets)
+        TierRun("1mo-state", Nil, Nil, 0, 0)
+      else runTier(spark, outRoot, "1mo-state", snap, nBuckets,
+        Rollup.cascadeHist(readTier(spark, outRoot, "1d-state", snap)
+            .filter(bandRows).drop("bucket"), Tier.Mo1)
+          .withColumn("bucket", b), limitBuckets, window = w)
+    val r5 =
+      if (committedBuckets(outRoot, "1h-state", snap, w).size < nBuckets)
+        TierRun("gh-state", Nil, Nil, 0, 0)
+      else runTier(spark, outRoot, "gh-state", snap, nBuckets,
+        Rollup.cascadeHist(readTier(spark, outRoot, "1h-state", snap)
+            .filter(bandRows).drop("bucket").drop("conv_id"), Tier.H1)
+          .withColumn("bucket", ghBucketCol(nBuckets)), limitBuckets,
+        window = w)
+    Seq(r1, r2, r3, r4, r5)
   }
 }
