@@ -121,6 +121,25 @@ object SparkEntry {
     // §2.4 gap-fill (impute_linear semantics; filled on full grid, day-1 out)
     "ts_gapfill_1m" -> ((s, dir) =>
       day1(s, dir).orderBy("conv_id", "bucket_ts")),
+    // the m4-1h DOWNSAMPLE TIER's content relation, driver-oracle-checked:
+    // M4 per (conv, hour) over the gap-filled 1m grid — exactly what
+    // TierPipeline.downsampleTier decodes out of the committed chunk store
+    // and commits (the manifest/resume machinery is ScalaTest-proven;
+    // this row anchors the tier's VALUES to the DuckDB oracle). Fill uses
+    // the full series, emission is day-1-bounded — the ts_gapfill_1m
+    // convention (the unbounded variant shuffles the whole dense grid)
+    "ts_m4_grid" -> ((s, dir) =>
+      Downsample.m4(
+        day1(s, dir).filter(col("value").isNotNull)
+          .select(col("conv_id"), col("bucket_ts").as("ts"), col("value")),
+        date_trunc("hour", col("ts")))
+        .select(col("conv_id"), col("bucket_ts"),
+          round(col("v_min") + lit(1e-9), 4).as("v_min"),
+          round(col("v_max") + lit(1e-9), 4).as("v_max"),
+          round(col("v_first") + lit(1e-9), 4).as("v_first"),
+          round(col("v_last") + lit(1e-9), 4).as("v_last"),
+          col("t_first"), col("t_last"), col("n"))
+        .orderBy("conv_id", "bucket_ts")),
     // §2.6 t_* rollup of the gap-filled 1m grid into 1h buckets — fused
     // per-series kernel (fill+stats in one group pass; the dense grid never
     // shuffles), same semantics as the relational Rollup.rollup path
@@ -2989,6 +3008,29 @@ private object Oracles {
           |WHERE bucket_ts >= timestamp '2024-01-01 06:00:00'
           |  AND bucket_ts < timestamp '2024-01-01 12:00:00'
           |ORDER BY conv_id, bucket_ts""".stripMargin),
+    "ts_m4_grid" ->
+      (cte + gapfilledCte +
+        """, gfn AS (
+          |  SELECT conv_id, bucket_ts, value FROM gapfilled
+          |  WHERE value IS NOT NULL
+          |    AND bucket_ts < timestamp '2024-01-02'
+          |), rk AS (
+          |  SELECT conv_id, date_trunc('hour', bucket_ts) AS hb, value,
+          |    bucket_ts,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('hour', bucket_ts)
+          |                       ORDER BY bucket_ts) AS ra,
+          |    row_number() OVER (PARTITION BY conv_id, date_trunc('hour', bucket_ts)
+          |                       ORDER BY bucket_ts DESC) AS rd
+          |  FROM gfn
+          |)
+          |SELECT conv_id, hb AS bucket_ts,
+          |  round(min(value) + 1e-9, 4) AS v_min,
+          |  round(max(value) + 1e-9, 4) AS v_max,
+          |  round(min(CASE WHEN ra = 1 THEN value END) + 1e-9, 4) AS v_first,
+          |  round(min(CASE WHEN rd = 1 THEN value END) + 1e-9, 4) AS v_last,
+          |  min(bucket_ts) AS t_first, max(bucket_ts) AS t_last,
+          |  count(*) AS n
+          |FROM rk GROUP BY 1, 2 ORDER BY conv_id, bucket_ts""".stripMargin),
     "ts_rollup_1h" ->
       (cte + gapfilledCte +
         """
