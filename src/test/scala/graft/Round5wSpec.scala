@@ -80,5 +80,48 @@ class Round5wSpec extends AnyFunSuite {
     val rs2 = TierPipeline.addMetricBand(spark, tr, in, out, nBuckets,
       "is_tool")
     assert(rs2.forall(_.processed.isEmpty), "backfill must be idempotent")
+
+    // compaction folds base + band dirs into one batch per tier without
+    // changing reads; band resume still sees its buckets as committed
+    for (tier <- tiers) {
+      val before = canon(TierPipeline.readTier(spark, out, tier, snap))
+      TierPipeline.compactTier(spark, out, tier, snap)
+      TierPipeline.vacuumTier(out, tier)
+      assert(canon(TierPipeline.readTier(spark, out, tier, snap)) == before,
+        s"$tier: compaction changed the banded read")
+    }
+    val rs3 = TierPipeline.addMetricBand(spark, tr, in, out, nBuckets,
+      "is_tool")
+    assert(rs3.forall(_.processed.isEmpty),
+      "compaction must not un-commit the band")
+  }
+
+  test("eraseCascade on a banded store: every tier equals a filtered two-band recompute") {
+    val full = Transcripts.synthetic(spark, nConv = 30).toDF()
+    val in = freshDir("bande_in")
+    full.write.mode("overwrite").parquet(s"$in/transcripts.parquet")
+    val tr = spark.read.parquet(s"$in/transcripts.parquet")
+    val snap0 = TierPipeline.snapshotId(in)
+    val out = freshDir("bande_out")
+    TierPipeline.runAll(spark, tr, in, out, nBuckets,
+      metrics = Seq("text_len", "is_tool"))
+
+    val victims = Seq("c000004", "c000017")
+    val snap1 = snap0 + 1
+    TierPipeline.eraseCascade(spark, out, nBuckets, snap0, snap1, victims)
+
+    val inB = freshDir("bande_in_f")
+    full.filter(!col("conv_id").isin(victims: _*))
+      .write.mode("overwrite").parquet(s"$inB/transcripts.parquet")
+    val out2 = freshDir("bande_out2")
+    TierPipeline.runAll(spark,
+      spark.read.parquet(s"$inB/transcripts.parquet"), inB, out2, nBuckets,
+      metrics = Seq("text_len", "is_tool"))
+    val snapB = TierPipeline.snapshotId(inB)
+    for (tier <- tiers) {
+      assert(canon(TierPipeline.readTierExact(spark, out, tier, snap1)) ==
+        canon(TierPipeline.readTier(spark, out2, tier, snapB)),
+        s"$tier: banded erasure differs from filtered two-band recompute")
+    }
   }
 }
