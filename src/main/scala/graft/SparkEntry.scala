@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tier
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Contract, Dedup, Downsample, Extract, Features, Forecast, GapFill, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Sliding, Smooth, Som, Summary, Texture, TextAnalysis, TierDispatch, Train}
+import graft.operators.{Accuracy, Apply, ChangeDetect, ChunkStore, Classify, Contingency, Contract, Dedup, Downsample, Evaluation, Extract, Features, Forecast, GapFill, Graph, Imbalance, Intervals, KernelWindows, Layout, Merge, Mixture, Multimodal, Predictors, PeriodTiers, Probs, Regularize, Rollup, Segment, Select, SeriesMining, SeriesOps, SeriesRollup, Similarity, Sliding, Smooth, Som, Summary, Texture, TextAnalysis, TierDispatch, Train}
 import graft.sources.Transcripts
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2284,6 +2284,92 @@ object SparkEntry {
     "ts_tier_dispatch" -> ((s, dir) =>
       TierDispatch.rangeAggregate(metrics(s, dir),
         dispatchFromMs, dispatchToMs).orderBy("region")),
+    // reliability diagram: per-confidence-decile accuracy vs mean
+    // confidence of the odd-turns role-mix model against the even-turns
+    // majority-role truth (deterministic in-cell train/test split)
+    "ts_reliability" -> ((s, dir) =>
+      Evaluation.reliabilityBins(transcripts(s, dir)).orderBy("bin")),
+    // multi-class Brier score + expected calibration error, one row —
+    // exact integer ten-thousandth sums, one final division each
+    "ts_brier" -> ((s, dir) =>
+      Evaluation.brierEce(transcripts(s, dir))),
+    // isotonic (PAV) recalibration map over the reliability bins via the
+    // exact minimax identity — weighted segment averages from integer
+    // cumulative sums
+    "ts_isotonic" -> ((s, dir) =>
+      Evaluation.isotonicCalibration(transcripts(s, dir)).orderBy("bin")),
+    // Kaplan-Meier conversation-lifetime survival curve (24h right-censor
+    // horizon at the corpus watermark; per-step 4-dp quantized product)
+    "ts_km" -> ((s, dir) =>
+      Evaluation.kaplanMeier(transcripts(s, dir), censorMs = 86400000L)
+        .orderBy("t_h")),
+    // per-cluster simplified silhouette of the k-means cells — the
+    // clustering-quality grade over the same trained centroids
+    "ann_silhouette" -> ((s, dir) => {
+      val cents = Similarity.kmeansCentroids(embeddings(s, dir),
+        col("vec_id") % 97 === 0, iters = 2)
+      Similarity.silhouetteCentroid(embeddings(s, dir), cents)
+        .orderBy("cell")
+    }),
+    // PageRank over the weighted tool-transition digraph (10 quantized
+    // power-iteration steps, damping 0.85, dangling mass redistributed)
+    "ts_pagerank" -> ((s, dir) =>
+      Graph.pageRank(SeriesOps.toolTransitions(transcripts(s, dir)))
+        .orderBy("tool")),
+    // Markov entropy rate of the tool chain — how predictable the next
+    // tool call is; quantized-ln integer cross-multiplication
+    "ts_entropy_rate" -> ((s, dir) =>
+      Graph.entropyRate(SeriesOps.toolTransitions(transcripts(s, dir)))),
+    // exact 1-D Wasserstein distance between weekday and weekend
+    // per-(conv, day) turn-count distributions
+    "ts_wasserstein" -> ((s, dir) => {
+      val cells = transcripts(s, dir)
+        .groupBy(col("conv_id"),
+          floor(unix_millis(col("ts").cast("timestamp")) / lit(86400000L))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n_turns"))
+      Summary.wasserstein1(
+        cells.withColumn("is_weekday",
+          !pmod(col("day") + 4, lit(7)).isin(0, 6)),
+        "n_turns", "is_weekday")
+    }),
+    // time-decayed tool leaderboard: step-wise weekly halving weights
+    // (pure integer), top-10 by decayed mass
+    "ts_decay_topk" -> ((s, dir) =>
+      Summary.decayedTopK(
+        transcripts(s, dir).filter(col("tool").isNotNull), "tool", "ts", 10)
+        .withColumnRenamed("key", "tool")),
+    // Jensen-Shannon vocabulary drift between even/odd doc shards over
+    // the shared top-64 terms — the symmetric companion of txt_kl_drift
+    "txt_js_drift" -> ((s, dir) =>
+      TextAnalysis.jsVocabDrift(documents(s, dir),
+        pmod(col("doc_id"), lit(2)) === 0, 64).orderBy("word")),
+    // l-diversity audit of the k-anonymity QI groups (sensitive = tool):
+    // distinct-l + entropy-l with quantized-ln integer sums
+    "txt_l_diversity" -> ((s, dir) =>
+      TextAnalysis.lDiversity(transcripts(s, dir))
+        .orderBy("role", "len_bucket")),
+    // role×tool contingency grade: mutual information, chi-square
+    // (zero cells included), Cramér's V — one bounded-grid pass
+    "ts_contingency" -> ((s, dir) =>
+      Contingency.roleToolStats(transcripts(s, dir))),
+    // tool co-occurrence association rules at the conversation grain
+    // (support / both confidences / lift over distinct-tool baskets)
+    "ts_tool_assoc" -> ((s, dir) =>
+      Contingency.toolAssocRules(transcripts(s, dir))
+        .orderBy("tool_a", "tool_b")),
+    // feature-hashing near-dup pairs over the planted-dup corpus:
+    // 32-bucket hashed count vectors, top-3-bucket blocking, ALL-INTEGER
+    // cosine-threshold predicate (decimal/HUGEINT cross-multiplication)
+    "dd_feature_hash" -> ((s, dir) =>
+      Dedup.featureHashPairs(docsPlanted(s, dir)).orderBy("id1", "id2")),
+    // seasonal-residual 3-sigma anomaly screen (decomposition recombined;
+    // exact integer cross-multiplied variance test)
+    "ts_stl_anomaly" -> ((s, dir) =>
+      SeriesOps.stlAnomaly(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        date_trunc("hour", col("ts")))
+        .orderBy("conv_id")),
   )
 
   /** Shared [from, to) for the tier-dispatch query: 2024-01-02T05:30Z to
@@ -8994,6 +9080,384 @@ private object Oracles {
           |    min(min_v), max(max_v)
           |  FROM reg
           |) ORDER BY region""".stripMargin),
+    // calibration family: the cells CTE mirrors Evaluation.calibrationCells
+    // (odd-turn model probs vs even-turn majority truth); every per-cell
+    // float is floored to integer ten-thousandths before summation
+    "ts_reliability" ->
+      (calibCte +
+        """
+          |SELECT bin, n_cells, n_correct,
+          |  round(CAST(n_correct AS DOUBLE) / n_cells + 1e-9, 4) AS acc,
+          |  round(CAST(usum AS DOUBLE) / (n_cells * 10000.0) + 1e-9, 4)
+          |    AS mean_conf,
+          |  round(CAST(abs(10000 * n_correct - usum) AS DOUBLE)
+          |        / (n_cells * 10000.0) + 1e-9, 4) AS abs_gap
+          |FROM binsum ORDER BY bin""".stripMargin),
+    "ts_brier" ->
+      (calibCte +
+        """, brsum AS (
+          |  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+          |    CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS cb,
+          |    CAST(sum(uq) AS BIGINT) AS ub,
+          |    CAST(sum(CAST(floor(
+          |      ((p1 - CASE WHEN truth = 1 THEN 1.0 ELSE 0.0 END) *
+          |       (p1 - CASE WHEN truth = 1 THEN 1.0 ELSE 0.0 END) +
+          |       (p2 - CASE WHEN truth = 2 THEN 1.0 ELSE 0.0 END) *
+          |       (p2 - CASE WHEN truth = 2 THEN 1.0 ELSE 0.0 END) +
+          |       (p3 - CASE WHEN truth = 3 THEN 1.0 ELSE 0.0 END) *
+          |       (p3 - CASE WHEN truth = 3 THEN 1.0 ELSE 0.0 END))
+          |      * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bb
+          |  FROM binned GROUP BY 1
+          |)
+          |SELECT n_cells,
+          |  round(CAST(bsum AS DOUBLE) / (n_cells * 10000.0) + 1e-9, 4)
+          |    AS brier,
+          |  round(CAST(esum AS DOUBLE) / (n_cells * 10000.0) + 1e-9, 4)
+          |    AS ece
+          |FROM (
+          |  SELECT CAST(sum(nb) AS BIGINT) AS n_cells,
+          |    CAST(sum(bb) AS BIGINT) AS bsum,
+          |    CAST(sum(abs(10000 * cb - ub)) AS BIGINT) AS esum
+          |  FROM brsum)""".stripMargin),
+    // isotonic (PAV) calibration map via the exact minimax identity over
+    // the occupied reliability bins: iso_i = max_{j<=i} min_{k>=i}
+    // (Cc_k - Cc_{j-1}) / (Cn_k - Cn_{j-1}) — integer cumulative sums,
+    // one IEEE division per segment
+    "ts_isotonic" ->
+      (calibCte +
+        """, cum AS (
+          |  SELECT bin, n_cells, n_correct,
+          |    CAST(sum(n_correct) OVER (ORDER BY bin) AS BIGINT) AS cc,
+          |    CAST(sum(n_cells) OVER (ORDER BY bin) AS BIGINT) AS cn
+          |  FROM binsum
+          |), segs AS (
+          |  SELECT j.bin AS jb, k.bin AS kb,
+          |    CAST(k.cc - (j.cc - j.n_correct) AS DOUBLE)
+          |      / CAST(k.cn - (j.cn - j.n_cells) AS DOUBLE) AS seg_avg
+          |  FROM cum j JOIN cum k ON j.bin <= k.bin
+          |), mins AS (
+          |  SELECT b.bin, s.jb, min(s.seg_avg) AS min_avg
+          |  FROM segs s JOIN binsum b ON s.kb >= b.bin AND s.jb <= b.bin
+          |  GROUP BY 1, 2
+          |), iso AS (
+          |  SELECT bin, max(min_avg) AS iso FROM mins GROUP BY 1
+          |)
+          |SELECT b.bin, b.n_cells,
+          |  round(CAST(b.n_correct AS DOUBLE) / b.n_cells + 1e-9, 4) AS acc,
+          |  round(i.iso + 1e-9, 4) AS iso_acc
+          |FROM binsum b JOIN iso i USING (bin) ORDER BY bin""".stripMargin),
+    // Kaplan-Meier: conv lifetimes in hours, 24h right-censor horizon at
+    // the corpus watermark; per-step 4-dp product replayed recursively
+    "ts_km" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, convs AS (
+          |  SELECT conv_id, min(epoch_ms(ts)) AS first_ms,
+          |    max(epoch_ms(ts)) AS last_ms
+          |  FROM transcripts GROUP BY 1
+          |), wmk AS (SELECT max(last_ms) AS wm FROM convs),
+          |durs AS (
+          |  SELECT CAST(floor((last_ms - first_ms) / 3600000) AS BIGINT)
+          |      AS t_h,
+          |    (last_ms > wm - 86400000) AS censored
+          |  FROM convs CROSS JOIN wmk
+          |), byt AS (
+          |  SELECT t_h, CAST(count(*) AS BIGINT) AS m,
+          |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS d
+          |  FROM durs GROUP BY 1
+          |), ev AS (
+          |  SELECT t_h, CAST(sum(m) OVER (ORDER BY t_h DESC) AS BIGINT)
+          |      AS n_risk, d
+          |  FROM byt
+          |), evf AS (
+          |  SELECT t_h, n_risk, d,
+          |    CAST(row_number() OVER (ORDER BY t_h) AS INT) AS i
+          |  FROM ev WHERE d > 0
+          |), r AS (
+          |  SELECT i, t_h, n_risk, d,
+          |    round(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+          |          + 1e-9, 4) AS s
+          |  FROM evf WHERE i = 1
+          |  UNION ALL
+          |  SELECT v.i, v.t_h, v.n_risk, v.d,
+          |    round(r.s * (CAST(v.n_risk - v.d AS DOUBLE)
+          |                 / CAST(v.n_risk AS DOUBLE)) + 1e-9, 4)
+          |  FROM r JOIN evf v ON v.i = r.i + 1
+          |)
+          |SELECT t_h, n_risk, d AS d_events, s AS surv
+          |FROM r ORDER BY t_h""".stripMargin),
+    "ann_silhouette" -> silhouetteSql,
+    "ts_pagerank" -> pagerankSql,
+    // Markov entropy rate of the tool chain: per-edge ln quantized to
+    // integer ten-thousandths before the exact weighted sum
+    "ts_entropy_rate" ->
+      (cte + toolTransCte +
+        """, er AS (
+          |  SELECT from_tool, n,
+          |    CAST(sum(n) OVER (PARTITION BY from_tool) AS BIGINT) AS out_n
+          |  FROM cg
+          |), eq AS (
+          |  SELECT from_tool, n, out_n,
+          |    CAST(round(ln(CAST(out_n AS DOUBLE) / n) * 10000.0) AS BIGINT)
+          |      AS lq
+          |  FROM er
+          |)
+          |SELECT n_transitions, n_states, n_edges,
+          |  round(CAST(hsum AS DOUBLE) / (n_transitions * 10000.0) + 1e-9, 4)
+          |    AS entropy_rate
+          |FROM (
+          |  SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+          |    CAST(count(DISTINCT from_tool) AS BIGINT) AS n_states,
+          |    CAST(count(*) AS BIGINT) AS n_edges,
+          |    CAST(sum(n * lq) AS BIGINT) AS hsum
+          |  FROM eq)""".stripMargin),
+    // exact 1-D Wasserstein: integer CDF cross-multiplication, one final
+    // division (weekday vs weekend per-(conv, day) turn counts)
+    "ts_wasserstein" ->
+      (cte +
+        """, cells AS (
+          |  SELECT conv_id,
+          |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+          |    CAST(count(*) AS BIGINT) AS n_turns
+          |  FROM transcripts GROUP BY 1, 2
+          |), cw AS (
+          |  SELECT n_turns AS v,
+          |    CASE WHEN NOT (CAST((day + 4) % 7 AS INT) IN (0, 6))
+          |         THEN 1 ELSE 0 END AS in_a
+          |  FROM cells
+          |), census AS (
+          |  SELECT v, CAST(sum(in_a) AS BIGINT) AS na,
+          |    CAST(count(*) - sum(in_a) AS BIGINT) AS nb
+          |  FROM cw GROUP BY 1
+          |), walk AS (
+          |  SELECT v, na, nb,
+          |    CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+          |    CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+          |    COALESCE(lead(v) OVER (ORDER BY v) - v, 0) AS dx,
+          |    CAST(sum(na) OVER () AS BIGINT) AS tot_a,
+          |    CAST(sum(nb) OVER () AS BIGINT) AS tot_b
+          |  FROM census
+          |)
+          |SELECT n_a, n_b, support,
+          |  round(CAST(num AS DOUBLE) / (n_a * n_b) + 1e-9, 4) AS w1
+          |FROM (
+          |  SELECT max(tot_a) AS n_a, max(tot_b) AS n_b,
+          |    CAST(count(*) AS BIGINT) AS support,
+          |    CAST(sum(abs(cum_a * tot_b - cum_b * tot_a) * dx) AS BIGINT)
+          |      AS num
+          |  FROM walk)""".stripMargin),
+    // step-wise weekly-halving decayed leaderboard: weights are pure
+    // integer (10^4 >> weeks), decayed mass an exact BIGINT sum
+    "ts_decay_topk" ->
+      (cte +
+        """, census AS (
+          |  SELECT tool AS key,
+          |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+          |), wtd AS (
+          |  SELECT key, n,
+          |    CAST(floor((max(day) OVER () - day) / 7) AS INT) AS age_w
+          |  FROM census
+          |), w2 AS (
+          |  SELECT key, n,
+          |    CASE WHEN age_w >= 14 THEN 0
+          |         ELSE 10000 // (1 << age_w) END AS wq
+          |  FROM wtd
+          |)
+          |SELECT key AS tool, CAST(sum(n) AS BIGINT) AS n_total,
+          |  round(CAST(sum(n * wq) AS BIGINT) / 10000.0, 4) AS decayed
+          |FROM w2 GROUP BY 1
+          |ORDER BY decayed DESC, tool LIMIT 10""".stripMargin),
+    // Jensen-Shannon drift: same smoothed shard probabilities as
+    // txt_kl_drift, symmetric term vs the mixture m = (pa + pb)/2
+    "txt_js_drift" ->
+      ("""WITH tok AS (
+          |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+          |    unnest(string_split(text, ' ')) AS word
+          |  FROM documents
+          |), top AS (
+          |  SELECT word, cast(sum(in_a) AS bigint) AS n_a,
+          |    cast(count(*) - sum(in_a) AS bigint) AS n_b
+          |  FROM tok WHERE word != '' GROUP BY 1
+          |  ORDER BY n_a + n_b DESC, word LIMIT 64
+          |), sm AS (
+          |  SELECT word, n_a, n_b,
+          |    cast(n_a + 1 AS double)
+          |      / (sum(n_a) OVER () + count(*) OVER ()) AS pa,
+          |    cast(n_b + 1 AS double)
+          |      / (sum(n_b) OVER () + count(*) OVER ()) AS pb
+          |  FROM top
+          |)
+          |SELECT word, n_a, n_b,
+          |  round(pa + 1e-9, 4) AS p_a,
+          |  round(pb + 1e-9, 4) AS p_b,
+          |  round((pa * ln(pa / ((pa + pb) / 2.0))
+          |         + pb * ln(pb / ((pa + pb) / 2.0))) / 2.0 + 1e-9, 4)
+          |    AS js_term
+          |FROM sm ORDER BY word""".stripMargin),
+    // l-diversity: per-(role, len-bucket) QI group, sensitive = tool;
+    // entropy from quantized-ln integer sums
+    "txt_l_diversity" ->
+      (cte +
+        """, lc AS (
+          |  SELECT role,
+          |    least(CAST(floor(length(text) / 64) AS BIGINT), 15)
+          |      AS len_bucket,
+          |    COALESCE(tool, 'none') AS sensitive
+          |  FROM transcripts
+          |), cellsd AS (
+          |  SELECT role, len_bucket, sensitive, CAST(count(*) AS BIGINT) AS c
+          |  FROM lc GROUP BY 1, 2, 3
+          |), grp AS (
+          |  SELECT role, len_bucket, CAST(sum(c) AS BIGINT) AS k,
+          |    CAST(count(*) AS BIGINT) AS l_distinct
+          |  FROM cellsd GROUP BY 1, 2
+          |), hj AS (
+          |  SELECT d.role, d.len_bucket, g.k, g.l_distinct,
+          |    d.c * CAST(round(ln(CAST(g.k AS DOUBLE) / d.c) * 10000.0)
+          |      AS BIGINT) AS hq
+          |  FROM cellsd d JOIN grp g USING (role, len_bucket)
+          |)
+          |SELECT role, len_bucket, k, l_distinct,
+          |  round(CAST(CAST(sum(hq) AS BIGINT) AS DOUBLE)
+          |        / (k * 10000.0) + 1e-9, 4) AS h_nats,
+          |  (l_distinct >= 2) AS diverse
+          |FROM hj GROUP BY 1, 2, 3, 4
+          |ORDER BY role, len_bucket""".stripMargin),
+    // role×tool contingency: MI (occupied cells) + chi-square (all cells,
+    // zero cells carry e) + Cramér's V — quantized per-cell terms
+    "ts_contingency" ->
+      (cte +
+        """, cl2 AS (
+          |  SELECT role, COALESCE(tool, 'none') AS tool FROM transcripts
+          |), cells AS (
+          |  SELECT role, tool, CAST(count(*) AS BIGINT) AS o
+          |  FROM cl2 GROUP BY 1, 2
+          |), rws AS (
+          |  SELECT role, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+          |), cls AS (
+          |  SELECT tool, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+          |), tt AS (
+          |  SELECT CAST(sum(o) AS BIGINT) AS nn,
+          |    CAST(count(DISTINCT role) AS BIGINT) AS nr,
+          |    CAST(count(DISTINCT tool) AS BIGINT) AS nc
+          |  FROM cells
+          |), grid AS (
+          |  SELECT rws.role, cls.tool, rws.r, cls.c, tt.nn, tt.nr, tt.nc,
+          |    COALESCE(cells.o, 0) AS o,
+          |    CAST(rws.r AS DOUBLE) * cls.c / tt.nn AS e
+          |  FROM rws CROSS JOIN cls CROSS JOIN tt
+          |  LEFT JOIN cells ON cells.role = rws.role AND cells.tool = cls.tool
+          |), gq AS (
+          |  SELECT nn, nr, nc,
+          |    CASE WHEN o > 0 THEN o * CAST(round(
+          |        ln(CAST(o AS DOUBLE) * nn / (CAST(r AS DOUBLE) * c))
+          |        * 10000.0) AS BIGINT)
+          |      ELSE 0 END AS miq,
+          |    CAST(floor((o - e) * (o - e) / e * 10000.0 + 0.5) AS BIGINT)
+          |      AS chq
+          |  FROM grid
+          |)
+          |SELECT nn AS n, nr AS n_roles, nc AS n_tools,
+          |  round(CAST(msum AS DOUBLE) / (nn * 10000.0) + 1e-9, 4) AS mi,
+          |  round(csum / 10000.0 + 1e-9, 4) AS chi2,
+          |  round(sqrt(CAST(csum AS DOUBLE)
+          |        / (10000.0 * nn * least(nr - 1, nc - 1))) + 1e-9, 4)
+          |    AS cramers_v
+          |FROM (
+          |  SELECT nn, nr, nc, CAST(sum(miq) AS BIGINT) AS msum,
+          |    CAST(sum(chq) AS BIGINT) AS csum
+          |  FROM gq GROUP BY 1, 2, 3)""".stripMargin),
+    // tool association rules over per-conv distinct-tool baskets
+    "ts_tool_assoc" ->
+      (cte +
+        """, bt AS (
+          |  SELECT DISTINCT conv_id, tool FROM transcripts
+          |  WHERE tool IS NOT NULL
+          |), nx AS (
+          |  SELECT tool, CAST(count(*) AS BIGINT) AS n_t FROM bt GROUP BY 1
+          |), nbk AS (
+          |  SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_baskets
+          |  FROM bt
+          |), pr AS (
+          |  SELECT a.tool AS tool_a, b.tool AS tool_b,
+          |    CAST(count(*) AS BIGINT) AS n_xy
+          |  FROM bt a JOIN bt b
+          |    ON a.conv_id = b.conv_id AND a.tool < b.tool
+          |  GROUP BY 1, 2
+          |)
+          |SELECT tool_a, tool_b, n_xy, na.n_t AS n_a, nbb.n_t AS n_b,
+          |  nbk.n_baskets,
+          |  round(CAST(n_xy AS DOUBLE) / nbk.n_baskets + 1e-9, 4) AS support,
+          |  round(CAST(n_xy AS DOUBLE) / na.n_t + 1e-9, 4) AS conf_ab,
+          |  round(CAST(n_xy AS DOUBLE) / nbb.n_t + 1e-9, 4) AS conf_ba,
+          |  round(CAST(n_xy AS DOUBLE) * nbk.n_baskets
+          |        / (CAST(na.n_t AS DOUBLE) * nbb.n_t) + 1e-9, 4) AS lift
+          |FROM pr JOIN nx na ON na.tool = pr.tool_a
+          |        JOIN nx nbb ON nbb.tool = pr.tool_b
+          |        CROSS JOIN nbk
+          |ORDER BY tool_a, tool_b""".stripMargin),
+    "dd_feature_hash" -> featureHashSql,
+    // seasonal-residual 3-sigma anomalies: the ts_decompose chain
+    // recombined, residuals in integer ten-thousandths, exact HUGEINT
+    // cross-multiplied variance test
+    "ts_stl_anomaly" ->
+      (cte + metricsCte +
+        """, b AS (
+          |  SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+          |    round(avg(text_len) + 1e-9, 4) AS v
+          |  FROM metrics GROUP BY 1, 2
+          |), t AS (
+          |  SELECT conv_id, bucket_ts, v,
+          |    CASE WHEN count(*) OVER wc = 25
+          |         THEN round((avg(v) OVER wa + avg(v) OVER wb) / 2 + 1e-9, 4)
+          |         END AS trend
+          |  FROM b
+          |  WINDOW wc AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+          |         wa AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+          |         wb AS (PARTITION BY conv_id ORDER BY bucket_ts
+          |                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+          |), s AS (
+          |  SELECT conv_id, hour(bucket_ts) AS hod,
+          |    round(avg(v - trend) + 1e-9, 4) AS s_raw
+          |  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+          |), c AS (
+          |  SELECT conv_id, round(avg(s_raw) + 1e-9, 4) AS s_mean
+          |  FROM s GROUP BY 1
+          |), sidx AS (
+          |  SELECT s.conv_id, s.hod,
+          |    round(s.s_raw - c.s_mean + 1e-9, 4) AS s_idx
+          |  FROM s JOIN c ON s.conv_id = c.conv_id
+          |), resid AS (
+          |  SELECT t.conv_id,
+          |    CAST(floor((t.v - t.trend - si.s_idx) * 10000.0 + 0.5)
+          |      AS BIGINT) AS q
+          |  FROM t JOIN sidx si
+          |    ON si.conv_id = t.conv_id AND si.hod = hour(t.bucket_ts)
+          |  WHERE t.trend IS NOT NULL
+          |), agg1 AS (
+          |  SELECT conv_id, q,
+          |    CAST(count(*) OVER w AS BIGINT) AS n,
+          |    CAST(sum(q) OVER w AS BIGINT) AS sq,
+          |    CAST(sum(q * q) OVER w AS BIGINT) AS sq2
+          |  FROM resid WINDOW w AS (PARTITION BY conv_id)
+          |), fl AS (
+          |  SELECT conv_id, q, n,
+          |    (n >= 2 AND
+          |     (CAST(q AS HUGEINT) * n - sq) * (CAST(q AS HUGEINT) * n - sq)
+          |       * (n - 1) >
+          |     (CAST(n AS HUGEINT) * sq2 - CAST(sq AS HUGEINT) * sq) * 9 * n)
+          |      AS anom
+          |  FROM agg1
+          |)
+          |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_buckets,
+          |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+          |  round(max(abs(q)) / 10000.0, 4) AS max_abs_resid
+          |FROM fl GROUP BY 1 ORDER BY conv_id""".stripMargin),
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every
@@ -9940,6 +10404,196 @@ private object Oracles {
          |  round((sp[b + 1] - sp[a]) / (b - a + 1) + 1e-9, 4) AS seg_mean
          |FROM segsr ORDER BY conv_id, seg""".stripMargin
   }
+
+  /** Shared tool-transition relation (the ts_tool_trans `cg` CTE) —
+    * consumed by the PageRank and entropy-rate oracles.
+    */
+  private lazy val toolTransCte =
+    """, tp AS (
+      |  SELECT conv_id,
+      |    lag(tool) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+      |      AS from_tool,
+      |    tool AS to_tool
+      |  FROM (SELECT * FROM transcripts WHERE tool IS NOT NULL)
+      |), cg AS (
+      |  SELECT from_tool, to_tool, cast(count(*) AS bigint) AS n
+      |  FROM tp WHERE from_tool IS NOT NULL GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Calibration cells CTE chain (mirrors Evaluation.calibrationCells →
+    * binned → per-bin sums): odd-turn role-mix model probabilities vs the
+    * even-turn majority-role truth, confidence floored to integer
+    * ten-thousandths before any summation.
+    */
+  private lazy val calibCte = cte +
+    """, mh AS (
+      |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+      |    CAST(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS mu,
+      |    CAST(count(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT) AS ma,
+      |    CAST(count(CASE WHEN role = 'tool' THEN 1 END) AS BIGINT) AS mt,
+      |    CAST(count(*) AS BIGINT) AS mn
+      |  FROM transcripts WHERE turn_idx % 2 = 1 GROUP BY 1, 2
+      |), hh AS (
+      |  SELECT conv_id, date_trunc('day', ts) AS bucket_ts,
+      |    CAST(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS hu,
+      |    CAST(count(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT) AS ha,
+      |    CAST(count(CASE WHEN role = 'tool' THEN 1 END) AS BIGINT) AS ht
+      |  FROM transcripts WHERE turn_idx % 2 = 0 GROUP BY 1, 2
+      |), clp AS (
+      |  SELECT m.conv_id, m.bucket_ts,
+      |    CAST(mu + 1 AS DOUBLE) / (mn + 3) AS p1,
+      |    CAST(ma + 1 AS DOUBLE) / (mn + 3) AS p2,
+      |    CAST(mt + 1 AS DOUBLE) / (mn + 3) AS p3,
+      |    hu, ha, ht
+      |  FROM mh m JOIN hh h
+      |    ON m.conv_id = h.conv_id AND m.bucket_ts = h.bucket_ts
+      |), cl AS (
+      |  SELECT conv_id, bucket_ts, p1, p2, p3,
+      |    CASE WHEN p1 >= p2 AND p1 >= p3 THEN 1
+      |         WHEN p2 >= p3 THEN 2 ELSE 3 END AS pred,
+      |    CASE WHEN hu >= ha AND hu >= ht THEN 1
+      |         WHEN ha >= ht THEN 2 ELSE 3 END AS truth,
+      |    greatest(p1, p2, p3) AS conf
+      |  FROM clp
+      |), binned AS (
+      |  SELECT *, CAST(least(floor(conf * 10), 9) AS INT) AS bin,
+      |    CAST(floor(conf * 10000.0 + 0.5) AS BIGINT) AS uq
+      |  FROM cl
+      |), binsum AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_correct,
+      |    CAST(sum(uq) AS BIGINT) AS usum
+      |  FROM binned GROUP BY 1
+      |)""".stripMargin
+
+  /** Centroid-silhouette oracle: the kmeansSql Lloyd replay (2 quantized
+    * iterations) followed by rank-1/rank-2 centroid scoring and the
+    * per-cluster integer-quantized silhouette means.
+    */
+  private lazy val silhouetteSql: String = {
+    val steps = (1 to 2).map(j =>
+      kmAsg(j, if (j == 1) "cents0" else s"cents${j - 1}") + kmUpdate(j)).mkString
+    embCtes("embeddings") +
+      """, cents0 AS (
+        |  SELECT vec_id AS cid, v AS cv FROM nrm WHERE vec_id % 97 = 0
+        |)""".stripMargin +
+      steps +
+      s""", sc AS (
+         |  SELECT n.vec_id, c.cid AS cell, ${kmCos("c")} AS cos,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |                       ORDER BY ${kmCos("c")} DESC, c.cid) AS rn
+         |  FROM nrm n CROSS JOIN cents2 c
+         |), t2 AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cos END) AS c1,
+         |    min(CASE WHEN rn = 1 THEN cell END) AS cell,
+         |    max(CASE WHEN rn = 2 THEN cos END) AS c2
+         |  FROM sc WHERE rn <= 2 GROUP BY 1
+         |), sil AS (
+         |  SELECT cell, CAST(floor(
+         |    CASE WHEN c2 IS NULL OR c2 >= 1.0 THEN 0.0
+         |         ELSE (c1 - c2) / (1.0 - c2) END * 10000.0 + 0.5) AS BIGINT)
+         |    AS sq
+         |  FROM t2
+         |)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(sq) AS DOUBLE) / (count(*) * 10000.0) + 1e-9, 4)
+         |    AS mean_sil,
+         |  round(min(sq) / 10000.0, 4) AS min_sil,
+         |  round(max(sq) / 10000.0, 4) AS max_sil
+         |FROM sil GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
+  /** PageRank oracle: the 10 quantized power-iteration steps unrolled as
+    * CTE pairs (the kmeansSql unrolling pattern — a recursive CTE may
+    * reference itself only once, and each step needs the previous rank
+    * vector three times: dangling mass, edge contributions, node base).
+    * Every float expression mirrors Graph.pageRank operand-for-operand.
+    */
+  private lazy val pagerankSql: String = {
+    val damp = 0.85
+    val oneMinus = (1.0 - damp).toString
+    val steps = (1 to 10).map { j =>
+      val prev = if (j == 1) "r0" else s"r${j - 1}"
+      s""", dang$j AS (
+         |  SELECT COALESCE(CAST(sum(rq) AS BIGINT), 0) AS dq
+         |  FROM $prev LEFT JOIN outs USING (tool) WHERE out_n IS NULL
+         |), ctr$j AS (
+         |  SELECT e.to_tool AS tool,
+         |    CAST(sum(CAST(round(p.rq * e.pq / 1000000.0) AS BIGINT))
+         |      AS BIGINT) AS csum
+         |  FROM $prev p JOIN edges e ON p.tool = e.from_tool GROUP BY 1
+         |), r$j AS MATERIALIZED (
+         |  SELECT n.tool, CAST(floor(
+         |    round($oneMinus / nn.n + $damp * (COALESCE(c.csum, 0) +
+         |      CAST(round(CAST(g.dq AS DOUBLE) / nn.n) AS BIGINT)) / 10000.0
+         |      + 1e-9, 4) * 10000.0 + 0.5) AS BIGINT) AS rq
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN dang$j g
+         |  LEFT JOIN ctr$j c ON c.tool = n.tool
+         |)""".stripMargin
+    }.mkString
+    cte + toolTransCte +
+      """, nodes AS MATERIALIZED (
+        |  SELECT from_tool AS tool FROM cg UNION SELECT to_tool FROM cg
+        |), outs AS MATERIALIZED (
+        |  SELECT from_tool AS tool, CAST(sum(n) AS BIGINT) AS out_n
+        |  FROM cg GROUP BY 1
+        |), edges AS MATERIALIZED (
+        |  SELECT cg.from_tool, cg.to_tool,
+        |    CAST(round(cg.n * 1000000.0 / o.out_n) AS BIGINT) AS pq
+        |  FROM cg JOIN outs o ON cg.from_tool = o.tool
+        |), nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT tool, CAST(round(10000.0 / nn.n) AS BIGINT) AS rq
+        |  FROM nodes CROSS JOIN nn
+        |)""".stripMargin + steps +
+      """
+        |SELECT r.tool, COALESCE(o.out_n, 0) AS out_n,
+        |  r.rq / 10000.0 AS "rank"
+        |FROM r10 r LEFT JOIN outs o ON o.tool = r.tool
+        |ORDER BY r.tool""".stripMargin
+  }
+
+  /** Feature-hashing near-dup oracle: u32(md5(word)) mod 32 bucket
+    * vectors over the planted corpus, top-3-bucket blocking key, HUGEINT
+    * cosine-threshold cross-multiplication (mirrors
+    * Dedup.featureHashPairs at dims=32, τ=0.97).
+    */
+  private lazy val featureHashSql: String =
+    plantedCte +
+      s""", tokfh AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs
+         |), sigfh AS (
+         |  SELECT doc_id, ${u32Sql("word")} % 32 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, word FROM tokfh WHERE word != '')
+         |  GROUP BY 1, 2
+         |), ds AS (
+         |  SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS n2,
+         |    string_agg(CAST(CASE WHEN rn <= 3 THEN bucket END AS VARCHAR),
+         |               ':' ORDER BY rn) AS block
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY cnt DESC, bucket ASC) AS rn FROM sigfh)
+         |  GROUP BY 1
+         |), candf AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n2 AS n2a, b.n2 AS n2b
+         |  FROM ds a JOIN ds b ON a.block = b.block AND a.doc_id < b.doc_id
+         |), dotsf AS (
+         |  SELECT c.id1, c.id2, c.n2a, c.n2b,
+         |    CAST(sum(s1.cnt * s2.cnt) AS BIGINT) AS dot
+         |  FROM candf c
+         |  JOIN sigfh s1 ON s1.doc_id = c.id1
+         |  JOIN sigfh s2 ON s2.doc_id = c.id2 AND s2.bucket = s1.bucket
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT id1, id2, dot, n2a, n2b,
+         |  round(CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * n2b)
+         |        + 1e-9, 4) AS cos
+         |FROM dotsf
+         |WHERE CAST(dot AS HUGEINT) * dot * 10000 >=
+         |      CAST(n2a AS HUGEINT) * n2b * 9409
+         |ORDER BY id1, id2""".stripMargin
 
   private lazy val ivfCtes =
     """, cents AS (

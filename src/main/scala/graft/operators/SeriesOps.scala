@@ -380,6 +380,49 @@ object SeriesOps {
         r4(col("s_raw") - col("s_mean")).as("s_idx"))
   }
 
+  /** Seasonal-residual anomaly screen — the decomposition family's alert
+    * consumer: residual = detrended hourly value minus the conversation's
+    * hour-of-day seasonal index (the [[seasonalDecompose]] components
+    * recombined), flagged by the 3-sigma rule evaluated EXACTLY on
+    * integer ten-thousandths via cross-multiplication:
+    * (q·n − Σq)²·(n−1) > 9·(n·Σq² − (Σq)²)·n, computed in
+    * DecimalType(38,0) (the oracle uses HUGEINT) so no magnitude ever
+    * truncates — the float-free form of `|resid − μ| > 3σ̂`. One extra
+    * unordered conv window over the already-aggregated bucket relation.
+    * Output per conv: (conv_id, n_buckets, n_anom, max_abs_resid).
+    */
+  def stlAnomaly(metrics: DataFrame, bucketExpr: Column,
+      valueCol: String = "value"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val t = hourlyDetrended(metrics, bucketExpr, valueCol)
+    val s = t.groupBy(col("conv_id"), hour(col("bucket_ts")).as("hod"))
+      .agg(r4(avg("detr")).as("s_raw"))
+    val c = s.groupBy("conv_id").agg(r4(avg("s_raw")).as("s_mean"))
+    val sIdx = s.join(c, "conv_id")
+      .select(col("conv_id"), col("hod"),
+        r4(col("s_raw") - col("s_mean")).as("s_idx"))
+    val resid = t
+      .select(col("conv_id"), hour(col("bucket_ts")).as("hod"), col("detr"))
+      .join(sIdx, Seq("conv_id", "hod"))
+      .withColumn("q",
+        floor((col("detr") - col("s_idx")) * lit(10000d) + lit(0.5))
+          .cast("long"))
+    val w = Window.partitionBy("conv_id")
+    val flagged = resid
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sq", sum("q").over(w))
+      .withColumn("sq2", sum(col("q") * col("q")).over(w))
+      .withColumn("anom", col("n") >= 2 &&
+        (col("q").cast(dec) * col("n") - col("sq")) *
+          (col("q").cast(dec) * col("n") - col("sq")) * (col("n") - 1) >
+        (col("n").cast(dec) * col("sq2") -
+          col("sq").cast(dec) * col("sq")) * lit(9) * col("n"))
+    flagged.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"),
+        round(max(abs(col("q"))) / lit(10000d), 4).as("max_abs_resid"))
+  }
+
   /** Shared detrending stage of [[seasonalDecompose]] /
     * [[seasonalStrength]]: hourly bucket means (4-dp), centered 2×24
     * moving-average trend, detrended residual where the full ±12 window

@@ -84,6 +84,46 @@ object Similarity {
       .select(col("eid").as("vec_id"), col("cid").as("cell"), col("cos"))
   }
 
+  /** Per-cluster simplified (centroid) silhouette over an explicit centroid
+    * relation — the clustering-quality grade for the IVF/k-means cells
+    * (Rousseeuw 1987; the centroid variant is the O(n·k) form every
+    * large-scale evaluator uses — pairwise silhouette is O(n²) by
+    * definition and exists here only implicitly as its upper bound).
+    * Per vector with rank-1/rank-2 centroid cosines c1 ≥ c2 (the
+    * [[ivfAssignTo]] 6-dp-rounded scoring): a = 1−c1, b = 1−c2,
+    * s = (b−a)/max(a,b) = (c1−c2)/(1−c2) ∈ [0,1] (centroid silhouette is
+    * non-negative by construction since rank order gives a ≤ b; s = 0 when
+    * c2 = 1, i.e. the vector ties two centroids exactly). Per-vector s is
+    * quantized to integer ten-thousandths before the per-cluster sum
+    * (exact BIGINT adds, one final division). Output per cluster:
+    * (cell, n, mean_sil, min_sil, max_sil).
+    */
+  def silhouetteCentroid(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val e = withNorm(dims(emb, "embedding"))
+      .select(col("vec_id").as("eid"), col("embedding").as("ev"), col("norm").as("en"))
+    val c = dims(cents, "cv").select(col("cid"), col("cv").as("qv"),
+      sqrt(expr("graft_dot(cv, cv)")).as("qn"))
+    val scored = e.join(broadcast(c), lit(true))
+      .withColumn("cos", round(expr(dot) / (col("qn") * col("en")) + lit(1e-9), 6))
+    val w = Window.partitionBy("eid").orderBy(col("cos").desc, col("cid"))
+    val top2 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("eid")
+      .agg(max(when(col("rn") === 1, col("cos"))).as("c1"),
+        min(when(col("rn") === 1, col("cid"))).as("cell"),
+        max(when(col("rn") === 2, col("cos"))).as("c2"))
+      .withColumn("sq", floor(
+        when(col("c2").isNull || col("c2") >= 1.0d, lit(0.0d))
+          .otherwise((col("c1") - col("c2")) / (lit(1.0d) - col("c2")))
+          * lit(10000d) + lit(0.5)).cast("long"))
+    top2.groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        round(sum("sq").cast("double") / (count(lit(1)) * lit(10000d))
+          + lit(1e-9), 4).as("mean_sil"),
+        round(min("sq") / lit(10000d), 4).as("min_sil"),
+        round(max("sq") / lit(10000d), 4).as("max_sil"))
+  }
+
   /** Spherical k-means (Lloyd) training of IVF centroids. Each iteration:
     * (1) assign every vector by rounded cosine ([[ivfAssignTo]] contract);
     * (2) new centroid = per-dim MEAN of its members, QUANTIZED to 4 decimals

@@ -516,4 +516,69 @@ object Summary {
           (col("n") - col("total") * col("exp_p")) /
           (col("total") * col("exp_p")) + lit(1e-9), 4).as("chi_term"))
   }
+
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between the integer
+    * value distributions of two cohorts — THE metric for "how far did this
+    * distribution drift" when PSI/KL bucket losses are unacceptable
+    * (Ramdas et al. 2017: W₁ = ∫|F_A − F_B|). Input: a relation with an
+    * integer `valueCol` and a boolean `cohortACol`. The corpus pass is one
+    * partial-aggregable census per distinct value; the CDF walk runs on
+    * the |distinct values|-bounded census (the ts_gini bounded-window
+    * shape). Exactness: W₁·N_A·N_B = Σ |cumA·N_B − cumB·N_A|·Δx is an
+    * exact BIGINT sum (documented bound: |cumA·N_B| ≤ N_A·N_B and the
+    * Δx-weighted sum must stay < 2⁵³ — at 10¹² rows run per-shard and
+    * average, or lift to DecimalType), divided ONCE at the boundary.
+    * One row: (n_a, n_b, support, w1).
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, cohortACol: String): DataFrame = {
+    val census = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(cohortACol), 1L).otherwise(0L).as("in_a"))
+      .groupBy("v")
+      .agg(sum("in_a").as("na"), (count(lit(1)) - sum("in_a")).as("nb"))
+    val w = Window.partitionBy().orderBy("v")
+    val walk = census
+      .withColumn("cum_a", sum("na").over(w))
+      .withColumn("cum_b", sum("nb").over(w))
+      .withColumn("dx", coalesce(lead("v", 1).over(w) - col("v"), lit(0L)))
+      .withColumn("tot_a", sum("na").over(Window.partitionBy()))
+      .withColumn("tot_b", sum("nb").over(Window.partitionBy()))
+    walk.agg(max("tot_a").as("n_a"), max("tot_b").as("n_b"),
+        count(lit(1)).as("support"),
+        sum(abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a"))
+          * col("dx")).as("num"))
+      .select(col("n_a"), col("n_b"), col("support"),
+        round(col("num").cast("double") / (col("n_a") * col("n_b"))
+          + lit(1e-9), 4).as("w1"))
+  }
+
+  /** Time-decayed top-k: per-key counts weighted by step-wise weekly
+    * halving, `w(age) = 2^(-⌊age_days/7⌋)` — the "what is hot NOW"
+    * leaderboard whose weights are PURE INTEGER (10⁴ >> weeks, zero for
+    * ≥ 14 weeks), so the decayed mass is an exact BIGINT sum: no pow(),
+    * no libm, no summation-order hazard. The corpus pass partial-aggs to
+    * (key, age_day) cells; the reference day is the census max (scalar
+    * window over the bounded census — the ts_staleness shape). Output:
+    * top-k keys by decayed mass (TakeOrderedAndProject).
+    */
+  def decayedTopK(df: DataFrame, keyCol: String, tsCol: String, k: Int): DataFrame = {
+    val census = df
+      .select(col(keyCol).as("key"),
+        floor(unix_millis(col(tsCol).cast("timestamp")) / lit(86400000L))
+          .cast("long").as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    val weighted = census
+      .withColumn("age_w",
+        floor((max("day").over(wAll) - col("day")) / 7).cast("int"))
+      .withColumn("wq",
+        when(col("age_w") >= 14, 0L)
+          .otherwise(expr("10000 DIV shiftleft(CAST(1 AS BIGINT), age_w)")))
+    weighted.groupBy("key")
+      .agg(sum("n").as("n_total"), sum(col("n") * col("wq")).as("dq"))
+      .select(col("key"), col("n_total"),
+        round(col("dq") / lit(10000d), 4).as("decayed"))
+      .orderBy(col("decayed").desc, col("key"))
+      .limit(k)
+  }
 }

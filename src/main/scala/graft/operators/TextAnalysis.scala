@@ -1035,6 +1035,37 @@ object TextAnalysis {
           .as("kl_term"))
   }
 
+  /** Jensen-Shannon vocabulary drift between two doc shards over the same
+    * top-k terms as [[klVocabDrift]] — the SYMMETRIC, bounded ([0, ln 2])
+    * companion the drift dashboard actually alerts on (KL blows up on
+    * vanishing terms; JS never does). Per term, with m = (p_a + p_b)/2:
+    * js_term = ½·p_a·ln(p_a/m) + ½·p_b·ln(p_b/m), rounded at the output
+    * boundary only (the klVocabDrift float contract: smoothed
+    * probabilities are single IEEE divisions, the ln product is one
+    * fixed-operand-order expression). JS(corpus) = Σ js_term.
+    */
+  def jsVocabDrift(docs: DataFrame, shardA: Column, k: Int): DataFrame = {
+    val top = docs
+      .select(when(shardA, 1L).otherwise(0L).as("in_a"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+      .groupBy("word")
+      .agg(sum("in_a").as("n_a"), (count(lit(1)) - sum("in_a")).as("n_b"))
+      .orderBy((col("n_a") + col("n_b")).desc, col("word")).limit(k)
+    val w = Window.partitionBy()
+    val pa = (col("n_a") + 1).cast("double") / (col("ta") + col("nk"))
+    val pb = (col("n_b") + 1).cast("double") / (col("tb") + col("nk"))
+    val m = (pa + pb) / lit(2.0)
+    top
+      .withColumn("ta", sum("n_a").over(w))
+      .withColumn("tb", sum("n_b").over(w))
+      .withColumn("nk", count(lit(1)).over(w))
+      .select(col("word"), col("n_a"), col("n_b"),
+        round(pa + lit(1e-9), 4).as("p_a"),
+        round(pb + lit(1e-9), 4).as("p_b"),
+        round((pa * log(pa / m) + pb * log(pb / m)) / lit(2.0) + lit(1e-9), 4)
+          .as("js_term"))
+  }
+
   /** Per-document gram novelty vs the corpus in doc_id order: the share
     * of a document's distinct word 3-grams that IT introduces (its
     * doc_id is the gram's corpus-wide minimum) — the freshness screen an
@@ -1082,6 +1113,37 @@ object TextAnalysis {
       .select(col("role"), col("tool"), col("len_bucket"), col("k"),
         (col("k") < kMin).as("suppress"),
         round(lit(1.0) / col("k") + lit(1e-9), 4).as("risk"))
+
+  /** l-diversity audit over the k-anonymity quasi-identifier groups
+    * (Machanavajjhala et al. 2007 — the release gate k-anonymity alone
+    * cannot provide: a group can be k-large yet reveal everyone's
+    * sensitive value if it is constant). QI = (role, length-bucket);
+    * sensitive attribute = tool. Per QI group: size k, distinct-l, and
+    * entropy H = Σ (c/k)·ln(k/c) with each cell's ln quantized to integer
+    * ten-thousandths before the exact weighted sum (entropy l-diversity
+    * holds iff H ≥ ln l_min). Two bounded hash aggs — the sensitive-cell
+    * relation is |roles|·16·|tools| rows.
+    */
+  def lDiversity(transcripts: DataFrame, lMin: Long = 2L): DataFrame = {
+    val cells = transcripts
+      .select(col("role"),
+        least(floor(length(col("text")) / 64), lit(15L)).as("len_bucket"),
+        coalesce(col("tool"), lit("none")).as("sensitive"))
+      .groupBy("role", "len_bucket", "sensitive")
+      .agg(count(lit(1)).as("c"))
+    val groups = cells.groupBy("role", "len_bucket")
+      .agg(sum("c").as("k"), count(lit(1)).as("l_distinct"))
+    cells.join(groups, Seq("role", "len_bucket"))
+      .withColumn("hq",
+        col("c") * round(log(col("k").cast("double") / col("c")) * lit(10000d))
+          .cast("long"))
+      .groupBy(col("role"), col("len_bucket"), col("k"), col("l_distinct"))
+      .agg(sum("hq").as("hsum"))
+      .select(col("role"), col("len_bucket"), col("k"), col("l_distinct"),
+        round(col("hsum").cast("double") / (col("k") * lit(10000d))
+          + lit(1e-9), 4).as("h_nats"),
+        (col("l_distinct") >= lMin).as("diverse"))
+  }
 
   /** Retrieval-quality evaluation of the [[bm25]] index — MRR and NDCG@k
     * (Järvelin & Kekäläinen 2002) against binary relevance = "document

@@ -51,10 +51,25 @@ class PlanSweepSpec extends AnyFunSuite {
     "txt_dup_inflation", // one-row corpus ledger over the dup-group relation
     "txt_mrr", // |queries|-row eval: BM25's k-row top lists + 3-row metrics
     "dd_lsh_recall", // one-row recall/precision totals (QA-scale evaluator)
-    "ts_tier_dispatch") // six scalar region totals: each funnels ONLY
+    "ts_tier_dispatch", // six scalar region totals: each funnels ONLY
                         // partial-agg rows (raw edges are ≤2h pruned
                         // slivers; tier regions are time-bounded 1h/1d
                         // states, one partial row per task)
+    "ts_brier", // one-row Brier/ECE reduce over the ≤10-bin relation
+    "ts_isotonic", // cumsum + minimax windows over the ≤10-bin relation
+    "ts_km", // scalar watermark over the conv-last relation (the
+             // ts_staleness shape) + desc cumsum over the ≤|distinct
+             // duration hours| event-time relation
+    "ts_pagerank", // |tools|-bounded rank/dangling relations per step
+    "ts_entropy_rate", // one-row reduce over the |tools|² matrix
+    "ts_wasserstein", // CDF walk over the |distinct values| census +
+                      // one-row total
+    "ts_decay_topk", // max-day scalar over the (tool, day) census
+    "txt_js_drift", // share window over the k-row top-term relation
+    "ts_contingency", // one-row totals + final reduce over the
+                      // |roles|·|tools| grid
+    "ts_tool_assoc") // one-row basket-count scalar over the per-conv
+                     // distinct-tool relation
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
