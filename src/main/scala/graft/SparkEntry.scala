@@ -2370,6 +2370,44 @@ object SparkEntry {
         metrics(s, dir).withColumnRenamed("text_len", "value"),
         date_trunc("hour", col("ts")))
         .orderBy("conv_id")),
+    // temperature-scaling fit on a powers-of-two grid (p^(1/T) via exact
+    // squares/sqrt — no pow()); per-T mean NLL + post-scaling ECE, chosen
+    // = NLL argmin
+    "ts_temp_scaling" -> ((s, dir) =>
+      Evaluation.temperatureScaling(transcripts(s, dir)).orderBy("temp")),
+    // two-sample Kolmogorov-Smirnov on the same weekday/weekend cohorts
+    // as ts_wasserstein (exact integer CDF sup + Smirnov critical value)
+    "ts_ks" -> ((s, dir) => {
+      val cells = transcripts(s, dir)
+        .groupBy(col("conv_id"),
+          floor(unix_millis(col("ts").cast("timestamp")) / lit(86400000L))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n_turns"))
+      Summary.ksTest(
+        cells.withColumn("is_weekday",
+          !pmod(col("day") + 4, lit(7)).isin(0, 6)),
+        "n_turns", "is_weekday")
+    }),
+    // Good-Turing unseen mass + Chao1 vocabulary richness over the doc
+    // corpus — the tokenizer-vocab coverage planning numbers
+    "txt_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(documents(s, dir))),
+    // top-10 frequent tool trigrams (3-step flow patterns over the
+    // per-conv tool subsequence)
+    "ts_tool_ngrams" -> ((s, dir) =>
+      SeriesOps.toolTrigrams(transcripts(s, dir))),
+    // local-level Kalman filter (Q=0.01, R=1): per-step 4-dp quantized
+    // gain/state/variance, recursive-CTE oracle
+    "ts_kalman" -> ((s, dir) =>
+      SeriesOps.kalmanLevel(
+        metrics(s, dir).withColumnRenamed("text_len", "value"),
+        qVar = 0.01, rVar = 1.0)
+        .orderBy("conv_id", "idx")),
+    // Matryoshka truncated-dim recall@10 at d in {8,16,32} vs the
+    // full-dim brute-force truth (QA-scale evaluator)
+    "ann_mrl" -> ((s, dir) =>
+      Similarity.mrlRecall(embeddings(s, dir), col("vec_id") % 97 === 0,
+        Seq(8, 16, 32), 10).orderBy("dim")),
   )
 
   /** Shared [from, to) for the tier-dispatch query: 2024-01-02T05:30Z to
@@ -9458,6 +9496,167 @@ private object Oracles {
           |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
           |  round(max(abs(q)) / 10000.0, 4) AS max_abs_resid
           |FROM fl GROUP BY 1 ORDER BY conv_id""".stripMargin),
+    // temperature grid restricted to powers of two: every rescale is
+    // exact squares or correctly-rounded sqrt, never libm pow()
+    "ts_temp_scaling" ->
+      (calibCte +
+        """, tgrid AS (SELECT unnest([0.25, 0.5, 1.0, 2.0, 4.0]) AS temp),
+          |tsc AS (
+          |  SELECT temp, pred, truth,
+          |    CASE WHEN temp = 0.25 THEN (p1 * p1) * (p1 * p1)
+          |         WHEN temp = 0.5 THEN p1 * p1
+          |         WHEN temp = 1.0 THEN p1
+          |         WHEN temp = 2.0 THEN sqrt(p1)
+          |         ELSE sqrt(sqrt(p1)) END AS s1,
+          |    CASE WHEN temp = 0.25 THEN (p2 * p2) * (p2 * p2)
+          |         WHEN temp = 0.5 THEN p2 * p2
+          |         WHEN temp = 1.0 THEN p2
+          |         WHEN temp = 2.0 THEN sqrt(p2)
+          |         ELSE sqrt(sqrt(p2)) END AS s2,
+          |    CASE WHEN temp = 0.25 THEN (p3 * p3) * (p3 * p3)
+          |         WHEN temp = 0.5 THEN p3 * p3
+          |         WHEN temp = 1.0 THEN p3
+          |         WHEN temp = 2.0 THEN sqrt(p3)
+          |         ELSE sqrt(sqrt(p3)) END AS s3
+          |  FROM cl CROSS JOIN tgrid
+          |), tq AS (
+          |  SELECT temp, pred, truth, s1, s2, s3, s1 + s2 + s3 AS ssum,
+          |    CASE WHEN truth = 1 THEN s1 WHEN truth = 2 THEN s2
+          |         ELSE s3 END AS st
+          |  FROM tsc
+          |), trr AS (
+          |  SELECT temp, pred, truth,
+          |    CAST(round(ln(ssum / st) * 10000.0) AS BIGINT) AS nllq,
+          |    greatest(s1, s2, s3) / ssum AS tconf
+          |  FROM tq
+          |), tb AS (
+          |  SELECT temp, CAST(least(floor(tconf * 10), 9) AS INT) AS bin,
+          |    CAST(count(*) AS BIGINT) AS nb,
+          |    CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS cb,
+          |    CAST(sum(CAST(floor(tconf * 10000.0 + 0.5) AS BIGINT))
+          |      AS BIGINT) AS ub,
+          |    CAST(sum(nllq) AS BIGINT) AS qb
+          |  FROM trr GROUP BY 1, 2
+          |), tt2 AS (
+          |  SELECT temp, CAST(sum(nb) AS BIGINT) AS n_cells,
+          |    CAST(sum(qb) AS BIGINT) AS nsum,
+          |    CAST(sum(abs(10000 * cb - ub)) AS BIGINT) AS esum
+          |  FROM tb GROUP BY 1
+          |), tfin AS (
+          |  SELECT temp, n_cells,
+          |    round(CAST(nsum AS DOUBLE) / (n_cells * 10000.0) + 1e-9, 4)
+          |      AS mean_nll,
+          |    round(CAST(esum AS DOUBLE) / (n_cells * 10000.0) + 1e-9, 4)
+          |      AS ece
+          |  FROM tt2
+          |), tmn AS (SELECT min(mean_nll) AS mnll FROM tfin),
+          |tbst AS (
+          |  SELECT min(temp) AS tbest FROM tfin CROSS JOIN tmn
+          |  WHERE mean_nll = mnll
+          |)
+          |SELECT temp, n_cells, mean_nll, ece, (temp = tbest) AS chosen
+          |FROM tfin CROSS JOIN tbst ORDER BY temp""".stripMargin),
+    // KS on the ts_wasserstein cohorts: exact integer CDF sup, Smirnov
+    // critical value with the shared 1.358 literal, verdict on the
+    // rounded columns
+    "ts_ks" ->
+      (cte +
+        """, cells AS (
+          |  SELECT conv_id,
+          |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+          |    CAST(count(*) AS BIGINT) AS n_turns
+          |  FROM transcripts GROUP BY 1, 2
+          |), cw AS (
+          |  SELECT n_turns AS v,
+          |    CASE WHEN NOT (CAST((day + 4) % 7 AS INT) IN (0, 6))
+          |         THEN 1 ELSE 0 END AS in_a
+          |  FROM cells
+          |), census AS (
+          |  SELECT v, CAST(sum(in_a) AS BIGINT) AS na,
+          |    CAST(count(*) - sum(in_a) AS BIGINT) AS nb
+          |  FROM cw GROUP BY 1
+          |), walk AS (
+          |  SELECT v, na, nb,
+          |    CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+          |    CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+          |    CAST(sum(na) OVER () AS BIGINT) AS tot_a,
+          |    CAST(sum(nb) OVER () AS BIGINT) AS tot_b
+          |  FROM census
+          |)
+          |SELECT n_a, n_b, support, d_stat, crit_05,
+          |  (d_stat > crit_05) AS reject
+          |FROM (
+          |  SELECT n_a, n_b, support,
+          |    round(CAST(dnum AS DOUBLE) / (n_a * n_b) + 1e-9, 4) AS d_stat,
+          |    round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+          |          / (CAST(n_a AS DOUBLE) * n_b)) + 1e-9, 4) AS crit_05
+          |  FROM (
+          |    SELECT max(tot_a) AS n_a, max(tot_b) AS n_b,
+          |      CAST(count(*) AS BIGINT) AS support,
+          |      CAST(max(abs(cum_a * tot_b - cum_b * tot_a)) AS BIGINT)
+          |        AS dnum
+          |    FROM walk))""".stripMargin),
+    // Good-Turing / Chao1 vocabulary coverage numbers
+    "txt_good_turing" ->
+      ("""WITH tok AS (
+          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          |), wc AS (
+          |  SELECT word, CAST(count(*) AS BIGINT) AS c
+          |  FROM tok WHERE word != '' GROUP BY 1
+          |)
+          |SELECT n_tokens, vocab, f1, f2,
+          |  round(CAST(f1 AS DOUBLE) / n_tokens + 1e-9, 4) AS p_unseen,
+          |  CASE WHEN f2 > 0 THEN
+          |    round(vocab + CAST(f1 * f1 AS DOUBLE) / (2 * f2) + 1e-9, 4)
+          |  END AS chao1
+          |FROM (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS vocab,
+          |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          |  FROM wc)""".stripMargin),
+    // tool trigram flow census over the per-conv tool subsequence
+    "ts_tool_ngrams" ->
+      (cte +
+        """, tt3 AS (
+          |  SELECT conv_id, tool AS t1,
+          |    lead(tool, 1) OVER w AS t2, lead(tool, 2) OVER w AS t3
+          |  FROM (SELECT * FROM transcripts WHERE tool IS NOT NULL)
+          |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+          |)
+          |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+          |FROM tt3 WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+          |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin),
+    // local-level Kalman recursion (Q=0.01, R=1), per-step 4-dp states —
+    // the holt/ewma recursive-CTE replay shape
+    "ts_kalman" ->
+      (cte.replaceFirst("WITH ", "WITH RECURSIVE ") + metricsCte +
+        """, v AS (
+          |  SELECT conv_id, text_len AS z,
+          |    cast(row_number() OVER (PARTITION BY conv_id
+          |                            ORDER BY ts, turn_idx) AS int) AS idx
+          |  FROM metrics
+          |), r AS (
+          |  -- CAST: the recursive CTE takes column types from the base
+          |  -- term, and a bare 0.0 literal is DECIMAL(2,1) in DuckDB —
+          |  -- it would silently truncate every later k/p to one decimal
+          |  SELECT conv_id, idx, z, CAST(0.0 AS DOUBLE) AS k,
+          |    round(z + 1e-9, 4) AS x, CAST(1.0 AS DOUBLE) AS p
+          |  FROM v WHERE idx = 1
+          |  UNION ALL
+          |  SELECT conv_id, idx, z, k,
+          |    round(xp + k * (z - xp) + 1e-9, 4) AS x,
+          |    round((1 - k) * pp + 0.01 + 1e-9, 4) AS p
+          |  FROM (
+          |    SELECT v.conv_id, v.idx, v.z, r.x AS xp, r.p AS pp,
+          |      round(r.p / (r.p + 1.0) + 1e-9, 4) AS k
+          |    FROM r JOIN v ON v.conv_id = r.conv_id AND v.idx = r.idx + 1)
+          |)
+          |SELECT conv_id, idx, z AS value, k AS k_gain, x AS x_hat,
+          |  p AS p_var
+          |FROM r ORDER BY conv_id, idx""".stripMargin),
+    "ann_mrl" -> mrlSql,
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every
@@ -10594,6 +10793,49 @@ private object Oracles {
          |WHERE CAST(dot AS HUGEINT) * dot * 10000 >=
          |      CAST(n2a AS HUGEINT) * n2b * 9409
          |ORDER BY id1, id2""".stripMargin
+
+  /** Matryoshka recall oracle: full-dim brute-force truth + per-prefix-d
+    * candidate top-10 (same 6-dp rounded cosine and eid tie-break as the
+    * Spark bruteTopK), hits joined on (qid, eid).
+    */
+  private lazy val mrlSql: String = {
+    def topkCte(tag: String, d: Int, full: Boolean): String = {
+      val cos =
+        if (full)
+          "round(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * e.v[i]))" +
+            " / (q.nm * e.nm) + 1e-9, 6)"
+        else
+          s"round(list_sum(list_transform(generate_series(1, $d), i -> q.v[i] * e.v[i]))" +
+            s" / (sqrt(list_sum(list_transform(q.v[1:$d], x -> x * x)))" +
+            s" * sqrt(list_sum(list_transform(e.v[1:$d], x -> x * x)))) + 1e-9, 6)"
+      s""", tk$tag AS (
+         |  SELECT qid, eid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS eid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cos DESC, e.vec_id) AS rn
+         |    FROM qset q JOIN nrm e ON e.vec_id <> q.vec_id)
+         |  WHERE rn <= 10
+         |)""".stripMargin
+    }
+    def hitRow(d: Int): String =
+      s"""SELECT $d AS dim, nq.nq AS n_queries,
+         |  CAST(h.n_hits AS BIGINT) AS n_hits,
+         |  round(CAST(h.n_hits AS DOUBLE) / (nq.nq * 10) + 1e-9, 4)
+         |    AS recall
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM tkd$d c JOIN tkfull t
+         |        ON t.qid = c.qid AND t.eid = c.eid) h
+         |CROSS JOIN nq""".stripMargin
+    embCtes("embeddings") +
+      """, qset AS (SELECT vec_id, v, nm FROM nrm WHERE vec_id % 97 = 0)""" +
+      topkCte("full", 64, full = true) +
+      Seq(8, 16, 32).map(d => topkCte(s"d$d", d, full = false)).mkString +
+      """, nq AS (
+        |  SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM tkfull
+        |)
+        |""".stripMargin +
+      Seq(8, 16, 32).map(hitRow).mkString("", "\nUNION ALL\n", "\nORDER BY dim")
+  }
 
   private lazy val ivfCtes =
     """, cents AS (

@@ -159,6 +159,65 @@ object Evaluation {
       .select(col("bin"), col("n_cells"), col("acc"), r4(col("iso")).as("iso_acc"))
   }
 
+  /** Temperature-scaling calibration fit (Guo et al. 2017) over the same
+    * cells as [[reliabilityBins]], with the temperature grid restricted to
+    * POWERS OF TWO {0.25, 0.5, 1, 2, 4} so every rescaled score
+    * p^(1/T) ∈ {p⁴, p², p, √p, √√p} is exact IEEE multiplication or a
+    * correctly-rounded sqrt — no libm pow() anywhere (the decayedTopK
+    * lesson: pow is the one float op the two engines may legitimately
+    * disagree on). Per (cell, T): NLL term ln(Σ_k s_k / s_truth) and the
+    * rescaled confidence max s_k / Σ s_k are quantized to integer
+    * ten-thousandths before the per-T sums; argmax is T-invariant so
+    * `pred` carries over. Output one row per T: (temp, n_cells, mean_nll,
+    * ece, chosen) — `chosen` marks the NLL-minimizing temperature
+    * (tie → smaller T), the fitted scaling a serving pipeline would apply.
+    */
+  def temperatureScaling(transcripts: DataFrame): DataFrame = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val temps = Seq(0.25, 0.5, 1.0, 2.0, 4.0).toDF("temp")
+    def f(p: Column): Column =
+      when(col("temp") === 0.25, (p * p) * (p * p))
+        .when(col("temp") === 0.5, p * p)
+        .when(col("temp") === 1.0, p)
+        .when(col("temp") === 2.0, sqrt(p))
+        .otherwise(sqrt(sqrt(p)))
+    val sc = calibrationCells(transcripts)
+      .join(broadcast(temps), lit(true))
+      .withColumn("s1", f(col("p1")))
+      .withColumn("s2", f(col("p2")))
+      .withColumn("s3", f(col("p3")))
+      .withColumn("ssum", col("s1") + col("s2") + col("s3"))
+      .withColumn("st", when(col("truth") === 1, col("s1"))
+        .when(col("truth") === 2, col("s2")).otherwise(col("s3")))
+      .withColumn("nllq",
+        round(log(col("ssum") / col("st")) * lit(10000d)).cast("long"))
+      .withColumn("tconf",
+        greatest(col("s1"), col("s2"), col("s3")) / col("ssum"))
+      .withColumn("uq", q4(col("tconf")))
+      .withColumn("bin",
+        least(floor(col("tconf") * 10), lit(9)).cast("int"))
+    val perT = sc.groupBy("temp", "bin")
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col("pred") === col("truth"), 1L).otherwise(0L)).as("cb"),
+        sum("uq").as("ub"), sum("nllq").as("qb"))
+      .groupBy("temp")
+      .agg(sum("nb").as("n_cells"), sum("qb").as("nsum"),
+        sum(abs(lit(10000L) * col("cb") - col("ub"))).as("esum"))
+      .select(col("temp"), col("n_cells"),
+        r4(col("nsum").cast("double") / (col("n_cells") * lit(10000d)))
+          .as("mean_nll"),
+        r4(col("esum").cast("double") / (col("n_cells") * lit(10000d)))
+          .as("ece"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perT
+      .withColumn("mnll", min("mean_nll").over(w))
+      .withColumn("tbest",
+        min(when(col("mean_nll") === col("mnll"), col("temp"))).over(w))
+      .select(col("temp"), col("n_cells"), col("mean_nll"), col("ece"),
+        (col("temp") === col("tbest")).as("chosen"))
+  }
+
   /** Kaplan-Meier product-limit survival curve of conversation lifetimes
     * (hours from first to last turn). Conversations whose last turn lands
     * within `censorMs` of the corpus watermark are right-censored (still

@@ -1236,6 +1236,61 @@ object SeriesOps {
         sum("n").over(Window.partitionBy("from_tool"))))
   }
 
+  /** Top-k frequent tool TRIGRAMS over each conversation's time-ordered
+    * tool subsequence (the 3-step flow patterns [[toolTransitions]]'s
+    * bigram matrix cannot see — interleaved user/assistant turns are
+    * skipped, as in [[toolLoops]]). One conv-windowed double-lead pass +
+    * a |tools|³-bounded census; all-integer; TakeOrderedAndProject.
+    */
+  def toolTrigrams(transcripts: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    transcripts.filter(col("tool").isNotNull)
+      .select(col("conv_id"), col("ts"), col("turn_idx"),
+        col("tool").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(w))
+      .withColumn("t3", lead("t1", 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
+  /** Local-level Kalman filter (the steady-state generalization of EWMA —
+    * Harvey 1989 §2; state x, variance P, per step:
+    * K = r4(P/(P+R)); x = r4(x + K·(z − x)); P = r4((1−K)·P + Q)), every
+    * state 4-dp-quantized so the DuckDB recursive-CTE oracle replays the
+    * recursion exactly (the holt/ewma contract). First observation
+    * initializes x = r4(z), P = 1, K = 0. Typed sorted-fold kernel per
+    * conversation, one conv_id shuffle, O(1) state. Output:
+    * (conv_id, idx, value, k_gain, x_hat, p_var).
+    */
+  def kalmanLevel(metrics: DataFrame, qVar: Double, rVar: Double,
+      valueCol: String = "value"): DataFrame = {
+    require(qVar > 0 && rVar > 0, "process/observation variances > 0")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics
+      .select(col("conv_id").cast("string"), ms(col("ts")).as("t"),
+        col("turn_idx").cast("int"), col(valueCol).cast("double"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var x = 0.0; var p = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, _, _, z), i) =>
+          var k = 0.0
+          if (i == 0) { x = r4d(z); p = 1.0 }
+          else {
+            k = r4d(p / (p + rVar))
+            x = r4d(x + k * (z - x))
+            p = r4d((1 - k) * p + qVar)
+          }
+          (conv, i + 1, z, k, x, p)
+        }
+      }
+      .toDF("conv_id", "idx", "value", "k_gain", "x_hat", "p_var")
+  }
+
   /** Tool-call loop detection — the agent-transcript retry-loop screen.
     * Over a conversation's time-ordered TOOL turns (`tool IS NOT NULL`;
     * interleaved user/assistant turns are skipped, because an agent loop

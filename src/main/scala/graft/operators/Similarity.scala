@@ -52,6 +52,32 @@ object Similarity {
       .select("qid", "eid", "cos", "rn")
   }
 
+  /** Matryoshka-style truncated-dimension recall@k (Kusupati et al. 2022):
+    * how much top-k quality survives keeping only the first d dims of
+    * every embedding — the measurement that justifies serving a cheaper
+    * prefix index. Ground truth = full-dim [[bruteTopK]]; per d, the
+    * candidate set is bruteTopK over prefix-sliced vectors (same rounded
+    * cosine, same tie-break), and recall = |hits| / (k·|queries|).
+    * Explicitly a QA-SCALE evaluator like lshRecall — the quadratic brute
+    * force IS the measurement instrument, run on a sample at production
+    * scale. Output one row per d: (dim, n_queries, n_hits, recall).
+    */
+  def mrlRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      dimsList: Seq[Int], k: Int): DataFrame = {
+    val truth = bruteTopK(emb, queryPred, k).select(col("qid"), col("eid"))
+    val nq = truth.select(col("qid")).distinct().count()
+    dimsList.map { d =>
+      val sliced = emb.withColumn("embedding",
+        expr(s"slice(embedding, 1, $d)"))
+      bruteTopK(sliced, queryPred, k)
+        .join(truth, Seq("qid", "eid"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dim"), lit(nq).as("n_queries"), col("n_hits"),
+          round(col("n_hits").cast("double") / (lit(nq) * lit(k.toLong))
+            + lit(1e-9), 4).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Assign each vector to its nearest centroid (max cosine, centroid-id
     * tie-break) — the IVF cell map. centroidPred picks the seed rows.
     */

@@ -530,26 +530,55 @@ object Summary {
     * average, or lift to DecimalType), divided ONCE at the boundary.
     * One row: (n_a, n_b, support, w1).
     */
-  def wasserstein1(df: DataFrame, valueCol: String, cohortACol: String): DataFrame = {
-    val census = df
-      .select(col(valueCol).cast("long").as("v"),
-        when(col(cohortACol), 1L).otherwise(0L).as("in_a"))
-      .groupBy("v")
-      .agg(sum("in_a").as("na"), (count(lit(1)) - sum("in_a")).as("nb"))
-    val w = Window.partitionBy().orderBy("v")
-    val walk = census
-      .withColumn("cum_a", sum("na").over(w))
-      .withColumn("cum_b", sum("nb").over(w))
-      .withColumn("dx", coalesce(lead("v", 1).over(w) - col("v"), lit(0L)))
-      .withColumn("tot_a", sum("na").over(Window.partitionBy()))
-      .withColumn("tot_b", sum("nb").over(Window.partitionBy()))
-    walk.agg(max("tot_a").as("n_a"), max("tot_b").as("n_b"),
+  def wasserstein1(df: DataFrame, valueCol: String, cohortACol: String): DataFrame =
+    cohortWalk(df, valueCol, cohortACol)
+      .agg(max("tot_a").as("n_a"), max("tot_b").as("n_b"),
         count(lit(1)).as("support"),
         sum(abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a"))
           * col("dx")).as("num"))
       .select(col("n_a"), col("n_b"), col("support"),
         round(col("num").cast("double") / (col("n_a") * col("n_b"))
           + lit(1e-9), 4).as("w1"))
+
+  /** Two-sample Kolmogorov-Smirnov test over the same CDF walk as
+    * [[wasserstein1]]: D = sup|F_A − F_B| is the exact integer maximum of
+    * |cumA·N_B − cumB·N_A| over the census, divided once; the α=0.05
+    * critical value 1.358·√((N_A+N_B)/(N_A·N_B)) uses the shared Smirnov
+    * constant and a correctly-rounded sqrt. `reject` compares the two
+    * already-4-dp-rounded columns, so the verdict is hash-deterministic.
+    */
+  def ksTest(df: DataFrame, valueCol: String, cohortACol: String): DataFrame =
+    cohortWalk(df, valueCol, cohortACol)
+      .agg(max("tot_a").as("n_a"), max("tot_b").as("n_b"),
+        count(lit(1)).as("support"),
+        max(abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+          .as("dnum"))
+      .select(col("n_a"), col("n_b"), col("support"),
+        round(col("dnum").cast("double") / (col("n_a") * col("n_b"))
+          + lit(1e-9), 4).as("d_stat"),
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a").cast("double") * col("n_b"))) + lit(1e-9), 4)
+          .as("crit_05"))
+      .withColumn("reject", col("d_stat") > col("crit_05"))
+
+  /** Shared two-cohort CDF walk: per-distinct-value census (the one
+    * corpus-sized pass, partial-aggregable) + integer cumulative sums on
+    * the |distinct values|-bounded relation.
+    */
+  private def cohortWalk(df: DataFrame, valueCol: String,
+      cohortACol: String): DataFrame = {
+    val census = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(cohortACol), 1L).otherwise(0L).as("in_a"))
+      .groupBy("v")
+      .agg(sum("in_a").as("na"), (count(lit(1)) - sum("in_a")).as("nb"))
+    val w = Window.partitionBy().orderBy("v")
+    census
+      .withColumn("cum_a", sum("na").over(w))
+      .withColumn("cum_b", sum("nb").over(w))
+      .withColumn("dx", coalesce(lead("v", 1).over(w) - col("v"), lit(0L)))
+      .withColumn("tot_a", sum("na").over(Window.partitionBy()))
+      .withColumn("tot_b", sum("nb").over(Window.partitionBy()))
   }
 
   /** Time-decayed top-k: per-key counts weighted by step-wise weekly

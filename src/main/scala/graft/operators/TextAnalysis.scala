@@ -1114,6 +1114,30 @@ object TextAnalysis {
         (col("k") < kMin).as("suppress"),
         round(lit(1.0) / col("k") + lit(1e-9), 4).as("risk"))
 
+  /** Good-Turing / Chao1 vocabulary coverage grade (Good 1953; Chao 1984):
+    * from the word-count relation alone — total tokens N, vocabulary V,
+    * singletons f₁, doubletons f₂ — the unseen-probability mass
+    * p₀ = f₁/N (how much of the next shard's tokens will be new words)
+    * and the Chao1 richness estimate V + f₁²/(2f₂) (how big the true
+    * vocabulary is). The coverage-planning numbers a tokenizer-training
+    * pipeline reads before freezing a vocab. One corpus pass (word
+    * partial-agg) + a one-row reduce; f₂=0 yields NULL chao1 (estimator
+    * undefined — kept NULL rather than the +∞ convention).
+    */
+  def goodTuring(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("f1").cast("double") / col("n_tokens") + lit(1e-9), 4)
+          .as("p_unseen"),
+        when(col("f2") > 0,
+          round(col("vocab") + (col("f1") * col("f1")).cast("double") /
+            (lit(2L) * col("f2")) + lit(1e-9), 4)).as("chao1"))
+
   /** l-diversity audit over the k-anonymity quasi-identifier groups
     * (Machanavajjhala et al. 2007 — the release gate k-anonymity alone
     * cannot provide: a group can be k-large yet reveal everyone's

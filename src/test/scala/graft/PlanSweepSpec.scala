@@ -68,8 +68,16 @@ class PlanSweepSpec extends AnyFunSuite {
     "txt_js_drift", // share window over the k-row top-term relation
     "ts_contingency", // one-row totals + final reduce over the
                       // |roles|·|tools| grid
-    "ts_tool_assoc") // one-row basket-count scalar over the per-conv
+    "ts_tool_assoc", // one-row basket-count scalar over the per-conv
                      // distinct-tool relation
+    "ts_temp_scaling", // min-NLL windows over the 5-row per-temperature
+                       // relation
+    "ts_ks", // same bounded CDF-walk census as ts_wasserstein + one-row
+             // reduce
+    "txt_good_turing", // one-row freq-of-freq reduce over the word-count
+                       // relation (partial-agg rows only)
+    "ann_mrl") // per-dim one-row hit totals over the k·|queries| top-k
+               // relations (QA-scale evaluator, like dd_lsh_recall)
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
