@@ -2408,6 +2408,21 @@ object SparkEntry {
     "ann_mrl" -> ((s, dir) =>
       Similarity.mrlRecall(embeddings(s, dir), col("vec_id") % 97 === 0,
         Seq(8, 16, 32), 10).orderBy("dim")),
+    // Heaps'-law V(N) ~ k*N^beta fit along the ingest prefix (quantized
+    // log-log OLS on exact integer sums)
+    "txt_heaps" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(documents(s, dir))),
+    // Simpson/Herfindahl token concentration + effective vocabulary
+    "txt_simpson" -> ((s, dir) =>
+      TextAnalysis.simpsonConcentration(documents(s, dir))),
+    // external cluster agreement of the k-means cells vs the embedding
+    // ground-truth labels: purity + NMI over the bounded contingency grid
+    "ann_purity" -> ((s, dir) => {
+      val cents = Similarity.kmeansCentroids(embeddings(s, dir),
+        col("vec_id") % 97 === 0, iters = 2)
+      Similarity.clusterAgreement(embeddings(s, dir),
+        Similarity.ivfAssignTo(embeddings(s, dir), cents))
+    }),
   )
 
   /** Shared [from, to) for the tier-dispatch query: 2024-01-02T05:30Z to
@@ -9657,6 +9672,71 @@ private object Oracles {
           |  p AS p_var
           |FROM r ORDER BY conv_id, idx""".stripMargin),
     "ann_mrl" -> mrlSql,
+    // Heaps fit: first-doc word attribution + cumulative log-log OLS on
+    // 4-dp-quantized logs (exact integer sums)
+    "txt_heaps" ->
+      ("""WITH tokh AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          |  FROM documents
+          |), tk AS (
+          |  SELECT doc_id, word FROM tokh WHERE word != ''
+          |), pdt AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS t FROM tk GROUP BY 1
+          |), fdc AS (
+          |  SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS v
+          |  FROM (SELECT word, min(doc_id) AS fd FROM tk GROUP BY 1)
+          |  GROUP BY 1
+          |), pts AS (
+          |  SELECT
+          |    CAST(floor(ln(CAST(cn AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |      AS x,
+          |    CAST(floor(ln(CAST(cv AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+          |      AS y
+          |  FROM (
+          |    SELECT CAST(sum(t) OVER (ORDER BY p.doc_id) AS BIGINT) AS cn,
+          |      CAST(sum(COALESCE(f.v, 0)) OVER (ORDER BY p.doc_id)
+          |        AS BIGINT) AS cv
+          |    FROM pdt p LEFT JOIN fdc f ON f.doc_id = p.doc_id)
+          |), sums AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM pts
+          |), tots AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(count(DISTINCT word) AS BIGINT) AS vocab
+          |  FROM tk
+          |)
+          |SELECT n AS n_docs, n_tokens, vocab,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |        / (n * sxx - sx * sx) + 1e-9, 4) AS beta,
+          |  round((CAST(sy AS DOUBLE)
+          |         - (CAST(n * sxy - sx * sy AS DOUBLE)
+          |            / (n * sxx - sx * sx)) * sx) / (n * 10000.0)
+          |        + 1e-9, 4) AS ln_k
+          |FROM sums CROSS JOIN tots""".stripMargin),
+    // Simpson concentration: exact integer sum-of-squares, two boundary
+    // divisions
+    "txt_simpson" ->
+      ("""WITH toks AS (
+          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          |), wcs AS (
+          |  SELECT word, CAST(count(*) AS BIGINT) AS c
+          |  FROM toks WHERE word != '' GROUP BY 1
+          |)
+          |SELECT n_tokens, vocab,
+          |  round(CAST(c2 AS DOUBLE)
+          |        / (CAST(n_tokens AS DOUBLE) * n_tokens) + 1e-9, 4)
+          |    AS simpson,
+          |  round(CAST(n_tokens AS DOUBLE) * n_tokens / c2 + 1e-9, 4)
+          |    AS eff_vocab
+          |FROM (
+          |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS vocab,
+          |    CAST(sum(c * c) AS BIGINT) AS c2
+          |  FROM wcs)""".stripMargin),
+    "ann_purity" -> puritySql,
   )
 
   /** Ground-truth sample points CTE (sits_get_* family): turn 3 of every
@@ -10835,6 +10915,59 @@ private object Oracles {
         |)
         |""".stripMargin +
       Seq(8, 16, 32).map(hitRow).mkString("", "\nUNION ALL\n", "\nORDER BY dim")
+  }
+
+  /** Cluster purity/NMI oracle: the kmeansSql Lloyd replay's final
+    * assignment joined to the ground-truth labels, entropies/MI via the
+    * quantized-ln integer-sum contract on the bounded contingency grid.
+    */
+  private lazy val puritySql: String = {
+    val steps = (1 to 2).map(j =>
+      kmAsg(j, if (j == 1) "cents0" else s"cents${j - 1}") + kmUpdate(j)).mkString
+    embCtes("embeddings") +
+      """, cents0 AS (
+        |  SELECT vec_id AS cid, v AS cv FROM nrm WHERE vec_id % 97 = 0
+        |)""".stripMargin +
+      steps + kmAsg(3, "cents2") +
+      """, cl3 AS (
+        |  SELECT a.cell, e.label, CAST(count(*) AS BIGINT) AS o
+        |  FROM asg3 a JOIN embeddings e USING (vec_id) GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT cell, CAST(sum(o) AS BIGINT) AS r,
+        |    CAST(max(o) AS BIGINT) AS mx
+        |  FROM cl3 GROUP BY 1
+        |), bl AS (
+        |  SELECT label, CAST(sum(o) AS BIGINT) AS c FROM cl3 GROUP BY 1
+        |), tt3 AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT cell) AS BIGINT) AS ncell,
+        |    CAST(count(DISTINCT label) AS BIGINT) AS nlab
+        |  FROM cl3
+        |), ms AS (
+        |  SELECT CAST(sum(o * CAST(round(
+        |      ln(CAST(o AS DOUBLE) * nn / (CAST(r AS DOUBLE) * c))
+        |      * 10000.0) AS BIGINT)) AS BIGINT) AS miq
+        |  FROM cl3 JOIN bc USING (cell) JOIN bl USING (label)
+        |       CROSS JOIN tt3
+        |), hcx AS (
+        |  SELECT CAST(sum(r * CAST(round(ln(CAST(nn AS DOUBLE) / r)
+        |      * 10000.0) AS BIGINT)) AS BIGINT) AS hcq,
+        |    CAST(sum(mx) AS BIGINT) AS pure
+        |  FROM bc CROSS JOIN tt3
+        |), hlx AS (
+        |  SELECT CAST(sum(c * CAST(round(ln(CAST(nn AS DOUBLE) / c)
+        |      * 10000.0) AS BIGINT)) AS BIGINT) AS hlq
+        |  FROM bl CROSS JOIN tt3
+        |)
+        |SELECT nn AS n, ncell AS n_cells, nlab AS n_labels,
+        |  round(CAST(pure AS DOUBLE) / nn + 1e-9, 4) AS purity,
+        |  round(CAST(miq AS DOUBLE) / (nn * 10000.0) + 1e-9, 4) AS mi,
+        |  round(CAST(hcq AS DOUBLE) / (nn * 10000.0) + 1e-9, 4) AS h_cell,
+        |  round(CAST(hlq AS DOUBLE) / (nn * 10000.0) + 1e-9, 4) AS h_label,
+        |  round(CAST(miq AS DOUBLE)
+        |        / (sqrt(CAST(hcq AS DOUBLE) * hlq) + 1e-9) + 1e-9, 4)
+        |    AS nmi
+        |FROM tt3 CROSS JOIN ms CROSS JOIN hcx CROSS JOIN hlx""".stripMargin
   }
 
   private lazy val ivfCtes =

@@ -150,6 +150,55 @@ object Similarity {
         round(max("sq") / lit(10000d), 4).as("max_sil"))
   }
 
+  /** External clustering agreement of an assignment relation
+    * `(vec_id, cell)` against the embeddings' ground-truth `label`
+    * column: purity (majority-label mass) and normalized mutual
+    * information NMI = MI/√(H_cell·H_label) — the standard pair of
+    * external cluster-quality grades (Manning et al., IR ch.16). All
+    * entropies/MI use the quantized-ln integer-sum contract on the
+    * (cell × label)-bounded contingency grid; sqrt at the boundary.
+    * One row: (n, n_cells, n_labels, purity, mi, h_cell, h_label, nmi).
+    */
+  def clusterAgreement(emb: DataFrame, assign: DataFrame): DataFrame = {
+    val cells = assign.select(col("vec_id"), col("cell"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("o"))
+    val byCell = cells.groupBy("cell")
+      .agg(sum("o").as("r"), max("o").as("mx"))
+    val byLabel = cells.groupBy("label").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("nn"),
+      countDistinct("cell").as("ncell"), countDistinct("label").as("nlab"))
+    def lnq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(x) * lit(10000d)).cast("long")
+    val miSum = cells
+      .join(byCell.select(col("cell"), col("r")), "cell")
+      .join(broadcast(byLabel), "label")
+      .join(broadcast(tot), lit(true))
+      .agg(sum(col("o") * lnq(col("o").cast("double") * col("nn") /
+        (col("r").cast("double") * col("c")))).as("miq"))
+    val hCell = byCell.join(broadcast(tot), lit(true))
+      .agg(sum(col("r") * lnq(col("nn").cast("double") / col("r"))).as("hcq"),
+        sum("mx").as("pure"))
+    val hLabel = byLabel.join(broadcast(tot), lit(true))
+      .agg(sum(col("c") * lnq(col("nn").cast("double") / col("c"))).as("hlq"))
+    tot.join(broadcast(miSum), lit(true))
+      .join(broadcast(hCell), lit(true))
+      .join(broadcast(hLabel), lit(true))
+      .select(col("nn").as("n"), col("ncell").as("n_cells"),
+        col("nlab").as("n_labels"),
+        round(col("pure").cast("double") / col("nn") + lit(1e-9), 4)
+          .as("purity"),
+        round(col("miq").cast("double") / (col("nn") * lit(10000d))
+          + lit(1e-9), 4).as("mi"),
+        round(col("hcq").cast("double") / (col("nn") * lit(10000d))
+          + lit(1e-9), 4).as("h_cell"),
+        round(col("hlq").cast("double") / (col("nn") * lit(10000d))
+          + lit(1e-9), 4).as("h_label"),
+        round(col("miq").cast("double") /
+          (sqrt(col("hcq").cast("double") * col("hlq")) + lit(1e-9)) +
+          lit(1e-9), 4).as("nmi"))
+  }
+
   /** Spherical k-means (Lloyd) training of IVF centroids. Each iteration:
     * (1) assign every vector by rounded cosine ([[ivfAssignTo]] contract);
     * (2) new centroid = per-dim MEAN of its members, QUANTIZED to 4 decimals

@@ -1138,6 +1138,66 @@ object TextAnalysis {
           round(col("vocab") + (col("f1") * col("f1")).cast("double") /
             (lit(2L) * col("f2")) + lit(1e-9), 4)).as("chao1"))
 
+  /** Heaps'-law fit (Heaps 1978): vocabulary growth V(N) ≈ k·N^β along
+    * the doc_id-ordered ingest prefix — the projection a tokenizer/vocab
+    * budget is planned against ([[goodTuring]] answers "how much is
+    * unseen NOW", this answers "how fast does it keep growing"). Per doc:
+    * token count and newly-introduced word count (first_doc = min doc_id
+    * per word — the gramNovelty attribution shape), cumulated in doc
+    * order; the OLS fit of ln V on ln N runs on 4-dp-quantized logs with
+    * exact integer sums (the predictors contract). An EVALUATOR at the
+    * |docs| grain: the cumsum window walks the doc-level census (run on
+    * a shard/sample when |docs| alone exceeds one task). One row:
+    * (n_docs, n_tokens, vocab, beta, ln_k).
+    */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+    val perDocT = tok.groupBy("doc_id").agg(count(lit(1)).as("t"))
+    val firstDoc = tok.groupBy("word").agg(min("doc_id").as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy().orderBy("doc_id")
+    val pts = perDocT.join(firstDoc, Seq("doc_id"), "left")
+      .withColumn("cn", sum("t").over(w))
+      .withColumn("cv", sum(coalesce(col("v"), lit(0L))).over(w))
+      .select(
+        floor(log(col("cn").cast("double")) * lit(10000d) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("cv").cast("double")) * lit(10000d) + lit(0.5))
+          .cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .join(tok.agg(count(lit(1)).as("n_tokens"),
+        countDistinct("word").as("vocab")), lit(true))
+      .select(col("n").as("n_docs"), col("n_tokens"), col("vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")) + lit(1e-9), 4)
+          .as("beta"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          (col("n") * lit(10000d)) + lit(1e-9), 4).as("ln_k"))
+  }
+
+  /** Simpson (Herfindahl) vocabulary concentration: Σ(c/N)² = Σc²/N² with
+    * the numerator an exact BIGINT sum, plus the effective vocabulary
+    * size 1/Simpson — the "how top-heavy is this corpus's token mass"
+    * number next to zipf's slope. One corpus pass + a one-row reduce.
+    */
+  def simpsonConcentration(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col("n_tokens"), col("vocab"),
+        round(col("c2").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens")) + lit(1e-9), 4)
+          .as("simpson"),
+        round(col("n_tokens").cast("double") * col("n_tokens") / col("c2")
+          + lit(1e-9), 4).as("eff_vocab"))
+
   /** l-diversity audit over the k-anonymity quasi-identifier groups
     * (Machanavajjhala et al. 2007 — the release gate k-anonymity alone
     * cannot provide: a group can be k-large yet reveal everyone's

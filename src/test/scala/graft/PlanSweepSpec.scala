@@ -76,8 +76,11 @@ class PlanSweepSpec extends AnyFunSuite {
              // reduce
     "txt_good_turing", // one-row freq-of-freq reduce over the word-count
                        // relation (partial-agg rows only)
-    "ann_mrl") // per-dim one-row hit totals over the k·|queries| top-k
+    "ann_mrl", // per-dim one-row hit totals over the k·|queries| top-k
                // relations (QA-scale evaluator, like dd_lsh_recall)
+    "txt_heaps", // doc-grain cumsum walk + one-row OLS reduce (evaluator)
+    "txt_simpson", // one-row sum-of-squares reduce over the word census
+    "ann_purity") // one-row entropy/MI reduces over the (cell×label) grid
 
   test("no query plans a CartesianProduct; SinglePartition only on bounded aggregates") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
